@@ -1,0 +1,401 @@
+"""Aggregation: the monoid (Σ weighted statistics, Σ weights) and Aggregator.
+
+Reference semantics: ``weatherbenchX/aggregation.py:27-428``. The central
+algebra: every metric is a function of weighted means of per-chunk
+statistics, so distributed evaluation reduces to summing
+``(Σ w·s, Σ w)`` pairs — a commutative monoid — then applying a final
+nonlinear ``values_from_mean_statistics``.
+
+TPU-native mapping:
+
+* The per-chunk contraction ``xr.dot(stat, *weights, *bin_masks,
+  dim=reduce_dims)`` (reference ``aggregation.py:290-328``) is ONE fused
+  ``jnp.einsum`` per (statistic, variable) — XLA fuses the statistic
+  elementwise math into the reduction so per-point statistics are never
+  materialized in HBM.
+* Cross-chunk accumulation has two tiers: a device fast path (same
+  dims/shape/coords → pure tree add, psum-able across a mesh) and a host
+  general path (zero-filled sorted outer join, matching
+  ``combining_sum``/``xr.align(join='outer', fill_value=0)``,
+  ``aggregation.py:27-53``) used for sparse/ragged chunk results. Host
+  accumulation is float64 for cross-chunk precision.
+* The state serializes to the framework's npz container (and to xarray
+  when available) using the reference's ``#``-separated naming schema
+  (``aggregation.py:227-258``).
+"""
+
+import collections
+import dataclasses
+from typing import Any, Callable, Collection, Hashable, Iterable, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from weatherbenchx_tpu import binning as binning_lib
+from weatherbenchx_tpu import darray
+from weatherbenchx_tpu import io as io_lib
+from weatherbenchx_tpu import tree
+from weatherbenchx_tpu import weighting as weighting_lib
+from weatherbenchx_tpu.darray import Coord, DimArray
+from weatherbenchx_tpu.metrics import base as metrics_base
+
+
+def _host_dim_coords_equal(a: DimArray, b: DimArray) -> bool:
+  for d in a.dims:
+    ca, cb = a.coords.get(d), b.coords.get(d)
+    if (ca is None) != (cb is None):
+      return False
+    if ca is None:
+      continue
+    if ca.is_host != cb.is_host:
+      return False
+    if ca.is_host and not np.array_equal(
+        np.asarray(ca.values), np.asarray(cb.values)):
+      return False
+  return True
+
+
+def _fast_path_compatible(arrays: Sequence[DimArray]) -> bool:
+  first = arrays[0]
+  return all(
+      a.dims == first.dims and a.shape == first.shape
+      and _host_dim_coords_equal(a, first) for a in arrays[1:])
+
+
+def combining_sum(data_arrays: Sequence[DimArray]) -> DimArray:
+  """Sum with zero-filled outer join over non-aligned dim coordinates.
+
+  Fast path (identical layout): a device-side add that jits/psums.
+  General path: host-side sorted-union outer join with zero fill, matching
+  the reference's ``xr.align(join='outer', fill_value=0)`` semantics.
+  """
+  data_arrays = list(data_arrays)
+  if len(data_arrays) == 1:
+    return data_arrays[0]
+  if _fast_path_compatible(data_arrays):
+    out = data_arrays[0]
+    acc = jnp.asarray(out.data)
+    for a in data_arrays[1:]:
+      acc = acc + jnp.asarray(a.data)
+    return out.copy(data=acc)
+  return _outer_join_sum(data_arrays)
+
+
+def _outer_join_sum(arrays: Sequence[DimArray]) -> DimArray:
+  """Host-side zero-filled outer-join sum (sorted coordinate union)."""
+  first = arrays[0]
+  dims = first.dims
+  for a in arrays[1:]:
+    if set(a.dims) != set(dims):
+      raise ValueError(
+          f'Cannot sum arrays with different dims: {a.dims} vs {dims}')
+  arrays = [a.transpose(*dims) if a.dims != dims else a for a in arrays]
+
+  union_coords: dict[str, np.ndarray] = {}
+  for d in dims:
+    has_coord = [a.coords.get(d) is not None for a in arrays]
+    sizes = {a.sizes[d] for a in arrays}
+    same_coords = all(has_coord) and all(
+        np.array_equal(np.asarray(a.coords[d].values),
+                       np.asarray(arrays[0].coords[d].values))
+        for a in arrays[1:])
+    if len(sizes) == 1 and (not any(has_coord) or same_coords):
+      continue  # aligned already
+    if not all(has_coord):
+      raise ValueError(
+          f'Cannot outer-join dim {d!r} without coordinates on all arrays')
+    union_coords[d] = np.unique(np.concatenate(
+        [np.asarray(a.coords[d].values) for a in arrays]))
+
+  out_sizes = {
+      d: (len(union_coords[d]) if d in union_coords else first.sizes[d])
+      for d in dims}
+  dtype = np.result_type(*[np.asarray(a.data).dtype for a in arrays])
+  if dtype.kind == 'f':
+    acc_dtype = np.float64
+  else:
+    acc_dtype = dtype
+  result = np.zeros([out_sizes[d] for d in dims], dtype=acc_dtype)
+
+  for a in arrays:
+    indexers = []
+    for d in dims:
+      if d in union_coords:
+        vals = np.asarray(a.coords[d].values)
+        indexers.append(np.searchsorted(union_coords[d], vals))
+      else:
+        indexers.append(np.arange(a.sizes[d]))
+    np.add.at(result, np.ix_(*indexers) if indexers else (),
+              np.asarray(a.values))
+
+  coords: dict[str, Coord] = {}
+  for d in dims:
+    if d in union_coords:
+      coords[d] = Coord((d,), union_coords[d])
+    elif first.coords.get(d) is not None:
+      coords[d] = first.coords[d]
+  # Non-dim host coords: keep those consistent across inputs on unchanged dims.
+  for name, c in first.coords.items():
+    if name in coords or not set(c.dims).issubset(dims):
+      continue
+    if any(d in union_coords for d in c.dims):
+      continue
+    coords[name] = c
+  return DimArray(result.astype(dtype, copy=False), dims, coords)
+
+
+@dataclasses.dataclass
+class AggregationState:
+  """Sum of weighted statistics and sum of weights (a commutative monoid).
+
+  Both attributes are nested ``{statistic_name: {var_name: DimArray}}``
+  mappings (or a bare DimArray in degenerate uses), or None for the zero
+  state.
+  """
+
+  sum_weighted_statistics: Any
+  sum_weights: Any
+
+  @classmethod
+  def zero(cls) -> 'AggregationState':
+    return cls(sum_weighted_statistics=None, sum_weights=None)
+
+  def __add__(self, other: 'AggregationState') -> 'AggregationState':
+    return self.sum([self, other])
+
+  @classmethod
+  def sum(cls, aggregation_states: Iterable['AggregationState']
+          ) -> 'AggregationState':
+    tuples = [
+        (a.sum_weighted_statistics, a.sum_weights)
+        for a in aggregation_states
+        if a.sum_weighted_statistics is not None
+    ]
+    if not tuples:
+      return cls.zero()
+    sum_ws, sum_w = tree.map_structure(
+        lambda *a: combining_sum(a), *tuples)
+    return cls(sum_ws, sum_w)
+
+  def mean_statistics(self) -> Any:
+    """Statistics normalized by their weights."""
+    return tree.map_structure(
+        lambda ws, w: ws / w, self.sum_weighted_statistics, self.sum_weights)
+
+  def metric_values(
+      self, metrics: Mapping[str, metrics_base.Metric]
+  ) -> dict[str, DimArray]:
+    """Final metric values as a flat '<metric>.<variable>' dataset."""
+    mean_statistics = self.mean_statistics()
+    metric_values = metrics_base.compute_metrics_from_statistics(
+        metrics, mean_statistics)
+    values: dict[str, DimArray] = {}
+    for metric_name in metric_values:
+      for var_name in metric_values[metric_name]:
+        values[f'{metric_name}.{var_name}'] = (
+            metric_values[metric_name][var_name])
+    return values
+
+  def sum_along_dims(self, dims: Collection[str]) -> 'AggregationState':
+    """Second-stage reduction over preserved dims (e.g. init_time)."""
+    if self.sum_weighted_statistics is None:
+      return self
+    return self.map(lambda x: x.sum(tuple(d for d in dims if d in x.dims)))
+
+  def dot(self, *arrays: DimArray,
+          dim: str | Sequence[str]) -> 'AggregationState':
+    """Contract all stats with resampling/count matrices (bootstrap core)."""
+    return self.map(lambda x: darray.dot(x, *arrays, dim=dim))
+
+  @classmethod
+  def map_multi(
+      cls,
+      func: Callable[..., DimArray],
+      *agg_states: 'AggregationState',
+  ) -> 'AggregationState':
+    if any(a.sum_weighted_statistics is None for a in agg_states):
+      raise ValueError('Cannot map a zero AggregationState.')
+    sum_ws = tree.map_structure(
+        func, *[a.sum_weighted_statistics for a in agg_states])
+    sum_w = tree.map_structure(
+        func, *[a.sum_weights for a in agg_states])
+    return AggregationState(sum_ws, sum_w)
+
+  def map(self, func: Callable[[DimArray], DimArray]) -> 'AggregationState':
+    return self.map_multi(func, self)
+
+  # -- serialization ---------------------------------------------------------
+
+  def to_dataset(self, separator: str = '#') -> dict[str, DimArray]:
+    """Flat dataset view using the reference's '#' path schema.
+
+    Keys are '<stat>#<var>#sum_weighted_statistics' / '...#sum_weights'
+    (compare reference ``aggregation.py:227-247``).
+    """
+    out: dict[str, DimArray] = {}
+    for leaf_name, tree_ in (
+        ('sum_weighted_statistics', self.sum_weighted_statistics),
+        ('sum_weights', self.sum_weights)):
+      for path, da in tree.flatten_with_paths(tree_).items():
+        key = separator.join([str(p) for p in path] + [leaf_name])
+        out[key] = da
+    return out
+
+  @classmethod
+  def from_dataset(cls, dataset: Mapping[str, DimArray],
+                   separator: str = '#') -> 'AggregationState':
+    sum_ws: dict = {}
+    sum_w: dict = {}
+    for key, da in dataset.items():
+      *path, leaf_name = str(key).split(separator)
+      target = sum_ws if leaf_name == 'sum_weighted_statistics' else sum_w
+      node = target
+      for p in path[:-1]:
+        node = node.setdefault(p, {})
+      node[path[-1]] = da
+    return cls(sum_ws, sum_w)
+
+  def save(self, path: str) -> None:
+    io_lib.save_dataset(path, self.to_dataset())
+
+  @classmethod
+  def load(cls, path: str) -> 'AggregationState':
+    return cls.from_dataset(io_lib.load_dataset(path))
+
+  def block_until_ready(self) -> 'AggregationState':
+    jax.block_until_ready(jax.tree_util.tree_leaves(
+        (self.sum_weighted_statistics, self.sum_weights)))
+    return self
+
+  def to_host(self) -> 'AggregationState':
+    """Device→host transfer of all arrays (as float64 numpy)."""
+    def conv(x: DimArray) -> DimArray:
+      d = np.asarray(x.data)
+      if d.dtype.kind == 'f':
+        d = d.astype(np.float64)
+      return x.copy(data=d)
+    return self.map(conv)
+
+
+# Register as pytree so whole states pass through jit/psum directly.
+jax.tree_util.register_pytree_node(
+    AggregationState,
+    lambda s: ((s.sum_weighted_statistics, s.sum_weights), None),
+    lambda _, c: AggregationState(*c),
+)
+
+
+@dataclasses.dataclass
+class Aggregator:
+  """Weighted/binned/masked aggregation over a set of dimensions.
+
+  Reference semantics (``aggregation.py:261-401``): variables lacking any
+  reduce dim (or any bin-mask input dim) are silently dropped; masked
+  values are zeroed in both statistic and weights; skipna turns NaNs into
+  masked points; otherwise NaNs propagate loudly.
+  """
+
+  reduce_dims: Collection[str]
+  bin_by: Sequence[binning_lib.Binning] | None = None
+  weigh_by: Sequence[weighting_lib.Weighting] | None = None
+  masked: bool = False
+  skipna: bool = False
+
+  def aggregation_fn(self, stat: DimArray) -> DimArray | None:
+    """The fused contraction: einsum(stat, *weights, *bin_masks)."""
+    reduce_dims_set = set(self.reduce_dims)
+    eval_unit_dims = set(stat.dims)
+    if not reduce_dims_set.issubset(eval_unit_dims):
+      return None
+
+    weights = [w.weights(stat) for w in self.weigh_by or []]
+
+    bin_dim_names = {b.bin_dim_name for b in self.bin_by or []}
+    if len(bin_dim_names) != len(self.bin_by or []):
+      raise ValueError('Bin dimension names must be unique.')
+
+    bin_masks = []
+    for b in self.bin_by or []:
+      bin_mask = b.create_bin_mask(stat)
+      bin_mask_dims = set(bin_mask.dims) - {b.bin_dim_name}
+      if bin_mask_dims.issubset(eval_unit_dims):
+        bin_masks.append(bin_mask)
+      else:
+        return None
+
+    operands = [w.astype(stat.dtype) if w.dtype != stat.dtype else w
+                for w in weights]
+    operands += [m.astype(stat.dtype) for m in bin_masks]
+    return darray.dot(stat, *operands, dim=tuple(
+        d for d in stat.dims if d in reduce_dims_set))
+
+  def aggregate_stat_var(self, stat: DimArray) -> AggregationState | None:
+    """Aggregate one statistic DimArray for one variable."""
+    if self.masked and stat.has_coord('mask'):
+      mask = DimArray(stat.coords['mask'].values,
+                      stat.coords['mask'].dims)
+      if self.skipna:
+        mask = mask & ~stat.isnull()
+      # Zero out masked values in the stat (avoids NaN*0 -> NaN), and use
+      # the broadcast mask as the weights indicator.
+      stat = stat.where(mask, 0)
+      mask = mask.broadcast_like(stat)
+    elif self.skipna:
+      mask = ~stat.isnull()
+      stat = stat.where(mask, 0)
+    else:
+      mask = darray.ones_like(stat, dtype=bool)
+
+    assert mask.sizes == stat.sizes
+
+    sum_weighted_statistics = self.aggregation_fn(stat)
+    sum_weights = self.aggregation_fn(mask.astype(stat.dtype))
+    if sum_weighted_statistics is None or sum_weights is None:
+      return None
+    return AggregationState(sum_weighted_statistics, sum_weights)
+
+  def aggregate_stat_vars(
+      self, stats: Mapping[Hashable, DimArray]) -> AggregationState:
+    per_var = {
+        var: self.aggregate_stat_var(stat)
+        for var, stat in stats.items() if stat is not None}
+    return AggregationState(
+        sum_weighted_statistics={
+            v: s.sum_weighted_statistics for v, s in per_var.items()
+            if s is not None},
+        sum_weights={
+            v: s.sum_weights for v, s in per_var.items() if s is not None},
+    )
+
+  def aggregate_statistics(
+      self,
+      statistics: Mapping[str, Mapping[Hashable, DimArray]],
+  ) -> AggregationState:
+    """Aggregate all (statistic, variable) arrays of a chunk."""
+    per_stat = {name: self.aggregate_stat_vars(stats)
+                for name, stats in statistics.items()}
+    return AggregationState(
+        sum_weighted_statistics={
+            n: s.sum_weighted_statistics for n, s in per_stat.items()},
+        sum_weights={
+            n: s.sum_weights for n, s in per_stat.items()},
+    )
+
+
+def compute_metric_values_for_single_chunk(
+    metrics: Mapping[str, metrics_base.Metric],
+    aggregator: Aggregator,
+    predictions: Mapping[Hashable, DimArray],
+    targets: Mapping[Hashable, DimArray],
+) -> dict[str, DimArray]:
+  """stats → aggregate → finalize for one in-memory chunk.
+
+  The semantic ground truth the distributed pipeline is tested against
+  (reference ``aggregation.py:404-428``), and the unit that jits onto a
+  single TPU chip.
+  """
+  statistics = metrics_base.compute_unique_statistics_for_all_metrics(
+      metrics, predictions, targets)
+  aggregation_state = aggregator.aggregate_statistics(statistics)
+  return aggregation_state.metric_values(metrics)

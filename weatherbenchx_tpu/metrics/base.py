@@ -1,0 +1,349 @@
+"""The Metric/Statistic contract.
+
+Mirrors the semantics of the reference's ``weatherbenchX/metrics/base.py``:
+
+* A ``Statistic`` maps a (predictions, targets) chunk — each a
+  ``dict[var, DimArray]`` — to per-variable statistic arrays
+  (``metrics/base.py:85-158`` in the reference).
+* A ``Metric`` names the statistics it needs and finalizes their
+  (weighted) *means* via ``values_from_mean_statistics``
+  (``metrics/base.py:23-82``).
+* Statistics are deduplicated across metrics by ``unique_name``
+  (``metrics/base.py:120-133, 252-291``).
+
+TPU-native difference: statistics here are pure jnp functions of DimArrays,
+so the whole stats→aggregate step jits into a single XLA program per chunk;
+there is no generator-based streaming (the fused aggregation never
+materializes per-point statistics in HBM unless asked to).
+"""
+
+import abc
+from typing import Callable, Hashable, Iterator, Mapping, final
+
+import numpy as np
+
+from weatherbenchx_tpu import tree
+from weatherbenchx_tpu.darray import DimArray
+
+
+class Metric(abc.ABC):
+  """Abstract base class for metrics.
+
+  A Metric = a set of named Statistics + a finalizer over their means.
+  The aggregation (weighting/binning/masking) between the two is chosen
+  independently via ``aggregation.Aggregator``.
+  """
+
+  @property
+  @abc.abstractmethod
+  def statistics(self) -> Mapping[str, 'Statistic']:
+    """Statistics whose mean values are required to compute the metric."""
+
+  @abc.abstractmethod
+  def values_from_mean_statistics(
+      self,
+      statistic_values: Mapping[str, Mapping[Hashable, DimArray]],
+  ) -> Mapping[Hashable, DimArray]:
+    """Computes metric values from mean statistics, keyed by internal name."""
+
+
+class Statistic(Metric):
+  """A per-chunk function of (predictions, targets), aggregated by mean.
+
+  Must define a ``unique_name`` capturing all parameters that affect its
+  value — deduplication and AggregationState keys rely on it.
+
+  A Statistic is itself a Metric whose finalizer is the identity on the
+  statistic's mean.
+  """
+
+  @property
+  def unique_name(self) -> str:
+    return type(self).__name__
+
+  @abc.abstractmethod
+  def compute(
+      self,
+      predictions: Mapping[Hashable, DimArray],
+      targets: Mapping[Hashable, DimArray],
+  ) -> Mapping[Hashable, DimArray]:
+    """Computes statistic values for a predictions/targets chunk."""
+
+  @final
+  @property
+  def statistics(self) -> Mapping[str, 'Statistic']:
+    return {'self': self}
+
+  @final
+  def values_from_mean_statistics(
+      self,
+      statistic_values: Mapping[str, Mapping[Hashable, DimArray]],
+  ) -> Mapping[Hashable, DimArray]:
+    return statistic_values['self']
+
+
+class PerVariableStatistic(Statistic):
+  """Statistic computed independently for each common variable."""
+
+  @final
+  def compute(
+      self,
+      predictions: Mapping[Hashable, DimArray],
+      targets: Mapping[Hashable, DimArray],
+  ) -> Mapping[Hashable, DimArray]:
+    result = {}
+    for var_name in predictions.keys():
+      if var_name in targets.keys():
+        per_var = self._compute_per_variable(
+            predictions[var_name], targets[var_name])
+        if per_var is not None:
+          result[var_name] = per_var
+    return result
+
+  @abc.abstractmethod
+  def _compute_per_variable(
+      self,
+      predictions: DimArray,
+      targets: DimArray,
+  ) -> DimArray | None:
+    """Computes statistic for one variable, or None if undefined for it."""
+
+
+class PerVariableMetric(Metric):
+  """Metric computed independently for each variable common to all stats."""
+
+  @final
+  def values_from_mean_statistics(
+      self,
+      statistic_values: Mapping[str, Mapping[Hashable, DimArray]],
+  ) -> Mapping[Hashable, DimArray]:
+    common_variables = set.intersection(
+        *[set(statistic_values[s]) for s in self.statistics])
+    values = {}
+    for v in sorted(common_variables, key=str):
+      stats_per_variable = {
+          s: statistic_values[s][v] for s in self.statistics}
+      values[v] = self._values_from_mean_statistics_per_variable(
+          stats_per_variable)
+    return values
+
+  @abc.abstractmethod
+  def _values_from_mean_statistics_per_variable(
+      self,
+      statistic_values: Mapping[str, DimArray],
+  ) -> DimArray:
+    """Compute metric value for a single variable."""
+
+
+def generate_unique_statistics_for_all_metrics(
+    metrics: Mapping[str, Metric],
+    predictions: Mapping[Hashable, DimArray],
+    targets: Mapping[Hashable, DimArray],
+) -> Iterator[tuple[str, Mapping[Hashable, DimArray]]]:
+  """Yields (unique_name, values) for each deduplicated statistic."""
+  unique_statistics: dict[str, Statistic] = {}
+  for m in metrics.values():
+    for _, stat in m.statistics.items():
+      unique_statistics[stat.unique_name] = stat
+  for k, stat in unique_statistics.items():
+    try:
+      yield k, stat.compute(predictions, targets)
+    except Exception as e:
+      raise ValueError(f'Failed to compute statistic {k}={stat}') from e
+
+
+def compute_unique_statistics_for_all_metrics(
+    metrics: Mapping[str, Metric],
+    predictions: Mapping[Hashable, DimArray],
+    targets: Mapping[Hashable, DimArray],
+) -> Mapping[str, Mapping[Hashable, DimArray]]:
+  """Computes deduplicated statistics for all metrics."""
+  return dict(generate_unique_statistics_for_all_metrics(
+      metrics, predictions, targets))
+
+
+def compute_metric_from_statistics(
+    metric: Metric,
+    statistic_values: Mapping[str, Mapping[Hashable, DimArray]],
+) -> Mapping[Hashable, DimArray]:
+  """Computes a metric from mean statistics keyed by unique_name."""
+  statistic_values = {
+      k: statistic_values[v.unique_name]
+      for k, v in metric.statistics.items()
+  }
+  return metric.values_from_mean_statistics(statistic_values)
+
+
+def compute_metrics_from_statistics(
+    metrics: Mapping[str, Metric],
+    statistic_values: Mapping[str, Mapping[Hashable, DimArray]],
+) -> Mapping[str, Mapping[Hashable, DimArray]]:
+  """Computes multiple metrics from mean statistics keyed by unique_name."""
+  return {
+      name: compute_metric_from_statistics(metric, statistic_values)
+      for name, metric in metrics.items()
+  }
+
+
+# ---------------------------------------------------------------------------
+# Climatology-aligned statistics
+# ---------------------------------------------------------------------------
+
+
+def valid_time_coord(da: DimArray) -> tuple[tuple[str, ...], np.ndarray]:
+  """Host valid_time (dims, datetime64 values) from coords.
+
+  Mirrors reference ``metrics/base.py:383-394``: either an explicit
+  ``valid_time`` coord, or the broadcast sum of init_time and lead_time.
+  """
+  if da.has_coord('valid_time'):
+    c = da.coords['valid_time']
+    return c.dims, np.asarray(c.values)
+  if da.has_coord('init_time') and da.has_coord('lead_time'):
+    init = da.coords['init_time']
+    lead = da.coords['lead_time']
+    init_v = np.asarray(init.values)
+    lead_v = np.asarray(lead.values)
+    dims = tuple(init.dims) + tuple(d for d in lead.dims if d not in init.dims)
+    shape_map = {}
+    for d, s in zip(init.dims, init_v.shape):
+      shape_map[d] = s
+    for d, s in zip(lead.dims, lead_v.shape):
+      shape_map[d] = s
+    full_shape = tuple(shape_map[d] for d in dims)
+
+    def expand(vals, vdims):
+      idx = tuple(slice(None) if d in vdims else None for d in dims)
+      # Transpose vals dims into order of `dims` first.
+      order = [vdims.index(d) for d in dims if d in vdims]
+      v = np.transpose(vals, order) if order != list(range(len(vdims))) else vals
+      return np.broadcast_to(v[idx if len(idx) else ...], full_shape) \
+          if idx else v
+
+    iv = expand(init_v, tuple(init.dims))
+    lv = expand(lead_v, tuple(lead.dims))
+    return dims, (iv + lv).astype('datetime64[ns]')
+  raise ValueError(
+      'Predictions should have either valid_time or init/lead_time coords.')
+
+
+def climatology_alignment_indices(
+    clim: DimArray,
+    valid_time: np.ndarray,
+) -> dict[str, np.ndarray]:
+  """Host-side indices aligning a climatology to given valid times.
+
+  The climatology has either a ``time`` dim, a ``dayofyear`` dim, or
+  ``dayofyear`` + ``hour`` dims (reference ``metrics/base.py:396-403``).
+  Returns a dict of {clim_dim: integer index array of valid_time's shape}.
+  """
+  import pandas as pd
+
+  vt = pd.DatetimeIndex(valid_time.reshape(-1))
+  out: dict[str, np.ndarray] = {}
+  if 'time' in clim.dims:
+    coord = np.asarray(clim.coords['time'].values)
+    lookup = {v: i for i, v in enumerate(coord)}
+    idx = np.array([lookup[np.datetime64(t, 'ns')] for t in vt])
+    out['time'] = idx.reshape(valid_time.shape)
+    return out
+  doy_coord = np.asarray(clim.coords['dayofyear'].values)
+  doy_lookup = {int(v): i for i, v in enumerate(doy_coord)}
+  out['dayofyear'] = np.array(
+      [doy_lookup[int(d)] for d in vt.dayofyear]).reshape(valid_time.shape)
+  if 'hour' in clim.dims:
+    hour_coord = np.asarray(clim.coords['hour'].values)
+    hour_lookup = {int(v): i for i, v in enumerate(hour_coord)}
+    out['hour'] = np.array(
+        [hour_lookup[int(h)] for h in vt.hour]).reshape(valid_time.shape)
+  return out
+
+
+def align_climatology(
+    clim: DimArray,
+    predictions: DimArray,
+) -> DimArray:
+  """Gather climatology values at each prediction valid_time.
+
+  Result has the valid_time dims in place of the climatology's time dims,
+  retaining other (spatial) dims. The gather indices are computed host-side
+  from static time coords and lowered as constants; the gather itself runs
+  on device so this is jit-compatible.
+  """
+  vt_dims, vt = valid_time_coord(predictions)
+  idx = climatology_alignment_indices(clim, vt)
+  return gather_climatology(clim, idx, vt_dims)
+
+
+def gather_climatology(
+    clim: DimArray,
+    indices: Mapping[str, np.ndarray],
+    out_dims: tuple[str, ...],
+) -> DimArray:
+  """Device gather of climatology at precomputed time indices."""
+  import jax.numpy as jnp
+
+  data = jnp.asarray(clim.data)
+  clim_dims = clim.dims
+  time_dims = [d for d in clim_dims if d in indices]
+  other_dims = [d for d in clim_dims if d not in indices]
+  # Move time dims to front.
+  order = [clim_dims.index(d) for d in time_dims + other_dims]
+  data = jnp.transpose(data, order)
+  tshape = data.shape[:len(time_dims)]
+  data = data.reshape((-1,) + data.shape[len(time_dims):])
+  # Flatten multi-axis time index into one.
+  flat_idx = np.zeros(indices[time_dims[0]].shape, dtype=np.int64)
+  stride = 1
+  for d, s in zip(reversed(time_dims), reversed(tshape)):
+    flat_idx = flat_idx + indices[d] * stride
+    stride *= s
+  gathered = data[jnp.asarray(flat_idx.reshape(-1))]
+  gathered = gathered.reshape(flat_idx.shape + data.shape[1:])
+  dims = tuple(out_dims) + tuple(other_dims)
+  coords = {
+      k: c for k, c in clim.coords.items()
+      if set(c.dims).issubset(other_dims)
+  }
+  return DimArray(gathered, dims, coords)
+
+
+class PerVariableStatisticWithClimatology(Statistic):
+  """Base for per-variable statistics needing a time-aligned climatology.
+
+  Reference: ``metrics/base.py:338-415``. The climatology is aligned to the
+  predictions' valid_time (explicit coord, or init_time + lead_time), by
+  exact ``time`` match or by (dayofyear[, hour]).
+  """
+
+  def __init__(self, climatology: Mapping[Hashable, DimArray]):
+    self._climatology = dict(climatology)
+
+  @property
+  def climatology(self) -> Mapping[Hashable, DimArray]:
+    return self._climatology
+
+  @final
+  def compute(
+      self,
+      predictions: Mapping[Hashable, DimArray],
+      targets: Mapping[Hashable, DimArray],
+  ) -> Mapping[Hashable, DimArray]:
+    result = {}
+    for var_name in predictions.keys():
+      if var_name not in targets:
+        continue
+      clim = self._climatology[var_name]
+      aligned = align_climatology(clim, predictions[var_name])
+      result[var_name] = self._compute_per_variable_with_aligned_climatology(
+          predictions[var_name], targets[var_name], aligned)
+    return result
+
+  @abc.abstractmethod
+  def _compute_per_variable_with_aligned_climatology(
+      self,
+      predictions: DimArray,
+      targets: DimArray,
+      aligned_climatology: DimArray,
+  ) -> DimArray:
+    """Computes the statistic given the time-aligned climatology."""
