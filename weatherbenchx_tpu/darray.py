@@ -487,6 +487,45 @@ class DimArray:
       isel_idx[dim] = _label_indices(coord, labels, method)
     return self.isel(isel_idx)
 
+  def take(self, dim: str, indices: np.ndarray,
+           new_dims: Sequence[str]) -> 'DimArray':
+    """Vectorized gather: replace ``dim`` with ``new_dims`` of indices.shape.
+
+    The named-array equivalent of xarray's vectorized ``.sel`` with a
+    multi-dimensional indexer (e.g. selecting valid_time at every
+    (init_time, lead_time) pair). Coords laid out along ``dim`` are gathered
+    too and become coords over ``new_dims``.
+    """
+    indices = np.asarray(indices) if _is_host_value(indices) else indices
+    new_dims = tuple(new_dims)
+    ax = self.dims.index(dim)
+    idx_shape = tuple(indices.shape)
+    if len(new_dims) != len(idx_shape):
+      raise ValueError(f'{new_dims=} does not match indices shape {idx_shape}')
+    flat_idx = indices.reshape(-1)
+    if _is_host_value(self.data):
+      gathered = np.take(self.data, np.asarray(flat_idx), axis=ax)
+    else:
+      gathered = jnp.take(jnp.asarray(self.data), jnp.asarray(flat_idx),
+                          axis=ax)
+    out_shape = self.shape[:ax] + idx_shape + self.shape[ax + 1:]
+    gathered = gathered.reshape(out_shape)
+    out_dims = self.dims[:ax] + new_dims + self.dims[ax + 1:]
+    coords: dict[str, Coord] = {}
+    for name, c in self.coords.items():
+      if dim not in c.dims:
+        coords[name] = c
+        continue
+      cax = c.dims.index(dim)
+      if _is_host_value(c.values):
+        cg = np.take(np.asarray(c.values), np.asarray(flat_idx), axis=cax)
+      else:
+        cg = jnp.take(jnp.asarray(c.values), jnp.asarray(flat_idx), axis=cax)
+      cg = cg.reshape(c.values.shape[:cax] + idx_shape
+                      + c.values.shape[cax + 1:])
+      coords[name] = Coord(c.dims[:cax] + new_dims + c.dims[cax + 1:], cg)
+    return DimArray(gathered, out_dims, coords)
+
   def sortby(self, name: str, ascending: bool = True) -> 'DimArray':
     c = self.coords[name]
     if len(c.dims) != 1:

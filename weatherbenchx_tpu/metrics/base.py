@@ -18,12 +18,12 @@ materializes per-point statistics in HBM unless asked to).
 """
 
 import abc
-from typing import Callable, Hashable, Iterator, Mapping, final
+from typing import Any, Callable, Hashable, Iterator, Mapping, final
 
 import numpy as np
 
 from weatherbenchx_tpu import tree
-from weatherbenchx_tpu.darray import DimArray
+from weatherbenchx_tpu.darray import Coord, DimArray
 
 
 class Metric(abc.ABC):
@@ -277,10 +277,15 @@ def align_climatology(
 
 def gather_climatology(
     clim: DimArray,
-    indices: Mapping[str, np.ndarray],
+    indices: Mapping[str, Any],
     out_dims: tuple[str, ...],
 ) -> DimArray:
-  """Device gather of climatology at precomputed time indices."""
+  """Gather of climatology at precomputed time indices.
+
+  Indices may be host numpy (computed at trace time from static coords) or
+  device/traced int arrays (precomputed by the pipeline and passed as
+  leaves, so per-chunk time changes never retrace).
+  """
   import jax.numpy as jnp
 
   data = jnp.asarray(clim.data)
@@ -293,19 +298,53 @@ def gather_climatology(
   tshape = data.shape[:len(time_dims)]
   data = data.reshape((-1,) + data.shape[len(time_dims):])
   # Flatten multi-axis time index into one.
-  flat_idx = np.zeros(indices[time_dims[0]].shape, dtype=np.int64)
+  on_host = all(isinstance(indices[d], np.ndarray) for d in time_dims)
+  xp = np if on_host else jnp
+  first = indices[time_dims[0]]
+  flat_idx = xp.zeros(first.shape, dtype=xp.int64 if on_host else jnp.int32)
   stride = 1
   for d, s in zip(reversed(time_dims), reversed(tshape)):
-    flat_idx = flat_idx + indices[d] * stride
+    flat_idx = flat_idx + xp.asarray(indices[d]) * stride
     stride *= s
-  gathered = data[jnp.asarray(flat_idx.reshape(-1))]
-  gathered = gathered.reshape(flat_idx.shape + data.shape[1:])
+  gathered = jnp.take(data, jnp.asarray(flat_idx).reshape(-1), axis=0)
+  gathered = gathered.reshape(tuple(first.shape) + data.shape[1:])
   dims = tuple(out_dims) + tuple(other_dims)
   coords = {
       k: c for k, c in clim.coords.items()
       if set(c.dims).issubset(other_dims)
   }
   return DimArray(gathered, dims, coords)
+
+
+# Device coords carrying precomputed climatology gather indices, attached by
+# the pipeline before the jit boundary (see parallel.evaluator.prepare_chunk).
+CLIM_INDEX_PREFIX = '_clim_idx_'
+
+
+def attach_climatology_indices(
+    predictions: Mapping[Hashable, DimArray],
+    climatology: Mapping[Hashable, DimArray],
+) -> dict[Hashable, DimArray]:
+  """Precomputes clim alignment indices and attaches them as device coords.
+
+  Host-side per chunk (cheap: O(n_times)); the attached int32 coords are
+  pytree leaves, so the jitted statistic gathers without retracing when
+  chunk times change.
+  """
+  import jax.numpy as jnp
+
+  out = dict(predictions)
+  for var, da in predictions.items():
+    if var not in climatology:
+      continue
+    vt_dims, vt = valid_time_coord(da)
+    idx = climatology_alignment_indices(climatology[var], vt)
+    coords = {
+        f'{CLIM_INDEX_PREFIX}{d}': Coord(vt_dims, jnp.asarray(i, jnp.int32))
+        for d, i in idx.items()
+    }
+    out[var] = da.assign_coords(**coords)
+  return out
 
 
 class PerVariableStatisticWithClimatology(Statistic):
@@ -334,9 +373,22 @@ class PerVariableStatisticWithClimatology(Statistic):
       if var_name not in targets:
         continue
       clim = self._climatology[var_name]
-      aligned = align_climatology(clim, predictions[var_name])
+      pred = predictions[var_name]
+      # Pipeline path: precomputed device index coords (leaves, retrace-free).
+      idx_coords = {
+          name[len(CLIM_INDEX_PREFIX):]: c
+          for name, c in pred.coords.items()
+          if name.startswith(CLIM_INDEX_PREFIX)
+      }
+      if idx_coords:
+        any_coord = next(iter(idx_coords.values()))
+        aligned = gather_climatology(
+            clim, {d: c.values for d, c in idx_coords.items()},
+            tuple(any_coord.dims))
+      else:
+        aligned = align_climatology(clim, pred)
       result[var_name] = self._compute_per_variable_with_aligned_climatology(
-          predictions[var_name], targets[var_name], aligned)
+          pred, targets[var_name], aligned)
     return result
 
   @abc.abstractmethod

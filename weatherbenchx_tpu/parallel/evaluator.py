@@ -1,0 +1,168 @@
+"""The jitted, mesh-sharded per-chunk evaluation step.
+
+This is the TPU replacement for the reference's Beam worker DoFns
+(``beam_pipeline.py:68-240``): one XLA program per chunk computes every
+unique statistic, fuses weighting/binning/masking into einsum reductions,
+and emits the (Σ w·s, Σ w) AggregationState.
+
+Distribution model (replacing the Beam shuffle, ``beam_pipeline.py:452-467``):
+
+* Inputs are placed across a ``jax.sharding.Mesh`` with a dim→mesh-axis map
+  (e.g. init_time→'batch', latitude→'space', number→'ensemble').
+* Under ``jax.jit``, XLA's SPMD partitioner turns the fused einsum over
+  sharded reduce dims into local partial reductions + all-reduce over ICI —
+  exactly the CombinePerKey monoid sum, but in one compiled collective.
+* Preserved dims keep their sharding in the output layout with no
+  communication at all.
+
+Retrace avoidance: per-chunk-varying time coords are converted to int64
+seconds device coords (pytree leaves) by ``prepare_chunk``, and climatology
+statistics consume precomputed device gather indices — so the step traces
+once and replays for every chunk.
+"""
+
+import dataclasses
+from typing import Hashable, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from weatherbenchx_tpu import aggregation as aggregation_lib
+from weatherbenchx_tpu import tree
+from weatherbenchx_tpu.darray import Coord, DimArray
+from weatherbenchx_tpu.metrics import base as metrics_base
+
+# Time coords converted host→device at the jit boundary and back on output.
+_DATETIME_COORDS = ('init_time', 'valid_time')
+_TIMEDELTA_COORDS = ('lead_time',)
+
+
+def prepare_chunk(
+    data: Mapping[Hashable, DimArray],
+    climatology_stats: Sequence[metrics_base.PerVariableStatisticWithClimatology] = (),
+    is_predictions: bool = False,
+) -> dict[Hashable, DimArray]:
+  """Makes a chunk retrace-free: time coords → int64-seconds device leaves.
+
+  Climatology-bearing statistics additionally get precomputed gather-index
+  coords (while host datetime coords are still available).
+  """
+  out = dict(data)
+  if is_predictions:
+    for stat in climatology_stats:
+      out = metrics_base.attach_climatology_indices(out, stat.climatology)
+
+  def convert(da: DimArray) -> DimArray:
+    new_coords = {}
+    for name, c in da.coords.items():
+      v = c.values
+      if isinstance(v, np.ndarray) and v.dtype.kind in 'Mm':
+        if v.dtype.kind == 'M':
+          secs = v.astype('datetime64[s]').astype(np.int64)
+        else:
+          secs = v.astype('timedelta64[s]').astype(np.int64)
+        new_coords[name] = Coord(c.dims, jnp.asarray(secs))
+      else:
+        new_coords[name] = c
+    return DimArray(da.data, da.dims, new_coords)
+
+  return tree.map_structure(convert, out)
+
+
+def restore_time_coords(da: DimArray) -> DimArray:
+  """Converts int64-seconds device time coords back to datetime/timedelta."""
+  new_coords = {}
+  for name, c in da.coords.items():
+    v = c.values
+    if not isinstance(v, np.ndarray):
+      v = np.asarray(v)
+    if name in _DATETIME_COORDS and v.dtype.kind in 'iu':
+      v = v.astype('datetime64[s]').astype('datetime64[ns]')
+    elif name in _TIMEDELTA_COORDS and v.dtype.kind in 'iu':
+      v = v.astype('timedelta64[s]').astype('timedelta64[ns]')
+    new_coords[name] = Coord(c.dims, v)
+  return DimArray(np.asarray(da.data), da.dims, new_coords)
+
+
+def _climatology_stats(metrics) -> list:
+  out = []
+  for m in metrics.values():
+    for stat in m.statistics.values():
+      if isinstance(stat, metrics_base.PerVariableStatisticWithClimatology):
+        out.append(stat)
+  return out
+
+
+@dataclasses.dataclass
+class ChunkEvaluator:
+  """Compiles and runs the fused stats→aggregate step for chunks.
+
+  Attributes:
+    metrics: Mapping of metric name → Metric.
+    aggregator: The Aggregator (weights/bins/mask/reduce_dims).
+    mesh: Optional jax Mesh for multi-chip SPMD execution.
+    dim_to_axis: Map from data dim name to mesh axis name, e.g.
+      {'init_time': 'batch', 'latitude': 'space', 'number': 'ensemble'}.
+      Dims not listed are replicated.
+  """
+
+  metrics: Mapping[str, metrics_base.Metric]
+  aggregator: aggregation_lib.Aggregator
+  mesh: Optional[jax.sharding.Mesh] = None
+  dim_to_axis: Optional[Mapping[str, str]] = None
+
+  def __post_init__(self):
+    self._clim_stats = _climatology_stats(self.metrics)
+    self._jitted = jax.jit(self._eval_fn)
+
+  def _eval_fn(self, predictions, targets) -> aggregation_lib.AggregationState:
+    statistics = metrics_base.compute_unique_statistics_for_all_metrics(
+        self.metrics, predictions, targets)
+    return self.aggregator.aggregate_statistics(statistics)
+
+  def _axis_for(self, dim: str, size: int) -> Optional[str]:
+    """Mesh axis for a dim, or None (replicate) if unmapped/indivisible."""
+    axis = (self.dim_to_axis or {}).get(dim)
+    if axis is None:
+      return None
+    n = dict(self.mesh.shape).get(axis, 1)
+    if n <= 1 or size % n != 0:
+      return None
+    return axis
+
+  def _named_sharding(self, dims, shape) -> jax.sharding.NamedSharding:
+    axes = [self._axis_for(d, s) for d, s in zip(dims, shape)]
+    return jax.sharding.NamedSharding(
+        self.mesh, jax.sharding.PartitionSpec(*axes))
+
+  def _shard(self, data: Mapping[Hashable, DimArray]):
+    """Places chunk arrays across the mesh (device coords follow their dims)."""
+    out = {}
+    for var, da in data.items():
+      placed = jax.device_put(
+          jnp.asarray(da.data), self._named_sharding(da.dims, da.shape))
+      coords = {}
+      for name, c in da.coords.items():
+        if c.is_host:
+          coords[name] = c
+        else:
+          v = jnp.asarray(c.values)
+          coords[name] = Coord(c.dims, jax.device_put(
+              v, self._named_sharding(c.dims, v.shape)))
+      out[var] = DimArray(placed, da.dims, coords)
+    return out
+
+  def eval_chunk(
+      self,
+      predictions: Mapping[Hashable, DimArray],
+      targets: Mapping[Hashable, DimArray],
+  ) -> aggregation_lib.AggregationState:
+    """Prepares, shards, and evaluates one chunk on the mesh."""
+    predictions = prepare_chunk(predictions, self._clim_stats,
+                                is_predictions=True)
+    targets = prepare_chunk(targets)
+    if self.mesh is not None:
+      predictions = self._shard(predictions)
+      targets = self._shard(targets)
+    return self._jitted(predictions, targets)

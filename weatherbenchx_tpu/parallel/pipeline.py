@@ -1,0 +1,220 @@
+"""The evaluation driver loop: TimeChunks → load → eval → reduce → write.
+
+This replaces the reference's Beam pipeline (``beam_pipeline.py:407-485``)
+with a single-controller loop:
+
+* ``beam.Create`` fan-out          → host enumeration of TimeChunks, with
+                                     async double-buffered loading
+                                     (ThreadPoolExecutor prefetch).
+* Beam ``CombinePerKey`` sum       → on-device tree add per offset bucket
+                                     (XLA collectives across the mesh).
+* ``ConcatPerStatisticPerVariable``→ host zero-filled outer-join of bucket
+                                     states (preserved chunked dims concat).
+* ``WriteMetrics`` atomic netCDF   → atomic npz write (tmp + rename).
+* (new) checkpoint/resume          → running state persisted every K chunks;
+                                     the monoid makes resume exact.
+"""
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from concurrent import futures
+from typing import Hashable, Mapping, Optional
+
+import jax
+import numpy as np
+
+from weatherbenchx_tpu import aggregation as aggregation_lib
+from weatherbenchx_tpu import io as io_lib
+from weatherbenchx_tpu import time_chunks as time_chunks_lib
+from weatherbenchx_tpu import tree
+from weatherbenchx_tpu.darray import DimArray
+from weatherbenchx_tpu.data import base as data_base
+from weatherbenchx_tpu.metrics import base as metrics_base
+from weatherbenchx_tpu.parallel import evaluator as evaluator_lib
+
+logger = logging.getLogger(__name__)
+
+
+def atomic_write_dataset(path: str, dataset: Mapping[str, DimArray]) -> None:
+  """tmp+rename write, safe against duplicate/straggler attempts.
+
+  Mirrors reference ``beam_utils.py:64-101``.
+  """
+  tmp = f'{path}.tmp.{os.getpid()}'
+  io_lib.save_dataset(tmp, dataset)
+  os.replace(tmp, path)
+
+
+@dataclasses.dataclass
+class EvaluationPipeline:
+  """Chunked, sharded, restartable evaluation.
+
+  Attributes:
+    metrics: metric name → Metric.
+    aggregator: the Aggregator.
+    predictions_loader / targets_loader: DataLoaders.
+    times: TimeChunks enumeration.
+    mesh: optional device mesh for SPMD execution.
+    dim_to_axis: dim → mesh axis map (see ChunkEvaluator).
+    prefetch: number of chunks to load ahead of the device (host threads).
+    checkpoint_path: if set, running state is saved here every
+      ``checkpoint_every`` chunks and resumed from on restart.
+  """
+
+  metrics: Mapping[str, metrics_base.Metric]
+  aggregator: aggregation_lib.Aggregator
+  predictions_loader: data_base.DataLoader
+  targets_loader: data_base.DataLoader
+  times: time_chunks_lib.TimeChunks
+  mesh: Optional[jax.sharding.Mesh] = None
+  dim_to_axis: Optional[Mapping[str, str]] = None
+  prefetch: int = 2
+  checkpoint_path: Optional[str] = None
+  checkpoint_every: int = 0
+
+  def __post_init__(self):
+    self._evaluator = evaluator_lib.ChunkEvaluator(
+        metrics=self.metrics, aggregator=self.aggregator,
+        mesh=self.mesh, dim_to_axis=self.dim_to_axis)
+    reduce_dims = set(self.aggregator.reduce_dims)
+    self._bucket_dims = tuple(
+        d for d in ('init_time', 'lead_time') if d not in reduce_dims)
+
+  # -- chunk loading ---------------------------------------------------------
+
+  def _load(self, chunk: time_chunks_lib.TimeChunk):
+    init_times, lead_times = chunk
+    t0 = time.monotonic()
+    targets = self.targets_loader.load_chunk(init_times, lead_times)
+    t1 = time.monotonic()
+    predictions = self.predictions_loader.load_chunk(
+        init_times, lead_times, reference=targets)
+    logger.info('loaded chunk: targets %.0fms predictions %.0fms',
+                (t1 - t0) * 1e3, (time.monotonic() - t1) * 1e3)
+    return predictions, targets
+
+  def _chunk_stream(self):
+    """Yields (index, offsets, (predictions, targets)) with async prefetch."""
+    items = list(enumerate(self.times.iter_with_chunk_offsets()))
+    if not items:
+      return
+    with futures.ThreadPoolExecutor(max_workers=max(self.prefetch, 1)) as ex:
+      pending = []
+      it = iter(items)
+      for _ in range(max(self.prefetch, 1)):
+        try:
+          i, (offsets, chunk) = next(it)
+          pending.append((i, offsets, ex.submit(self._load, chunk)))
+        except StopIteration:
+          break
+      while pending:
+        i, offsets, fut = pending.pop(0)
+        yield i, offsets, fut.result()
+        try:
+          j, (offs2, chunk2) = next(it)
+          pending.append((j, offs2, ex.submit(self._load, chunk2)))
+        except StopIteration:
+          pass
+
+  # -- checkpointing -----------------------------------------------------------
+
+  def _ckpt_manifest(self) -> str:
+    return f'{self.checkpoint_path}.manifest.json'
+
+  def _save_checkpoint(self, buckets, next_chunk: int) -> None:
+    manifest = {'next_chunk': next_chunk, 'buckets': []}
+    for k, (key, state) in enumerate(sorted(buckets.items())):
+      path = f'{self.checkpoint_path}.bucket{k}.npz'
+      tmp = f'{path}.tmp'
+      io_lib.save_dataset(tmp, state.to_host().to_dataset())
+      os.replace(tmp, path)
+      manifest['buckets'].append({'key': list(key), 'path': path})
+    tmp = self._ckpt_manifest() + '.tmp'
+    with open(tmp, 'w') as f:
+      json.dump(manifest, f)
+    os.replace(tmp, self._ckpt_manifest())
+
+  def _load_checkpoint(self):
+    if not self.checkpoint_path or not os.path.exists(self._ckpt_manifest()):
+      return {}, 0
+    with open(self._ckpt_manifest()) as f:
+      manifest = json.load(f)
+    buckets = {}
+    for b in manifest['buckets']:
+      buckets[tuple(b['key'])] = aggregation_lib.AggregationState.from_dataset(
+          io_lib.load_dataset(b['path']))
+    logger.info('resuming from checkpoint at chunk %d', manifest['next_chunk'])
+    return buckets, manifest['next_chunk']
+
+  # -- main loop -----------------------------------------------------------------
+
+  def run(self) -> aggregation_lib.AggregationState:
+    """Evaluates all chunks; returns the total AggregationState."""
+    buckets, start_chunk = self._load_checkpoint()
+    n = len(self.times)
+    for i, offsets, (predictions, targets) in self._chunk_stream():
+      if i < start_chunk:
+        continue
+      state = self._evaluator.eval_chunk(predictions, targets)
+      key = tuple(
+          getattr(offsets, d) if d in self._bucket_dims else -1
+          for d in ('init_time', 'lead_time'))
+      if key in buckets:
+        buckets[key] = _device_add(buckets[key], state)
+      else:
+        buckets[key] = state
+      if (self.checkpoint_path and self.checkpoint_every
+          and (i + 1) % self.checkpoint_every == 0):
+        buckets[key].block_until_ready()
+        self._save_checkpoint(buckets, i + 1)
+      logger.info('chunk %d/%d done', i + 1, n)
+
+    # Final cross-bucket combine on host (outer join concat of preserved
+    # chunked dims), with time coords restored to datetime64/timedelta64.
+    states = [
+        s.to_host().map(evaluator_lib.restore_time_coords)
+        for s in buckets.values()
+    ]
+    return aggregation_lib.AggregationState.sum(states)
+
+  def run_and_write(
+      self,
+      out_path: Optional[str] = None,
+      aggregation_state_out_path: Optional[str] = None,
+  ) -> dict[str, DimArray]:
+    """Runs the pipeline, writes metric values (and optionally the state)."""
+    state = self.run()
+    values = state.metric_values(self.metrics)
+    if out_path:
+      atomic_write_dataset(out_path, values)
+    if aggregation_state_out_path:
+      atomic_write_dataset(aggregation_state_out_path, state.to_dataset())
+    return values
+
+
+def _device_add(a: aggregation_lib.AggregationState,
+                b: aggregation_lib.AggregationState
+                ) -> aggregation_lib.AggregationState:
+  """Tree add of same-structure chunk states (device fast path)."""
+  return aggregation_lib.AggregationState.sum([a, b])
+
+
+def evaluate(
+    metrics: Mapping[str, metrics_base.Metric],
+    aggregator: aggregation_lib.Aggregator,
+    predictions_loader: data_base.DataLoader,
+    targets_loader: data_base.DataLoader,
+    times: time_chunks_lib.TimeChunks,
+    out_path: Optional[str] = None,
+    aggregation_state_out_path: Optional[str] = None,
+    **kwargs,
+) -> dict[str, DimArray]:
+  """One-call evaluation (the ``define_pipeline`` equivalent)."""
+  pipe = EvaluationPipeline(
+      metrics=metrics, aggregator=aggregator,
+      predictions_loader=predictions_loader, targets_loader=targets_loader,
+      times=times, **kwargs)
+  return pipe.run_and_write(out_path, aggregation_state_out_path)
