@@ -153,7 +153,7 @@ def main():
 
   def run_scan(k_iters):
     ks = jnp.arange(1.0, k_iters + 1.0)
-    fetch(scan_jit(p, t, ks))  # warmup/compile
+    fetch(scan_jit(p, t, ks))  # warmup/compile (remote compile can be slow)
     best = float('inf')
     for _ in range(3):
       t0 = time.perf_counter()
@@ -161,12 +161,11 @@ def main():
       best = min(best, time.perf_counter() - t0)
     return best
 
-  # Adaptive iteration count: grow until device work dominates latency.
-  k_iters = 16
+  # Fixed iteration count: ONE compile (remote compilation of the scan
+  # program dominates; an adaptive size would recompile per size). Sized so
+  # device work dominates the ~25ms tunnel latency for both workloads.
+  k_iters = 64 if has_prob else 4096
   total = run_scan(k_iters)
-  while total - latency < 1.0 and k_iters < 16384:
-    k_iters *= 4
-    total = run_scan(k_iters)
   # k_iters scanned steps + 1 init step inside the program.
   dt = max(total - latency, 1e-9) / (k_iters + 1)
 

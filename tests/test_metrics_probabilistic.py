@@ -1,0 +1,263 @@
+"""Probabilistic metric numerics, mirroring reference metrics_test patterns."""
+
+import itertools
+
+import numpy as np
+import pytest
+import scipy.stats
+
+from weatherbenchx_tpu import aggregation, test_utils
+from weatherbenchx_tpu.darray import Coord, DimArray
+from weatherbenchx_tpu.metrics import base as mbase
+from weatherbenchx_tpu.metrics import probabilistic, wrappers
+
+
+def compute_all(metrics, preds, tgts, reduce_dims):
+  agg = aggregation.Aggregator(reduce_dims=reduce_dims)
+  return aggregation.compute_metric_values_for_single_chunk(
+      metrics, agg, preds, tgts)
+
+
+def ens_pair(ens=5, seed=0, tgt_ens=None):
+  preds, _ = test_utils.canonical_forecast_pair(
+      n_init=2, n_lead=2, ensemble_size=ens, seed=seed)
+  tgts, _ = test_utils.canonical_forecast_pair(
+      n_init=2, n_lead=2, ensemble_size=tgt_ens, seed=seed + 100)
+  return preds, tgts
+
+
+def crps_spread_brute(p, fair, axis=0):
+  m = p.shape[axis]
+  pairwise = np.abs(
+      np.expand_dims(p, axis) - np.expand_dims(p, axis + 1))
+  return pairwise.sum((axis, axis + 1)) / (m * (m - int(fair)))
+
+
+class TestCRPS:
+  @pytest.mark.parametrize('ens,use_sort,fair', list(
+      itertools.product([4, 5], [False, True], [True, False])))
+  def test_crps_vs_brute_force(self, ens, use_sort, fair):
+    preds, tgts = ens_pair(ens=ens)
+    metrics = {'crps': probabilistic.CRPSEnsemble(
+        use_sort=use_sort, fair=fair)}
+    results = compute_all(
+        metrics, preds, tgts,
+        ['init_time', 'lead_time', 'latitude', 'longitude'])
+    p = preds['2m_temperature'].values  # (number, init, lead, lat, lon)
+    t = tgts['2m_temperature'].values
+    skill = np.abs(p - t[None]).mean()
+    spread = crps_spread_brute(p, fair).mean()
+    np.testing.assert_allclose(
+        results['crps.2m_temperature'].item(), skill - 0.5 * spread,
+        rtol=1e-5)
+
+  def test_sort_equals_pairwise(self):
+    preds, tgts = ens_pair(ens=7)
+    for fair in [True, False]:
+      r1 = compute_all({'c': probabilistic.CRPSEnsemble(
+          use_sort=True, fair=fair)}, preds, tgts, ['latitude', 'longitude'])
+      r2 = compute_all({'c': probabilistic.CRPSEnsemble(
+          use_sort=False, fair=fair)}, preds, tgts, ['latitude', 'longitude'])
+      np.testing.assert_allclose(
+          np.asarray(r1['c.2m_temperature'].values),
+          np.asarray(r2['c.2m_temperature'].values), atol=1e-4)
+
+  @pytest.mark.parametrize('use_sort', [False, True])
+  def test_crps_ensemble_distance(self, use_sort):
+    preds, tgts = ens_pair(ens=4, tgt_ens=3)
+    metrics = {'cd': probabilistic.CRPSEnsembleDistance(use_sort=use_sort)}
+    results = compute_all(
+        metrics, preds, tgts,
+        ['init_time', 'lead_time', 'latitude', 'longitude'])
+    p = preds['2m_temperature'].values
+    t = tgts['2m_temperature'].values
+    skill = np.abs(p[:, None] - t[None, :]).mean()
+    spread_p = crps_spread_brute(p, fair=True).mean()
+    spread_t = crps_spread_brute(t, fair=True).mean()
+    np.testing.assert_allclose(
+        results['cd.2m_temperature'].item(),
+        skill - 0.5 * spread_p - 0.5 * spread_t, rtol=1e-4)
+
+  def test_crps_skipna_pairwise(self):
+    preds, tgts = ens_pair(ens=4)
+    pv = np.asarray(preds['2m_temperature'].values).copy()
+    pv[0, 0, 0, 0, 0] = np.nan
+    preds = {'2m_temperature': preds['2m_temperature'].copy(data=pv)}
+    r = compute_all({'c': probabilistic.CRPSEnsemble(
+        skipna_ensemble=True)}, preds, tgts,
+        ['init_time', 'lead_time', 'latitude', 'longitude'])
+    assert np.isfinite(r['c.2m_temperature'].item())
+    r2 = compute_all({'c': probabilistic.CRPSEnsemble()}, preds, tgts,
+                     ['init_time', 'lead_time', 'latitude', 'longitude'])
+    assert np.isnan(r2['c.2m_temperature'].item())
+
+
+class TestUnbiasedEstimators:
+  def test_unbiased_mse_formula(self):
+    preds, tgts = ens_pair(ens=6)
+    r = compute_all(
+        {'m': probabilistic.UnbiasedEnsembleMeanRMSE()}, preds, tgts,
+        ['init_time', 'lead_time', 'latitude', 'longitude'])
+    p = preds['2m_temperature'].values
+    t = tgts['2m_temperature'].values
+    mse = (p.mean(0) - t) ** 2 - p.var(0, ddof=1) / p.shape[0]
+    np.testing.assert_allclose(
+        r['m.2m_temperature'].item(), np.sqrt(mse.mean()), rtol=1e-5)
+
+  def test_spread_skill_and_root_mean_variance(self):
+    preds, tgts = ens_pair(ens=6)
+    r = compute_all(
+        {'ssr': probabilistic.UnbiasedSpreadSkillRatio(),
+         'rmv': probabilistic.EnsembleRootMeanVariance()},
+        preds, tgts, ['init_time', 'lead_time', 'latitude', 'longitude'])
+    p = preds['2m_temperature'].values
+    t = tgts['2m_temperature'].values
+    var = p.var(0, ddof=1).mean()
+    mse = ((p.mean(0) - t) ** 2 - p.var(0, ddof=1) / p.shape[0]).mean()
+    np.testing.assert_allclose(r['ssr.2m_temperature'].item(),
+                               np.sqrt(var / mse), rtol=1e-5)
+    np.testing.assert_allclose(r['rmv.2m_temperature'].item(),
+                               np.sqrt(var), rtol=1e-5)
+
+  def test_ensemble_target_unbiased_mse(self):
+    preds, tgts = ens_pair(ens=5, tgt_ens=4)
+    # Use the statistic directly as a Metric (identity finalizer) so the
+    # comparison is on the (possibly negative) debiased MSE itself.
+    r = compute_all(
+        {'m': probabilistic.UnbiasedEnsembleMeanSquaredError()}, preds, tgts,
+        ['init_time', 'lead_time', 'latitude', 'longitude'])
+    p = preds['2m_temperature'].values
+    t = tgts['2m_temperature'].values
+    mse = ((p.mean(0) - t.mean(0)) ** 2
+           - p.var(0, ddof=1) / p.shape[0]
+           - t.var(0, ddof=1) / t.shape[0])
+    np.testing.assert_allclose(
+        r['m.2m_temperature'].item(), mse.mean(), rtol=1e-4)
+
+
+class TestRankHistogram:
+  def test_counts(self):
+    p = DimArray(np.array([[1.0, 5.0], [2.0, 6.0], [3.0, 7.0]]),
+                 ('number', 'x'))
+    # Targets 2.5 -> rank 2 (greater than 1,2); 4 -> rank 0.
+    t = DimArray(np.array([2.5, 4.0]), ('x',))
+    out = probabilistic.RankHistogram().compute(
+        {'v': p}, {'v': t})['v']
+    assert out.sizes['rank'] == 4
+    got = out.transpose('x', 'rank').values
+    np.testing.assert_array_equal(got, [[0, 0, 1, 0], [1, 0, 0, 0]])
+
+  def test_uniform_for_calibrated(self):
+    rng = np.random.default_rng(0)
+    p = DimArray(rng.standard_normal((9, 4000)).astype(np.float64),
+                 ('number', 'x'))
+    t = DimArray(rng.standard_normal(4000), ('x',))
+    out = probabilistic.RankHistogram().compute({'v': p}, {'v': t})['v']
+    freqs = np.asarray(out.mean('x').values)
+    np.testing.assert_allclose(freqs, 0.1, atol=0.02)
+
+
+class TestWasserstein:
+  def test_matches_scipy(self):
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal((3, 4, 8))
+    v = rng.standard_normal((3, 4, 6)) + 0.3
+    preds = {'v': DimArray(u, ('a', 'b', 'number'))}
+    tgts = {'v': DimArray(v, ('a', 'b', 'number'))}
+    out = probabilistic.WassersteinDistance().compute(preds, tgts)['v']
+    expected = np.zeros((3, 4))
+    for i in range(3):
+      for j in range(4):
+        expected[i, j] = scipy.stats.wasserstein_distance(u[i, j], v[i, j])
+    np.testing.assert_allclose(np.asarray(out.values), expected, rtol=1e-5)
+
+  def test_missing_ensemble_raises(self):
+    preds = {'v': DimArray(np.zeros((2, 3)), ('a', 'number'))}
+    tgts = {'v': DimArray(np.zeros(2), ('a',))}
+    with pytest.raises(ValueError, match='targets'):
+      probabilistic.WassersteinDistance().compute(preds, tgts)
+
+
+class TestREV:
+  def _binary_data(self, seed=0, n=2000):
+    rng = np.random.default_rng(seed)
+    prob = rng.random(n)
+    target = (rng.random(n) < prob).astype(np.float64)
+    ens = (rng.random((10, n)) < prob[None]).astype(np.float64)
+    preds = {'v': DimArray(ens.mean(0), ('x',))}
+    tgts = {'v': DimArray(target, ('x',))}
+    return preds, tgts
+
+  def test_rev_shape_and_bounds(self):
+    preds, tgts = self._binary_data()
+    rev = probabilistic.RelativeEconomicValue(ensemble_size=10)
+    results = compute_all({'rev': rev}, preds, tgts, ['x'])
+    out = results['rev.v']
+    assert set(out.dims) == {'threshold', 'cost_loss_ratio'}
+    assert out.sizes['threshold'] == 12  # 10 + endpoints 0, 1
+    assert out.sizes['cost_loss_ratio'] == 50
+    vals = np.asarray(out.values)
+    # Max over thresholds should be positive for a skillful forecast.
+    assert np.nanmax(vals) > 0.3
+    assert np.nanmax(vals) <= 1.0 + 1e-6
+
+  def test_rev_optimal_thresholds_equals_select(self):
+    preds, tgts = self._binary_data(seed=1)
+    rev_full = probabilistic.RelativeEconomicValue(ensemble_size=10)
+    full = compute_all({'rev': rev_full}, preds, tgts, ['x'])['rev.v']
+    # Pick optimal threshold per cost/loss ratio from the full matrix.
+    full_t = full.transpose('threshold', 'cost_loss_ratio')
+    idx = np.nanargmax(np.asarray(full_t.values), axis=0)
+    thresholds = full_t.coord_values('threshold')[idx]
+    clr = full.coord_values('cost_loss_ratio')
+    opt = DimArray(thresholds, ('cost_loss_ratio',),
+                   {'cost_loss_ratio': clr})
+    rev_opt = probabilistic.RelativeEconomicValue(
+        ensemble_size=10, cost_loss_ratios=clr, optimal_thresholds=opt)
+    picked = compute_all({'rev': rev_opt}, preds, tgts, ['x'])['rev.v']
+    assert 'threshold' not in picked.dims
+    expected = np.nanmax(np.asarray(full_t.values), axis=0)
+    np.testing.assert_allclose(np.asarray(picked.values), expected,
+                               rtol=1e-5)
+
+
+class TestEnsembleRPS:
+  @pytest.mark.parametrize('fair', [True, False])
+  def test_rps_handwritten(self, fair):
+    # 2 members, 1 point; thresholds [0, 1]. Exercise the CDF MSE math.
+    p = DimArray(np.array([[-0.5], [0.5]]), ('number', 'x'))
+    t = DimArray(np.array([0.7]), ('x',))
+    stat = probabilistic.EnsembleRankedProbabilityScore(
+        prediction_bin_thresholds=[0.0, 1.0],
+        target_bin_thresholds=[0.0, 1.0],
+        bin_dim='b', unique_name_suffix='test', fair=fair)
+    out = stat.compute({'v': p}, {'v': t})['v']
+    # pred CDF at [0,1] = [0.5, 1]; target CDF = [0, 1].
+    if fair:
+      # unbiased (mean diff)^2 - var/m per bin:
+      # bin0: 0.25 - (ddof=1 var of {0,1} = 0.5)/2 = 0.0
+      expected = 0.0 + 0.0
+    else:
+      expected = 0.25 + 0.0
+    np.testing.assert_allclose(np.asarray(out.values), [expected], rtol=1e-6)
+
+
+class TestEnsembleAveraged:
+  def test_ensemble_averaged_metric(self):
+    preds, tgts = ens_pair(ens=4)
+    from weatherbenchx_tpu.metrics import deterministic
+    m = probabilistic.EnsembleAveragedMetric(deterministic.RMSE())
+    r = compute_all({'m': m}, preds, tgts,
+                    ['init_time', 'lead_time', 'latitude', 'longitude'])
+    p = preds['2m_temperature'].values
+    t = tgts['2m_temperature'].values
+    np.testing.assert_allclose(
+        r['m.2m_temperature'].item(),
+        np.sqrt(((p - t[None]) ** 2).mean()), rtol=1e-5)
+
+  def test_missing_ensemble_dim_raises(self):
+    preds, tgts = test_utils.canonical_forecast_pair(seed=0)
+    from weatherbenchx_tpu.metrics import deterministic
+    m = probabilistic.EnsembleAveragedMetric(deterministic.RMSE())
+    with pytest.raises(ValueError, match='Failed to compute statistic'):
+      compute_all({'m': m}, preds, tgts, ['latitude', 'longitude'])

@@ -391,6 +391,48 @@ class DimArray:
     ax = self.dims.index(dim)
     return self.copy(data=jnp.cumsum(jnp.asarray(self.data), axis=ax))
 
+  def quantile(self, q, dim: str, skipna: bool = False,
+               quantile_dim: str = 'quantile') -> 'DimArray':
+    """Quantiles along a dim (numpy 'linear' interpolation, like xarray)."""
+    q_arr = np.atleast_1d(np.asarray(q, dtype=np.float64))
+    ax = self.dims.index(dim)
+    fn = jnp.nanquantile if skipna else jnp.quantile
+    data = fn(jnp.asarray(self.data), jnp.asarray(q_arr), axis=ax)
+    # jnp.quantile puts the quantile axis first.
+    out_dims = (quantile_dim,) + self.dims[:ax] + self.dims[ax + 1:]
+    coords = {k: c for k, c in self.coords.items()
+              if dim not in c.dims}
+    coords[quantile_dim] = Coord((quantile_dim,), q_arr)
+    return DimArray(data, out_dims, coords)
+
+  def diff(self, dim: str, n: int = 1) -> 'DimArray':
+    """First-order difference along a dim (upper-label convention)."""
+    ax = self.dims.index(dim)
+    data = jnp.diff(jnp.asarray(self.data), n=n, axis=ax)
+    coords = {}
+    for k, c in self.coords.items():
+      if dim in c.dims:
+        cax = c.dims.index(dim)
+        sl = (slice(None),) * cax + (slice(n, None),)
+        coords[k] = Coord(c.dims, c.values[sl])
+      else:
+        coords[k] = c
+    return DimArray(data, self.dims, coords)
+
+  def stack_to_new_dim(self, dims_to_stack: Sequence[str],
+                       new_dim: str) -> 'DimArray':
+    """Stacks dims into one new trailing range-valued dimension."""
+    dims_to_stack = tuple(dims_to_stack)
+    rest = [d for d in self.dims if d not in dims_to_stack]
+    out = self.transpose(*(rest + list(dims_to_stack)))
+    new_size = int(np.prod([self.sizes[d] for d in dims_to_stack]))
+    data = jnp.asarray(out.data).reshape(
+        tuple(self.sizes[d] for d in rest) + (new_size,))
+    coords = {k: c for k, c in self.coords.items()
+              if not (set(c.dims) & set(dims_to_stack))}
+    coords[new_dim] = Coord((new_dim,), np.arange(new_size))
+    return DimArray(data, tuple(rest) + (new_dim,), coords)
+
   # -- shape manipulation -------------------------------------------------------
 
   def transpose(self, *dims: str) -> 'DimArray':

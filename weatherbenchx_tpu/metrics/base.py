@@ -69,6 +69,20 @@ class Statistic(Metric):
   ) -> Mapping[Hashable, DimArray]:
     """Computes statistic values for a predictions/targets chunk."""
 
+  def prepare_chunk(
+      self,
+      predictions: Mapping[Hashable, DimArray],
+      targets: Mapping[Hashable, DimArray],
+  ) -> tuple[Mapping[Hashable, DimArray], Mapping[Hashable, DimArray]]:
+    """Host-side hook run by the pipeline BEFORE the jit boundary.
+
+    Statistics needing host-only information that varies per chunk (e.g.
+    datetime coords for climatology alignment) override this to precompute
+    device-friendly auxiliary coords (traced leaves), so their ``compute``
+    stays retrace-free inside the jitted step. Default: no-op.
+    """
+    return predictions, targets
+
   @final
   @property
   def statistics(self) -> Mapping[str, 'Statistic']:
@@ -335,10 +349,17 @@ def attach_climatology_indices(
 
   out = dict(predictions)
   for var, da in predictions.items():
-    if var not in climatology:
+    if var in climatology:
+      clim = climatology[var]
+    elif climatology:
+      # Climatology variables may be derived names (e.g. SEEPS's
+      # '{var}_seeps_threshold'); alignment indices depend only on the
+      # climatology's time layout, which is shared across its variables.
+      clim = next(iter(climatology.values()))
+    else:
       continue
     vt_dims, vt = valid_time_coord(da)
-    idx = climatology_alignment_indices(climatology[var], vt)
+    idx = climatology_alignment_indices(clim, vt)
     coords = {
         f'{CLIM_INDEX_PREFIX}{d}': Coord(vt_dims, jnp.asarray(i, jnp.int32))
         for d, i in idx.items()
@@ -347,13 +368,29 @@ def attach_climatology_indices(
   return out
 
 
-class PerVariableStatisticWithClimatology(Statistic):
-  """Base for per-variable statistics needing a time-aligned climatology.
+def aligned_climatology_for(clim: DimArray, pred: DimArray) -> DimArray:
+  """Climatology aligned to pred's valid_time, via either path.
 
-  Reference: ``metrics/base.py:338-415``. The climatology is aligned to the
-  predictions' valid_time (explicit coord, or init_time + lead_time), by
-  exact ``time`` match or by (dayofyear[, hour]).
+  Pipeline path: ``_clim_idx_*`` device index coords were attached by
+  ``prepare_chunk`` (retrace-free gather). Notebook path: align host-side
+  from datetime coords.
   """
+  idx_coords = {
+      name[len(CLIM_INDEX_PREFIX):]: c
+      for name, c in pred.coords.items()
+      if name.startswith(CLIM_INDEX_PREFIX)
+  }
+  idx_coords = {d: c for d, c in idx_coords.items() if d in clim.dims}
+  if idx_coords:
+    any_coord = next(iter(idx_coords.values()))
+    return gather_climatology(
+        clim, {d: c.values for d, c in idx_coords.items()},
+        tuple(any_coord.dims))
+  return align_climatology(clim, pred)
+
+
+class StatisticWithClimatology(Statistic):
+  """Mixin providing climatology storage + the pipeline prepare hook."""
 
   def __init__(self, climatology: Mapping[Hashable, DimArray]):
     self._climatology = dict(climatology)
@@ -361,6 +398,19 @@ class PerVariableStatisticWithClimatology(Statistic):
   @property
   def climatology(self) -> Mapping[Hashable, DimArray]:
     return self._climatology
+
+  def prepare_chunk(self, predictions, targets):
+    return attach_climatology_indices(
+        dict(predictions), self._climatology), targets
+
+
+class PerVariableStatisticWithClimatology(StatisticWithClimatology):
+  """Base for per-variable statistics needing a time-aligned climatology.
+
+  Reference: ``metrics/base.py:338-415``. The climatology is aligned to the
+  predictions' valid_time (explicit coord, or init_time + lead_time), by
+  exact ``time`` match or by (dayofyear[, hour]).
+  """
 
   @final
   def compute(
@@ -374,19 +424,7 @@ class PerVariableStatisticWithClimatology(Statistic):
         continue
       clim = self._climatology[var_name]
       pred = predictions[var_name]
-      # Pipeline path: precomputed device index coords (leaves, retrace-free).
-      idx_coords = {
-          name[len(CLIM_INDEX_PREFIX):]: c
-          for name, c in pred.coords.items()
-          if name.startswith(CLIM_INDEX_PREFIX)
-      }
-      if idx_coords:
-        any_coord = next(iter(idx_coords.values()))
-        aligned = gather_climatology(
-            clim, {d: c.values for d, c in idx_coords.items()},
-            tuple(any_coord.dims))
-      else:
-        aligned = align_climatology(clim, pred)
+      aligned = aligned_climatology_for(clim, pred)
       result[var_name] = self._compute_per_variable_with_aligned_climatology(
           pred, targets[var_name], aligned)
     return result

@@ -1,0 +1,505 @@
+"""Categorical metrics: confusion-matrix family, SEEPS, CDF-based RPS.
+
+Reference semantics: ``weatherbenchX/metrics/categorical.py:25-971``.
+"""
+
+from typing import Hashable, Mapping, Sequence, Union, final
+
+import jax.numpy as jnp
+import numpy as np
+
+from weatherbenchx_tpu import darray
+from weatherbenchx_tpu.darray import Coord, DimArray
+from weatherbenchx_tpu.metrics import base
+from weatherbenchx_tpu.metrics import wrappers
+
+
+def _nan_mask_product(predictions: DimArray, targets: DimArray) -> DimArray:
+  return ~(predictions * targets).isnull()
+
+
+class TruePositives(base.PerVariableStatistic):
+  """pred AND target, NaN-propagating, float32."""
+
+  def _compute_per_variable(self, predictions, targets):
+    return (predictions.astype(bool) & targets.astype(bool)).where(
+        _nan_mask_product(predictions, targets)).astype(np.float32)
+
+
+class TrueNegatives(base.PerVariableStatistic):
+  """NOT pred AND NOT target."""
+
+  def _compute_per_variable(self, predictions, targets):
+    return ((~predictions.astype(bool)) & (~targets.astype(bool))).where(
+        _nan_mask_product(predictions, targets)).astype(np.float32)
+
+
+class FalsePositives(base.PerVariableStatistic):
+  """pred AND NOT target."""
+
+  def _compute_per_variable(self, predictions, targets):
+    return (predictions.astype(bool) & (~targets.astype(bool))).where(
+        _nan_mask_product(predictions, targets)).astype(np.float32)
+
+
+class FalseNegatives(base.PerVariableStatistic):
+  """NOT pred AND target."""
+
+  def _compute_per_variable(self, predictions, targets):
+    return ((~predictions.astype(bool)) & targets.astype(bool)).where(
+        _nan_mask_product(predictions, targets)).astype(np.float32)
+
+
+class SEEPS(base.StatisticWithClimatology):
+  """Stable Equitable Error in Probability Space (Rodwell et al. 2010).
+
+  Reference ``categorical.py:104-304``: precipitation is classified into
+  dry/light/heavy categories against a climatological wet threshold aligned
+  at each valid time; a 3×3 scoring matrix built from the climatological dry
+  fraction p1 scores the contingency; p1 outside [min_p1, max_p1] is masked
+  (requires masked=True aggregation). The category outer product and the
+  scoring contraction are pure jnp ops fusing into the aggregation einsum.
+  """
+
+  def __init__(
+      self,
+      variables: Sequence[str],
+      climatology: Mapping[Hashable, DimArray],
+      dry_threshold_mm: Union[float, Sequence[float]] = 0.25,
+      min_p1: Union[float, Sequence[float]] = 0.1,
+      max_p1: Union[float, Sequence[float]] = 0.85,
+  ):
+    super().__init__(climatology)
+    self._variables = list(variables)
+    n = len(self._variables)
+    self._dry_threshold_mm = (
+        list(dry_threshold_mm) if isinstance(dry_threshold_mm, Sequence)
+        else [dry_threshold_mm] * n)
+    self._min_p1 = list(min_p1) if isinstance(min_p1, Sequence) else [
+        min_p1] * n
+    self._max_p1 = list(max_p1) if isinstance(max_p1, Sequence) else [
+        max_p1] * n
+    assert len(self._variables) == len(self._dry_threshold_mm) == len(
+        self._min_p1) == len(self._max_p1), (
+            'All arguments must have the same length.')
+
+  @property
+  def unique_name(self) -> str:
+    suffix = ('_'.join(self._variables)
+              + '_dry_threshold_mm_'
+              + '_'.join(str(s) for s in self._dry_threshold_mm)
+              + '_min_p1_' + '_'.join(str(s) for s in self._min_p1)
+              + '_max_p1_' + '_'.join(str(s) for s in self._max_p1))
+    return f'SEEPS_{suffix}'
+
+  def compute(self, predictions, targets):
+    out = {}
+    for variable, dry_mm, min_p1, max_p1 in zip(
+        self._variables, self._dry_threshold_mm, self._min_p1, self._max_p1):
+      out[variable] = self._compute_seeps_per_variable(
+          predictions[variable], targets[variable], variable, dry_mm,
+          min_p1, max_p1)
+    return out
+
+  def _convert_precip_to_seeps_cat(
+      self, da: DimArray, wet_threshold: DimArray, dry_threshold_mm: float
+  ) -> DimArray:
+    """Stacks dry/light/heavy indicators along a category dim."""
+    dry_threshold = dry_threshold_mm / 1000.0  # SI units [meters]
+    dry = da <= dry_threshold
+    light = (da > dry_threshold) & (da < wet_threshold)
+    heavy = da >= wet_threshold
+    cats = darray.concat([dry, light, heavy], 'seeps_cat')
+    cats = cats.assign_coords(seeps_cat=Coord(
+        ('seeps_cat',), np.array(['dry', 'light', 'heavy'])))
+    # NaNs propagate as float.
+    return cats.where(~da.isnull())
+
+  def _compute_seeps_per_variable(
+      self, predictions: DimArray, targets: DimArray, variable: str,
+      dry_threshold_mm: float, min_p1: float, max_p1: float) -> DimArray:
+    wet_threshold = self._climatology[f'{variable}_seeps_threshold']
+    wet_threshold_for_valid_time = base.aligned_climatology_for(
+        wet_threshold, predictions)
+
+    predictions_cat = self._convert_precip_to_seeps_cat(
+        predictions, wet_threshold_for_valid_time, dry_threshold_mm)
+    targets_cat = self._convert_precip_to_seeps_cat(
+        targets, wet_threshold_for_valid_time, dry_threshold_mm)
+
+    # Contingency outer product over (forecast_cat, truth_cat).
+    contingency = (predictions_cat.rename({'seeps_cat': 'forecast_cat'})
+                   * targets_cat.rename({'seeps_cat': 'truth_cat'}))
+
+    dry_fraction = self._climatology[f'{variable}_seeps_dry_fraction']
+    p1 = dry_fraction.mean(tuple(
+        d for d in ('hour', 'dayofyear', 'time') if d in dry_fraction.dims))
+
+    # Scoring matrix (reference categorical.py:268-283), rows=forecast_cat,
+    # cols=truth_cat, scaled by 0.5.
+    zeros = darray.zeros_like(p1)
+    rows = [
+        [zeros, 1 / (1 - p1), 4 / (1 - p1)],
+        [1 / p1, zeros, 3 / (1 - p1)],
+        [1 / p1 + 3 / (2 + p1), 3 / (2 + p1), zeros],
+    ]
+    scoring = darray.concat(
+        [darray.concat(r, 'truth_cat') for r in rows], 'forecast_cat') * 0.5
+
+    result = darray.dot(contingency, scoring,
+                        dim=('forecast_cat', 'truth_cat'))
+
+    # Mask out p1 outside [min_p1, max_p1].
+    mask = (p1 >= min_p1) & (p1 <= max_p1)
+    result = result.where(mask, np.nan)
+
+    if predictions.has_coord('mask'):
+      if targets.has_coord('mask'):
+        raise ValueError(
+            'Both predictions and targets have masks. This should not happen.')
+      mask = mask & DimArray(predictions.coords['mask'].values,
+                             predictions.coords['mask'].dims)
+    elif targets.has_coord('mask'):
+      mask = mask & DimArray(targets.coords['mask'].values,
+                             targets.coords['mask'].dims)
+    mask = mask.broadcast_like(result)
+    return result.assign_coords(mask=Coord(mask.dims, mask.data))
+
+
+class RankedProbabilityScore(base.PerVariableStatistic):
+  """RPS over inputs that already represent CDFs along ``bin_dim``.
+
+  Reference ``categorical.py:307-341``.
+  """
+
+  def __init__(self, bin_dim: str):
+    self._bin_dim = bin_dim
+
+  @property
+  def unique_name(self) -> str:
+    return 'RankedProbabilityScore'
+
+  def _compute_per_variable(self, predictions, targets):
+    return ((predictions - targets) ** 2).sum(self._bin_dim)
+
+
+### Metrics over the confusion matrix
+
+
+class _ConfusionMetric(base.PerVariableMetric):
+  _STATS: tuple = ()
+
+  @property
+  def statistics(self) -> Mapping[str, base.Statistic]:
+    classes = {'TruePositives': TruePositives,
+               'TrueNegatives': TrueNegatives,
+               'FalsePositives': FalsePositives,
+               'FalseNegatives': FalseNegatives}
+    return {name: classes[name]() for name in self._STATS}
+
+
+class CSI(_ConfusionMetric):
+  """Critical Success Index (Threat Score): TP / (TP + FP + FN)."""
+
+  _STATS = ('TruePositives', 'FalsePositives', 'FalseNegatives')
+
+  def _values_from_mean_statistics_per_variable(self, s):
+    return s['TruePositives'] / (
+        s['TruePositives'] + s['FalsePositives'] + s['FalseNegatives'])
+
+
+class Accuracy(_ConfusionMetric):
+  """(TP + TN) / total."""
+
+  _STATS = ('TruePositives', 'FalsePositives', 'FalseNegatives',
+            'TrueNegatives')
+
+  def _values_from_mean_statistics_per_variable(self, s):
+    return (s['TruePositives'] + s['TrueNegatives']) / (
+        s['TruePositives'] + s['FalsePositives'] + s['FalseNegatives']
+        + s['TrueNegatives'])
+
+
+class Recall(_ConfusionMetric):
+  """TP / (TP + FN)."""
+
+  _STATS = ('TruePositives', 'FalseNegatives')
+
+  def _values_from_mean_statistics_per_variable(self, s):
+    return s['TruePositives'] / (s['TruePositives'] + s['FalseNegatives'])
+
+
+class FalseAlarmRate(_ConfusionMetric):
+  """FP / (TP + FP)."""
+
+  _STATS = ('TruePositives', 'FalsePositives')
+
+  def _values_from_mean_statistics_per_variable(self, s):
+    return s['FalsePositives'] / (s['TruePositives'] + s['FalsePositives'])
+
+
+class Precision(_ConfusionMetric):
+  """TP / (TP + FP)."""
+
+  _STATS = ('TruePositives', 'FalsePositives')
+
+  def _values_from_mean_statistics_per_variable(self, s):
+    return s['TruePositives'] / (s['TruePositives'] + s['FalsePositives'])
+
+
+class F1Score(_ConfusionMetric):
+  """2TP / (2TP + FP + FN)."""
+
+  _STATS = ('TruePositives', 'FalsePositives', 'FalseNegatives')
+
+  def _values_from_mean_statistics_per_variable(self, s):
+    return 2 * s['TruePositives'] / (
+        2 * s['TruePositives'] + s['FalsePositives'] + s['FalseNegatives'])
+
+
+class FrequencyBias(_ConfusionMetric):
+  """(TP + FP) / (TP + FN)."""
+
+  _STATS = ('TruePositives', 'FalsePositives', 'FalseNegatives')
+
+  def _values_from_mean_statistics_per_variable(self, s):
+    return (s['TruePositives'] + s['FalsePositives']) / (
+        s['TruePositives'] + s['FalseNegatives'])
+
+
+class HSS(_ConfusionMetric):
+  """Heidke Skill Score."""
+
+  _STATS = ('TruePositives', 'FalsePositives', 'FalseNegatives',
+            'TrueNegatives')
+
+  def _values_from_mean_statistics_per_variable(self, s):
+    tp, tn = s['TruePositives'], s['TrueNegatives']
+    fp, fn = s['FalsePositives'], s['FalseNegatives']
+    return 2 * (tp * tn - fp * fn) / (
+        (tp + fn) * (fn + tn) + (tp + fp) * (fp + tn))
+
+
+class ETS(_ConfusionMetric):
+  """Equitable Threat Score (Gilbert Skill Score)."""
+
+  _STATS = ('TruePositives', 'FalsePositives', 'FalseNegatives',
+            'TrueNegatives')
+
+  def _values_from_mean_statistics_per_variable(self, s):
+    tp, tn = s['TruePositives'], s['TrueNegatives']
+    fp, fn = s['FalsePositives'], s['FalseNegatives']
+    tp_random = ((tp + fp) * (tp + fn)) / (tp + fp + fn + tn)
+    return (tp - tp_random) / (tp + fp + fn - tp_random)
+
+
+class SEDI(_ConfusionMetric):
+  """Symmetric extremal dependency index (Ferro & Stephenson 2011).
+
+  Rates clipped to [1e-6, 1-1e-6] (reference ``categorical.py:590-635``).
+  """
+
+  _STATS = ('TruePositives', 'FalsePositives', 'FalseNegatives',
+            'TrueNegatives')
+
+  def _values_from_mean_statistics_per_variable(self, s):
+    tp, tn = s['TruePositives'], s['TrueNegatives']
+    fp, fn = s['FalsePositives'], s['FalseNegatives']
+    h = (tp / (tp + fn)).clip(1e-6, 1 - 1e-6)
+    f = (fp / (fp + tn)).clip(1e-6, 1 - 1e-6)
+    log_h, log_f = darray.log(h), darray.log(f)
+    log_1mh, log_1mf = darray.log(1 - h), darray.log(1 - f)
+    return (log_f - log_h + log_1mh - log_1mf) / (
+        log_h + log_f + log_1mh + log_1mf)
+
+
+class Reliability(base.PerVariableMetric):
+  """Calibration curve over binned predicted probabilities.
+
+  Reference ``categorical.py:638-698``.
+  """
+
+  def __init__(
+      self,
+      bin_values: Sequence[float] = (
+          -np.inf, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0),
+      bin_dim: str = 'reliability_bin',
+      statistic_suffix: str | None = None,
+  ):
+    self._bin_values = bin_values
+    self._bin_dim = bin_dim
+    self._unique_name_suffix = statistic_suffix
+
+  @property
+  def statistics(self) -> Mapping[str, base.Statistic]:
+    binned = wrappers.ContinuousToBins(
+        which='predictions', bin_values=self._bin_values,
+        bin_dim=self._bin_dim, unique_name_suffix=self._unique_name_suffix)
+    return {
+        'TruePositives': wrappers.WrappedStatistic(TruePositives(), binned),
+        'FalsePositives': wrappers.WrappedStatistic(FalsePositives(), binned),
+    }
+
+  def _values_from_mean_statistics_per_variable(self, s):
+    return s['TruePositives'] / (s['TruePositives'] + s['FalsePositives'])
+
+
+### Decision-support statistics (Confident/Covered/JaccardDistant/Opportunism)
+
+
+class Confident(base.PerVariableStatisticWithClimatology):
+  """prediction spread < threshold × climatological spread.
+
+  Climatology variables hold quantiles along a 'quantile' dim
+  (reference ``categorical.py:701-747``).
+  """
+
+  def __init__(self, ensemble_dim: str,
+               climatology: Mapping[Hashable, DimArray],
+               spread_quantile_boundaries: tuple = (0.1, 0.9),
+               confidence_threshold: float = 0.7):
+    super().__init__(climatology)
+    self._ensemble_dim = ensemble_dim
+    self._spread_low, self._spread_high = spread_quantile_boundaries
+    self._confidence_threshold = confidence_threshold
+
+  @property
+  def unique_name(self) -> str:
+    return ('Confident'
+            + f'_conf_thres={self._confidence_threshold}'
+            + f'_spread_low={self._spread_low}'
+            + f'_spread_high={self._spread_high}')
+
+  def _compute_per_variable_with_aligned_climatology(
+      self, predictions, targets, aligned_climatology):
+    del targets
+    spread = (predictions.quantile(self._spread_high, self._ensemble_dim)
+              - predictions.quantile(self._spread_low, self._ensemble_dim)
+              ).isel(quantile=0)
+    clim_spread = (aligned_climatology.sel(quantile=self._spread_high)
+                   - aligned_climatology.sel(quantile=self._spread_low))
+    return spread < self._confidence_threshold * clim_spread
+
+
+class Covered(base.PerVariableStatistic):
+  """Target inside the [low, high] ensemble quantile interval."""
+
+  def __init__(self, ensemble_dim: str,
+               interval_quantile_boundaries: tuple = (0.1, 0.9)):
+    self._ensemble_dim = ensemble_dim
+    self._interval_low, self._interval_high = interval_quantile_boundaries
+
+  @property
+  def unique_name(self) -> str:
+    return ('Covered'
+            + f'_interval_low={self._interval_low}'
+            + f'_interval_high={self._interval_high}')
+
+  def _compute_per_variable(self, predictions, targets):
+    lo = predictions.quantile(self._interval_low, self._ensemble_dim
+                              ).isel(quantile=0)
+    hi = predictions.quantile(self._interval_high, self._ensemble_dim
+                              ).isel(quantile=0)
+    return (lo <= targets) & (targets <= hi)
+
+
+class JaccardDistant(base.PerVariableStatisticWithClimatology):
+  """Jaccard distance of prediction vs climatology interval > threshold.
+
+  Reference ``categorical.py:788-863``.
+  """
+
+  def __init__(self, ensemble_dim: str,
+               climatology: Mapping[Hashable, DimArray],
+               threshold: float = 0.75,
+               interval_quantile_boundaries: tuple = (0.1, 0.9)):
+    super().__init__(climatology)
+    self._ensemble_dim = ensemble_dim
+    self._threshold = threshold
+    self._interval_low, self._interval_high = interval_quantile_boundaries
+
+  @property
+  def unique_name(self) -> str:
+    return ('JaccardDistant'
+            + f'_threshold={self._threshold}'
+            + f'_interval_low={self._interval_low}'
+            + f'_interval_high={self._interval_high}')
+
+  def _compute_per_variable_with_aligned_climatology(
+      self, predictions, targets, aligned_climatology):
+    del targets
+    pred_lo = predictions.quantile(self._interval_low, self._ensemble_dim
+                                   ).isel(quantile=0)
+    pred_hi = predictions.quantile(self._interval_high, self._ensemble_dim
+                                   ).isel(quantile=0)
+    clim_lo = aligned_climatology.sel(quantile=self._interval_low)
+    clim_hi = aligned_climatology.sel(quantile=self._interval_high)
+    max_of_lows = darray.maximum(pred_lo, clim_lo)
+    min_of_highs = darray.minimum(pred_hi, clim_hi)
+    intersection = darray.maximum(min_of_highs - max_of_lows, 0.0)
+    union = (pred_hi - pred_lo) + (clim_hi - clim_lo) - intersection
+    jaccard_index = darray.where(union > 0, intersection / union, 1.0)
+    return (1 - jaccard_index) > self._threshold
+
+
+class Opportunism(base.PerVariableMetric):
+  """Fraction of forecasts (un)confident × (un)covered × (un)distant.
+
+  Reference ``categorical.py:866-971``.
+  """
+
+  def __init__(self, ensemble_dim: str,
+               climatology: Mapping[Hashable, DimArray],
+               is_confident: bool,
+               is_covered: bool | None = None,
+               is_jaccard_distant: bool | None = None,
+               confidence_quantile_boundaries: tuple = (0.1, 0.9),
+               coverage_quantile_boundaries: tuple = (0.1, 0.9),
+               jaccard_distance_quantile_boundaries: tuple = (0.1, 0.9),
+               confidence_threshold: float = 0.7,
+               jaccard_distance_threshold: float = 0.75):
+    self._is_confident = is_confident
+    self._is_covered = is_covered
+    self._is_jaccard_distant = is_jaccard_distant
+    self._ensemble_dim = ensemble_dim
+    self._climatology = climatology
+    self._confidence_quantile_boundaries = confidence_quantile_boundaries
+    self._coverage_quantile_boundaries = coverage_quantile_boundaries
+    self._jaccard_distance_quantile_boundaries = (
+        jaccard_distance_quantile_boundaries)
+    self._confidence_threshold = confidence_threshold
+    self._jaccard_distance_threshold = jaccard_distance_threshold
+
+  @final
+  @property
+  def statistics(self) -> Mapping[str, base.Statistic]:
+    statistics: dict[str, base.Statistic] = {
+        'Confident': Confident(
+            ensemble_dim=self._ensemble_dim,
+            climatology=self._climatology,
+            spread_quantile_boundaries=self._confidence_quantile_boundaries,
+            confidence_threshold=self._confidence_threshold),
+    }
+    if self._is_covered is not None:
+      statistics['Covered'] = Covered(
+          ensemble_dim=self._ensemble_dim,
+          interval_quantile_boundaries=self._coverage_quantile_boundaries)
+    if self._is_jaccard_distant is not None:
+      statistics['JaccardDistant'] = JaccardDistant(
+          ensemble_dim=self._ensemble_dim,
+          climatology=self._climatology,
+          threshold=self._jaccard_distance_threshold,
+          interval_quantile_boundaries=(
+              self._jaccard_distance_quantile_boundaries))
+    return statistics
+
+  def _values_from_mean_statistics_per_variable(self, s):
+    confident = s['Confident']
+    values = confident if self._is_confident else 1 - confident
+    if self._is_covered is not None:
+      covered = s['Covered']
+      values = values * (covered if self._is_covered else 1 - covered)
+    if self._is_jaccard_distant is not None:
+      jd = s['JaccardDistant']
+      values = values * (jd if self._is_jaccard_distant else 1 - jd)
+    return values

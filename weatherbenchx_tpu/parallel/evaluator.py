@@ -40,18 +40,20 @@ _TIMEDELTA_COORDS = ('lead_time',)
 
 def prepare_chunk(
     data: Mapping[Hashable, DimArray],
-    climatology_stats: Sequence[metrics_base.PerVariableStatisticWithClimatology] = (),
+    stats: Sequence[metrics_base.Statistic] = (),
     is_predictions: bool = False,
+    targets: Mapping[Hashable, DimArray] | None = None,
 ) -> dict[Hashable, DimArray]:
   """Makes a chunk retrace-free: time coords → int64-seconds device leaves.
 
-  Climatology-bearing statistics additionally get precomputed gather-index
-  coords (while host datetime coords are still available).
+  Statistics first get their host-side ``prepare_chunk`` hook (e.g.
+  climatology gather-index coords), while host datetime coords are still
+  available.
   """
   out = dict(data)
   if is_predictions:
-    for stat in climatology_stats:
-      out = metrics_base.attach_climatology_indices(out, stat.climatology)
+    for stat in stats:
+      out, _ = stat.prepare_chunk(out, targets or {})
 
   def convert(da: DimArray) -> DimArray:
     new_coords = {}
@@ -85,13 +87,12 @@ def restore_time_coords(da: DimArray) -> DimArray:
   return DimArray(np.asarray(da.data), da.dims, new_coords)
 
 
-def _climatology_stats(metrics) -> list:
-  out = []
+def _unique_stats(metrics) -> list:
+  out: dict[str, metrics_base.Statistic] = {}
   for m in metrics.values():
     for stat in m.statistics.values():
-      if isinstance(stat, metrics_base.PerVariableStatisticWithClimatology):
-        out.append(stat)
-  return out
+      out[stat.unique_name] = stat
+  return list(out.values())
 
 
 @dataclasses.dataclass
@@ -113,7 +114,7 @@ class ChunkEvaluator:
   dim_to_axis: Optional[Mapping[str, str]] = None
 
   def __post_init__(self):
-    self._clim_stats = _climatology_stats(self.metrics)
+    self._clim_stats = _unique_stats(self.metrics)
     self._jitted = jax.jit(self._eval_fn)
 
   def _eval_fn(self, predictions, targets) -> aggregation_lib.AggregationState:
@@ -160,7 +161,7 @@ class ChunkEvaluator:
   ) -> aggregation_lib.AggregationState:
     """Prepares, shards, and evaluates one chunk on the mesh."""
     predictions = prepare_chunk(predictions, self._clim_stats,
-                                is_predictions=True)
+                                is_predictions=True, targets=targets)
     targets = prepare_chunk(targets)
     if self.mesh is not None:
       predictions = self._shard(predictions)
