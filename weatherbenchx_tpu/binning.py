@@ -27,6 +27,16 @@ class Binning(abc.ABC):
   def __init__(self, bin_dim_name: str):
     self.bin_dim_name = bin_dim_name
 
+  @property
+  def host_coords(self) -> tuple:
+    """Coord names whose HOST values this binning needs at trace time.
+
+    The pipeline keeps these coords on the host (static) instead of
+    converting them to device leaves; changing values retrace the step,
+    which is bounded by the number of distinct chunk layouts.
+    """
+    return ()
+
   @abc.abstractmethod
   def create_bin_mask(self, statistic: DimArray) -> DimArray:
     """Boolean mask broadcastable against the statistic, with the bin dim."""
@@ -216,6 +226,10 @@ class ByExactCoord(Binning):
     self.coord = coord
     self.add_global_bin = add_global_bin
 
+  @property
+  def host_coords(self) -> tuple:
+    return (self.coord,)
+
   def create_bin_mask(self, statistic: DimArray) -> DimArray:
     assert self.coord not in statistic.dims, (
         'For dimensions, specify reduce_dims in aggregation.')
@@ -256,6 +270,10 @@ class ByTimeUnit(Binning):
     self.time_dim = time_dim
     self.add_global_bin = add_global_bin
 
+  @property
+  def host_coords(self) -> tuple:
+    return (self.time_dim,)
+
   def create_bin_mask(self, statistic: DimArray) -> DimArray:
     c = statistic.coords[self.time_dim]
     unit_values = _extract_time_unit(np.asarray(c.values), self.unit)
@@ -280,6 +298,10 @@ class ByTimeUnitSets(Binning):
     self.unit = unit
     self.dim = dim
     self.add_global_bin = add_global_bin
+
+  @property
+  def host_coords(self) -> tuple:
+    return (self.dim,)
 
   def create_bin_mask(self, statistic: DimArray) -> DimArray:
     c = statistic.coords[self.dim]
@@ -364,6 +386,10 @@ class ByCoordBins(Binning):
     self.bin_edges = np.asarray(bin_edges)
     self.add_global_bin = add_global_bin
 
+  @property
+  def host_coords(self) -> tuple:
+    return (self.dim_name,)
+
   def create_bin_mask(self, statistic: DimArray) -> DimArray:
     c = statistic.coords[self.dim_name]
     values = np.asarray(c.values)
@@ -411,6 +437,10 @@ class BySets(Binning):
     self.coord_name = coord_name
     self.add_set_complements = add_set_complements
     self.add_global_bin = add_global_bin
+
+  @property
+  def host_coords(self) -> tuple:
+    return (self.coord_name,)
 
   def create_bin_mask(self, statistic: DimArray) -> DimArray:
     c = statistic.coords[self.coord_name]

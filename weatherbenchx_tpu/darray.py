@@ -526,7 +526,17 @@ class DimArray:
     isel_idx = {}
     for dim, labels in indexers.items():
       coord = np.asarray(self.coords[dim].values)
-      isel_idx[dim] = _label_indices(coord, labels, method)
+      if isinstance(labels, slice):
+        # Label-slice: inclusive on both ends (pandas/xarray convention),
+        # assuming an ascending coordinate.
+        mask = np.ones(coord.shape, bool)
+        if labels.start is not None:
+          mask &= coord >= labels.start
+        if labels.stop is not None:
+          mask &= coord <= labels.stop
+        isel_idx[dim] = np.nonzero(mask)[0]
+      else:
+        isel_idx[dim] = _label_indices(coord, labels, method)
     return self.isel(isel_idx)
 
   def take(self, dim: str, indices: np.ndarray,

@@ -38,6 +38,71 @@ def add_nan_mask_to_data(
   return out
 
 
+def pad_dim_to_multiple(
+    data: Mapping[Hashable, DimArray],
+    dim: str,
+    multiple: int,
+) -> dict[Hashable, DimArray]:
+  """Pads a ragged dim up to a bucket size, masking padded entries.
+
+  Sparse chunks have a variable-length ``index`` dim, which would retrace
+  the jitted pipeline step every chunk. Padding to the next multiple bounds
+  the number of distinct compile shapes to a handful of buckets. Padded
+  positions get NaN data and mask=False (use masked=True aggregation);
+  numeric coords are padded with their first value (weights/bins see valid
+  values; the mask excludes them), string coords with ''.
+  """
+  out = {}
+  for var, da in data.items():
+    if dim not in da.dims:
+      out[var] = da
+      continue
+    n = da.sizes[dim]
+    target = max(-(-n // multiple) * multiple, multiple)
+    pad = target - n
+    ax = da.dims.index(dim)
+    if pad == 0 and da.has_coord('mask'):
+      out[var] = da
+      continue
+    widths = [(0, pad if d == dim else 0) for d in da.dims]
+    new_data = np.pad(np.asarray(da.values).astype(
+        da.dtype if np.issubdtype(da.dtype, np.floating) else np.float32),
+        widths, constant_values=np.nan)
+    coords = {}
+    for name, c in da.coords.items():
+      v = np.asarray(c.values)
+      if dim in c.dims:
+        cax = c.dims.index(dim)
+        cw = [(0, pad if d == dim else 0) for d in c.dims]
+        if v.dtype.kind in 'US':
+          v = np.pad(v, cw, constant_values='')
+        elif v.size:
+          first = v.take([0], axis=cax)
+          fill = np.broadcast_to(
+              first, v.shape[:cax] + (pad,) + v.shape[cax + 1:])
+          v = np.concatenate([v, fill], axis=cax)
+        else:
+          v = np.zeros(v.shape[:cax] + (target,) + v.shape[cax + 1:],
+                       dtype=v.dtype)
+        coords[name] = Coord(c.dims, v)
+      else:
+        coords[name] = c
+    # Extend (or create) the validity mask.
+    if 'mask' in da.coords:
+      m = np.asarray(da.coords['mask'].values)
+      mw = [(0, pad if d == dim else 0) for d in da.coords['mask'].dims]
+      mask = np.pad(m, mw, constant_values=False)
+      coords['mask'] = Coord(da.coords['mask'].dims, mask)
+    else:
+      mask = np.ones(new_data.shape, bool)
+      sl = [slice(None)] * new_data.ndim
+      sl[ax] = slice(n, None)
+      mask[tuple(sl)] = False
+      coords['mask'] = Coord(da.dims, mask)
+    out[var] = DimArray(new_data, da.dims, coords)
+  return out
+
+
 class DataLoader(abc.ABC):
   """Base class for data loaders.
 

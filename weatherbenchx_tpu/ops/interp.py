@@ -1,0 +1,169 @@
+"""Gather-based rectilinear interpolation kernels.
+
+TPU-native replacement for the reference's ``xr.DataArray.interp`` (scipy
+interpn under the hood, ``interpolations.py:89-113``): fractional indices
+are computed host-side from monotonic source coords, the (multi)linear
+combination is a handful of device gathers + lerps that XLA fuses.
+
+Two indexing modes, matching xarray semantics:
+* outer: each target axis is an independent 1-D coordinate array → the
+  result has one axis per interpolated dim (regridding).
+* pointwise: all target arrays share the same dims (e.g. ('index',)) → the
+  interpolated dims collapse into those dims (grid → sparse stations).
+"""
+
+from typing import Mapping, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def fractional_indices(
+    source: np.ndarray,
+    targets: np.ndarray,
+    extrapolate: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+  """(lower index, fraction) of targets within a monotonic 1-D source grid.
+
+  With extrapolate=True the fraction is unclamped (linear extrapolation,
+  matching scipy fill_value='extrapolate'); otherwise out-of-bounds
+  fractions are marked NaN.
+  """
+  source = np.asarray(source)
+  targets = np.asarray(targets)
+  descending = source.size > 1 and source[0] > source[-1]
+  s = source[::-1] if descending else source
+  if s.size == 0:
+    raise ValueError('Cannot interpolate along an empty dim.')
+  if s.size == 1:
+    # Degenerate single-point grid (e.g. chunked init/lead dims of size 1
+    # interpolated pointwise with method='nearest'): everything maps to it.
+    idx = np.zeros(targets.shape, dtype=np.int32)
+    frac = np.zeros(targets.shape, dtype=np.float64)
+    if not extrapolate:
+      frac = np.where(targets == s[0], frac, np.nan)
+    return idx, frac
+  idx = np.searchsorted(s, targets, side='right') - 1
+  idx = np.clip(idx, 0, s.size - 2)
+  frac = (targets - s[idx]) / (s[idx + 1] - s[idx])
+  if not extrapolate:
+    oob = (targets < s[0]) | (targets > s[-1])
+    frac = np.where(oob, np.nan, frac)
+  if descending:
+    idx = source.size - 2 - idx
+    frac = 1.0 - frac
+  return idx.astype(np.int32), frac.astype(np.float64)
+
+
+def interp_1d_along_axis(
+    data: jnp.ndarray,
+    axis: int,
+    idx: np.ndarray,
+    frac: np.ndarray,
+    method: str,
+    frac_bcast_shape: tuple = None,
+) -> jnp.ndarray:
+  """Linear/nearest interp along one axis at (idx, frac) positions."""
+  n = data.shape[axis]
+  if method == 'nearest':
+    take = np.minimum(np.where(frac > 0.5, idx + 1, idx), n - 1)
+    nan_mask = np.isnan(frac)
+    out = jnp.take(data, jnp.asarray(take), axis=axis)
+    if nan_mask.any():
+      shape = [1] * out.ndim
+      shape[axis] = nan_mask.size
+      out = jnp.where(jnp.asarray(nan_mask).reshape(shape), jnp.nan, out)
+    return out
+  if method != 'linear':
+    raise ValueError(f'Unsupported interpolation method: {method}')
+  lo = jnp.take(data, jnp.asarray(idx), axis=axis)
+  hi = jnp.take(data, jnp.asarray(np.minimum(idx + 1, n - 1)), axis=axis)
+  shape = [1] * lo.ndim
+  shape[axis] = frac.size
+  f = jnp.asarray(frac, lo.dtype if jnp.issubdtype(
+      jnp.asarray(lo).dtype, jnp.floating) else jnp.float32).reshape(shape)
+  return lo * (1 - f) + hi * f
+
+
+def interp_outer(
+    data: jnp.ndarray,
+    dims: Sequence[str],
+    dim_targets: Mapping[str, np.ndarray],
+    source_coords: Mapping[str, np.ndarray],
+    method: str,
+    extrapolate: bool,
+) -> jnp.ndarray:
+  """Separable interpolation: each dim to its own 1-D target coords."""
+  out = jnp.asarray(data)
+  for d, targets in dim_targets.items():
+    ax = list(dims).index(d)
+    idx, frac = fractional_indices(
+        np.asarray(source_coords[d]), np.asarray(targets), extrapolate)
+    out = interp_1d_along_axis(out, ax, idx, frac, method)
+  return out
+
+
+def interp_pointwise(
+    data: jnp.ndarray,
+    dims: Sequence[str],
+    dim_targets: Mapping[str, np.ndarray],
+    source_coords: Mapping[str, np.ndarray],
+    method: str,
+    extrapolate: bool,
+) -> jnp.ndarray:
+  """Joint pointwise interpolation: all targets share one flat point axis.
+
+  The interpolated dims are moved last and replaced by a single point axis
+  of the targets' common shape; the multilinear combination sums the 2^k
+  corner gathers (k = number of interpolated dims, typically 2).
+  """
+  interp_dims = list(dim_targets.keys())
+  k = len(interp_dims)
+  other_dims = [d for d in dims if d not in interp_dims]
+  order = [list(dims).index(d) for d in other_dims + interp_dims]
+  arr = jnp.transpose(jnp.asarray(data), order)
+  grid_shape = arr.shape[-k:]
+  arr_flat = arr.reshape(arr.shape[:-k] + (-1,))
+
+  idx_list, frac_list = [], []
+  point_shape = None
+  for d in interp_dims:
+    t = np.asarray(dim_targets[d]).reshape(-1)
+    point_shape = np.asarray(dim_targets[d]).shape
+    idx, frac = fractional_indices(
+        np.asarray(source_coords[d]), t, extrapolate)
+    idx_list.append(idx)
+    frac_list.append(frac)
+
+  strides = np.cumprod([1] + list(grid_shape[::-1][:-1]))[::-1]
+
+  if method == 'nearest':
+    flat_idx = np.zeros_like(idx_list[0], dtype=np.int64)
+    nan_mask = np.zeros_like(frac_list[0], dtype=bool)
+    for idx, frac, stride, size in zip(idx_list, frac_list, strides,
+                                       grid_shape):
+      nearest = np.minimum(
+          np.where(np.nan_to_num(frac) > 0.5, idx + 1, idx), size - 1)
+      flat_idx += nearest * int(stride)
+      nan_mask |= np.isnan(frac)
+    out = jnp.take(arr_flat, jnp.asarray(flat_idx), axis=-1)
+    if nan_mask.any():
+      out = jnp.where(jnp.asarray(nan_mask), jnp.nan, out)
+  else:
+    out = 0.0
+    for corner in range(2 ** k):
+      flat_idx = np.zeros_like(idx_list[0], dtype=np.int64)
+      weight = np.ones_like(frac_list[0])
+      for j, (idx, frac, stride) in enumerate(
+          zip(idx_list, frac_list, strides)):
+        bit = (corner >> j) & 1
+        # Clamp the upper corner on degenerate (size-1) axes; its weight
+        # is zero there, but jnp.take's out-of-bounds mode fills NaN.
+        flat_idx += np.minimum(idx + bit, grid_shape[j] - 1) * int(stride)
+        weight = weight * (frac if bit else (1.0 - frac))
+      gathered = jnp.take(arr_flat, jnp.asarray(flat_idx), axis=-1)
+      wdtype = gathered.dtype if jnp.issubdtype(
+          gathered.dtype, jnp.floating) else jnp.float32
+      out = out + gathered * jnp.asarray(weight, wdtype)
+
+  return out.reshape(arr.shape[:-k] + tuple(point_shape))

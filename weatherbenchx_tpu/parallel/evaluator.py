@@ -43,23 +43,29 @@ def prepare_chunk(
     stats: Sequence[metrics_base.Statistic] = (),
     is_predictions: bool = False,
     targets: Mapping[Hashable, DimArray] | None = None,
+    keep_host_coords: Sequence[str] = (),
 ) -> dict[Hashable, DimArray]:
   """Makes a chunk retrace-free: time coords → int64-seconds device leaves.
 
   Statistics first get their host-side ``prepare_chunk`` hook (e.g.
   climatology gather-index coords), while host datetime coords are still
-  available.
+  available. Coords named in ``keep_host_coords`` stay host-side (static)
+  because binnings need their values at trace time.
   """
   out = dict(data)
   if is_predictions:
     for stat in stats:
       out, _ = stat.prepare_chunk(out, targets or {})
 
+  keep = set(keep_host_coords)
+
   def convert(da: DimArray) -> DimArray:
     new_coords = {}
     for name, c in da.coords.items():
       v = c.values
-      if isinstance(v, np.ndarray) and v.dtype.kind in 'Mm':
+      if name in keep:
+        new_coords[name] = c
+      elif isinstance(v, np.ndarray) and v.dtype.kind in 'Mm':
         if v.dtype.kind == 'M':
           secs = v.astype('datetime64[s]').astype(np.int64)
         else:
@@ -115,6 +121,9 @@ class ChunkEvaluator:
 
   def __post_init__(self):
     self._clim_stats = _unique_stats(self.metrics)
+    self._host_coords = tuple(sorted({
+        name for b in (self.aggregator.bin_by or [])
+        for name in b.host_coords}))
     self._jitted = jax.jit(self._eval_fn)
 
   def _eval_fn(self, predictions, targets) -> aggregation_lib.AggregationState:
@@ -161,8 +170,9 @@ class ChunkEvaluator:
   ) -> aggregation_lib.AggregationState:
     """Prepares, shards, and evaluates one chunk on the mesh."""
     predictions = prepare_chunk(predictions, self._clim_stats,
-                                is_predictions=True, targets=targets)
-    targets = prepare_chunk(targets)
+                                is_predictions=True, targets=targets,
+                                keep_host_coords=self._host_coords)
+    targets = prepare_chunk(targets, keep_host_coords=self._host_coords)
     if self.mesh is not None:
       predictions = self._shard(predictions)
       targets = self._shard(targets)

@@ -88,10 +88,15 @@ class EvaluationPipeline:
   def _load(self, chunk: time_chunks_lib.TimeChunk):
     init_times, lead_times = chunk
     t0 = time.monotonic()
-    targets = self.targets_loader.load_chunk(init_times, lead_times)
-    t1 = time.monotonic()
-    predictions = self.predictions_loader.load_chunk(
-        init_times, lead_times, reference=targets)
+    # Loader-side eager ops (selection, interpolation gathers) run on the
+    # local CPU backend: dispatching them to the accelerator costs a
+    # round-trip per op and wastes device time. The jitted eval step
+    # transfers the prepared chunk to the mesh in one hop.
+    with jax.default_device(jax.local_devices(backend='cpu')[0]):
+      targets = self.targets_loader.load_chunk(init_times, lead_times)
+      t1 = time.monotonic()
+      predictions = self.predictions_loader.load_chunk(
+          init_times, lead_times, reference=targets)
     logger.info('loaded chunk: targets %.0fms predictions %.0fms',
                 (t1 - t0) * 1e3, (time.monotonic() - t1) * 1e3)
     return predictions, targets
