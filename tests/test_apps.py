@@ -1,0 +1,200 @@
+"""CLI apps + unaggregated pipeline tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from weatherbenchx_tpu import aggregation, io as io_lib, test_utils
+from weatherbenchx_tpu import time_chunks as tc
+from weatherbenchx_tpu.aggregation import AggregationState
+from weatherbenchx_tpu.apps import combine_results, configs
+from weatherbenchx_tpu.apps import run_benchmark_evaluation, run_evaluation
+from weatherbenchx_tpu.darray import Coord, DimArray
+from weatherbenchx_tpu.data import loaders
+from weatherbenchx_tpu.metrics import deterministic
+from weatherbenchx_tpu.parallel import unaggregated
+
+
+def _write_source_files(tmp_path, n_valid=12, n_lead=4, grid=10.0,
+                        with_extras=False, ens=None):
+  rng = np.random.default_rng(0)
+  lats = np.linspace(-90, 90, round(180 / grid) + 1)
+  lons = np.linspace(0, 360, round(360 / grid), endpoint=False)
+  valid = (np.datetime64('2020-01-01', 'ns')
+           + np.arange(n_valid) * np.timedelta64(12, 'h'))
+  init = valid[:n_valid - n_lead]
+  lead = (np.arange(n_lead) * np.timedelta64(12, 'h')).astype(
+      'timedelta64[ns]')
+  tshape = (n_valid, len(lats), len(lons))
+  tgt = {'2m_temperature': DimArray(
+      280 + rng.standard_normal(tshape).astype(np.float32),
+      ('time', 'latitude', 'longitude'),
+      {'time': valid, 'latitude': lats, 'longitude': lons})}
+  if with_extras:
+    tgt['land_sea_mask'] = DimArray(
+        (rng.random((len(lats), len(lons))) > 0.5).astype(np.float32),
+        ('latitude', 'longitude'), {'latitude': lats, 'longitude': lons})
+  pshape = (len(init), n_lead, len(lats), len(lons))
+  pdims = ('time', 'prediction_timedelta', 'latitude', 'longitude')
+  pcoords = {'time': init, 'prediction_timedelta': lead,
+             'latitude': lats, 'longitude': lons}
+  if ens:
+    pshape = (ens,) + pshape
+    pdims = ('number',) + pdims
+    pcoords['number'] = np.arange(ens)
+  pred = {'2m_temperature': DimArray(
+      280 + rng.standard_normal(pshape).astype(np.float32), pdims, pcoords)}
+  ppath = str(tmp_path / 'pred.npz')
+  tpath = str(tmp_path / 'tgt.npz')
+  io_lib.save_dataset(ppath, pred)
+  io_lib.save_dataset(tpath, tgt)
+  # dayofyear/hour climatology with quantile fields for SEEPS-free runs.
+  clim = {'2m_temperature': DimArray(
+      280 + rng.standard_normal((366, 2, len(lats), len(lons))
+                                ).astype(np.float32),
+      ('dayofyear', 'hour', 'latitude', 'longitude'),
+      {'dayofyear': np.arange(1, 367), 'hour': np.array([0, 12]),
+       'latitude': lats, 'longitude': lons})}
+  cpath = str(tmp_path / 'clim.npz')
+  io_lib.save_dataset(cpath, clim)
+  return ppath, tpath, cpath, init, lead
+
+
+class TestRunEvaluationCLI:
+  def test_end_to_end(self, tmp_path, capsys):
+    ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
+    out = str(tmp_path / 'results.npz')
+    state_out = str(tmp_path / 'state.npz')
+    run_evaluation.main([
+        '--prediction_path', ppath, '--target_path', tpath,
+        '--time_start', '2020-01-01', '--time_stop', '2020-01-05',
+        '--time_frequency', '12', '--lead_time_stop', '48',
+        '--lead_time_frequency', '12',
+        '--variables', '2m_temperature',
+        '--output_path', out,
+        '--aggregation_state_output_path', state_out,
+    ])
+    results = io_lib.load_dataset(out)
+    assert 'rmse.2m_temperature' in results
+    assert 'mse.2m_temperature' in results
+    da = results['rmse.2m_temperature']
+    assert da.dims == ('lead_time', 'region')  # lead_time preserved
+    np.testing.assert_array_equal(
+        da.coord_values('region'), ['global', 'northern-hemisphere'])
+    assert np.isfinite(np.asarray(da.values)).all()
+    # RMSE^2 == MSE.
+    np.testing.assert_allclose(
+        np.asarray(da.values) ** 2,
+        np.asarray(results['mse.2m_temperature'].values), rtol=1e-5)
+    # State round-trips and reproduces metric values.
+    state = AggregationState.load(state_out)
+    v2 = state.metric_values({'rmse': deterministic.RMSE()})
+    np.testing.assert_allclose(
+        np.asarray(v2['rmse.2m_temperature'].values),
+        np.asarray(da.values), rtol=1e-6)
+
+  def test_missing_required_flag(self, tmp_path):
+    with pytest.raises(SystemExit):
+      run_evaluation.main(['--target_path', 'x.npz',
+                           '--output_path', 'y.npz'])
+
+
+class TestBenchmarkCLI:
+  def test_deterministic_with_overrides(self, tmp_path):
+    ppath, tpath, cpath, init, lead = _write_source_files(
+        tmp_path, with_extras=True)
+    outdir = str(tmp_path / 'results')
+    run_benchmark_evaluation.main([
+        '--prediction', 'hres', '--target', 'era5',
+        '--resolution', '64x32', '--year', '2020',
+        '--variables', '2m_temperature',
+        '--time_frequency', '12',
+        '--init_time_start', '2020-01-01',
+        '--init_time_stop', '2020-01-03',
+        '--lead_time_stop_days', '2', '--lead_time_frequency', '12',
+        '--init_time_chunk_size', '4', '--lead_time_chunk_size', '4',
+        '--output_dir', outdir,
+        '--prediction_path', ppath, '--target_path', tpath,
+        '--climatology_path', cpath,
+    ])
+    out_file = os.path.join(
+        outdir, 'hres_vs_era5_64x32_2020-init12h.npz')
+    results = io_lib.load_dataset(out_file)
+    da = results['rmse.2m_temperature']
+    # Region dim includes land-augmented bins (17 regions + 17 _land).
+    assert da.sizes['region'] == 34
+    assert 'acc.2m_temperature' in results
+    assert 'prediction_activity.2m_temperature' in results
+    global_rmse = da.sel(region='global')
+    assert np.isfinite(np.asarray(global_rmse.values)).all()
+
+  def test_regions_registry(self):
+    assert len(configs.REGIONS) == 17
+    assert configs.REGIONS['tropics'] == ((-20, 20), (0, 360))
+    assert 'hres_64x32_2020' in configs.deterministic_prediction_configs
+    assert 'ens_240x121_2020' in configs.probabilistic_prediction_configs
+    sm = configs.single_member_configs()
+    assert any(k.startswith('ens-member0') for k in sm)
+
+
+class TestCombineResults:
+  def test_combine(self, tmp_path):
+    # Two fake per-model result files.
+    regions = np.array(['global', 'tropics'])
+    for model, val in [('hres', 1.0), ('graphcast', 2.0)]:
+      ds = {
+          'rmse.2m_temperature': DimArray(
+              np.full(2, val), ('region',), {'region': regions}),
+          'bias.2m_temperature': DimArray(
+              np.full(2, val / 10), ('region',), {'region': regions}),
+      }
+      io_lib.save_dataset(
+          str(tmp_path / f'{model}_vs_era5_64x32.npz'), ds)
+    out = str(tmp_path / 'scorecard.npz')
+    combine_results.main(['--results_dir', str(tmp_path),
+                          '--output_path', out])
+    sc = io_lib.load_dataset(out)
+    da = sc['2m_temperature']
+    assert set(da.dims) == {'model', 'metric', 'region'}
+    np.testing.assert_array_equal(
+        da.coord_values('model'), ['graphcast', 'hres'])
+    np.testing.assert_array_equal(
+        sorted(da.coord_values('metric')), ['Bias', 'RMSE'])
+    hres = da.sel(model='hres', metric='RMSE')
+    np.testing.assert_allclose(np.asarray(hres.values), [1.0, 1.0])
+
+
+class TestUnaggregatedPipeline:
+  def test_stream_and_assemble(self, tmp_path):
+    ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
+    metrics = {'rmse': deterministic.RMSE()}
+    times = tc.TimeChunks(init, lead, init_time_chunk_size=4,
+                          lead_time_chunk_size=2)
+    out = unaggregated.define_unaggregated_pipeline(
+        metrics,
+        loaders.PredictionsFromDataset(path=ppath,
+                                       variables=['2m_temperature']),
+        loaders.TargetsFromDataset(path=tpath,
+                                   variables=['2m_temperature']),
+        times, out_path=str(tmp_path / 'unagg'))
+    assembled = unaggregated.load_unaggregated(out)
+    da = assembled['SquaredError.2m_temperature']
+    assert da.sizes['init_time'] == len(init)
+    assert da.sizes['lead_time'] == len(lead)
+    # Matches the direct statistic computation.
+    pl = loaders.PredictionsFromDataset(path=ppath,
+                                        variables=['2m_temperature'])
+    tl = loaders.TargetsFromDataset(path=tpath,
+                                    variables=['2m_temperature'])
+    p = pl.load_chunk(init, lead)
+    t = tl.load_chunk(init, lead)
+    direct = deterministic.SquaredError().compute(p, t)['2m_temperature']
+    np.testing.assert_allclose(
+        np.asarray(da.transpose(*direct.dims).values),
+        np.asarray(direct.values), atol=1e-5)
+    # Offsets in the manifest.
+    import json
+    with open(os.path.join(out, 'manifest.json')) as f:
+      manifest = json.load(f)
+    assert len(manifest['shards']) == len(times)

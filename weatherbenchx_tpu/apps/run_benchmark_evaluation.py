@@ -1,0 +1,198 @@
+"""WeatherBench benchmark evaluation CLI.
+
+TPU equivalent of ``public_benchmark/run_benchmark_evaluation.py:66-409``:
+config-registry lookup, deterministic vs probabilistic metric sets (SEEPS
+with climatology, ACC/activity, sort-form CRPS, spread/skill), 17
+ECMWF-style regions with land bins, area weighting, masked aggregation,
+and a --temporal mode preserving init_time.
+
+Example:
+  python -m weatherbenchx_tpu.apps.run_benchmark_evaluation \
+      --prediction=hres --target=era5 --resolution=64x32 --year=2020 \
+      --variables=geopotential,2m_temperature --output_dir=./results
+"""
+
+import argparse
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from weatherbenchx_tpu import aggregation, binning, weighting
+from weatherbenchx_tpu import io as io_lib
+from weatherbenchx_tpu import time_chunks as time_chunks_lib
+from weatherbenchx_tpu.apps import configs as configs_lib
+from weatherbenchx_tpu.darray import DimArray
+from weatherbenchx_tpu.data import loaders
+from weatherbenchx_tpu.metrics import categorical, deterministic
+from weatherbenchx_tpu.metrics import probabilistic, wrappers
+from weatherbenchx_tpu.parallel import pipeline as pipeline_lib
+
+
+def build_parser() -> argparse.ArgumentParser:
+  p = argparse.ArgumentParser(description=__doc__)
+  p.add_argument('--prediction', required=True,
+                 help='Model key in the config registry (e.g. hres, ens)')
+  p.add_argument('--target', default='era5')
+  p.add_argument('--resolution', default='64x32',
+                 choices=list(configs_lib.RESOLUTIONS))
+  p.add_argument('--year', type=int, default=2020)
+  p.add_argument('--variables', required=True,
+                 help='Comma-delimited variables')
+  p.add_argument('--levels', default=None,
+                 help='Comma-delimited pressure levels '
+                      f'(default {configs_lib.DEFAULT_LEVELS})')
+  p.add_argument('--time_frequency', type=int, default=12)
+  p.add_argument('--init_time_start', default=None,
+                 help='Override init start (default: Jan 1 of --year)')
+  p.add_argument('--init_time_stop', default=None,
+                 help='Override init stop, exclusive (default: Jan 1 of '
+                      'the following year)')
+  p.add_argument('--lead_time_stop_days', type=int, default=10)
+  p.add_argument('--lead_time_frequency', type=int, default=6)
+  p.add_argument('--init_time_chunk_size', type=int, default=1)
+  p.add_argument('--lead_time_chunk_size', type=int, default=12)
+  p.add_argument('--temporal', action='store_true',
+                 help='Do not reduce over init_time (per-init outputs)')
+  p.add_argument('--output_dir', required=True)
+  p.add_argument('--prediction_path', default=None,
+                 help='Override the registry path (e.g. a local .npz)')
+  p.add_argument('--target_path', default=None)
+  p.add_argument('--climatology_path', default=None)
+  p.add_argument('--checkpoint_every', type=int, default=0)
+  return p
+
+
+def _open_dataset(path: str) -> dict[str, DimArray]:
+  if path.rstrip('/').endswith('.npz'):
+    return io_lib.load_dataset(path)
+  import xarray as xr  # optional, for Zarr/netCDF stores
+  if path.rstrip('/').endswith('.zarr') or path.startswith('gs://'):
+    return io_lib.from_xarray_dataset(xr.open_zarr(path))
+  return io_lib.from_xarray_dataset(xr.open_dataset(path))
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+  args = build_parser().parse_args(argv)
+  variables = [v for v in args.variables.split(',') if v]
+  levels = ([int(l) for l in args.levels.split(',')]
+            if args.levels else configs_lib.DEFAULT_LEVELS)
+  precip_variables = [
+      v for v in variables if v in configs_lib.SEEPS_DRY_THRESHOLDS_MM]
+
+  # 1. Config lookup (registry or explicit path overrides).
+  pred_key = f'{args.prediction}_{args.resolution}_{args.year}'
+  is_probabilistic = pred_key in configs_lib.probabilistic_prediction_configs
+  if args.prediction_path:
+    pred_cfg = {'path': args.prediction_path, 'data_loader_kwargs': {}}
+  elif is_probabilistic:
+    pred_cfg = configs_lib.probabilistic_prediction_configs[pred_key]
+  else:
+    pred_cfg = configs_lib.deterministic_prediction_configs[pred_key]
+  tgt_cfg = ({'path': args.target_path} if args.target_path
+             else configs_lib.target_configs[
+                 f'{args.target}_{args.resolution}'])
+  clim_cfg = ({'path': args.climatology_path} if args.climatology_path
+              else configs_lib.climatology_configs[
+                  f'era5_{args.resolution}'])
+
+  # 2. Times.
+  init_times = np.arange(
+      args.init_time_start or f'{args.year}-01-01',
+      args.init_time_stop or f'{args.year + 1}-01-01',
+      np.timedelta64(args.time_frequency, 'h'), dtype='datetime64[ns]')
+  lead_times = np.arange(
+      0, 24 * args.lead_time_stop_days, args.lead_time_frequency,
+      dtype='timedelta64[h]').astype('timedelta64[ns]')
+  times = time_chunks_lib.TimeChunks(
+      init_times, lead_times,
+      init_time_chunk_size=args.init_time_chunk_size,
+      lead_time_chunk_size=args.lead_time_chunk_size)
+
+  # 3. Loaders.
+  sel_kwargs = {'level': levels} if args.levels is not None else None
+  loader_kwargs = dict(pred_cfg.get('data_loader_kwargs', {}))
+  if sel_kwargs:
+    loader_kwargs.setdefault('sel_kwargs', sel_kwargs)
+  prediction_loader = loaders.PredictionsFromDataset(
+      path=pred_cfg['path'], variables=variables, **loader_kwargs)
+  target_loader = loaders.TargetsFromDataset(
+      path=tgt_cfg['path'], variables=variables,
+      sel_kwargs=sel_kwargs)
+
+  # 4. Metrics. SEEPS requires ascending latitudes on the climatology.
+  climatology = _open_dataset(clim_cfg['path'])
+  climatology = {k: v.sortby('latitude') if 'latitude' in v.dims else v
+                 for k, v in climatology.items()}
+  if is_probabilistic:
+    all_metrics = {
+        'crps': probabilistic.CRPSEnsemble(use_sort=True),
+        'unbiased_spread_skill': probabilistic.UnbiasedSpreadSkillRatio(),
+        'unbiased_mean_rmse': probabilistic.UnbiasedEnsembleMeanRMSE(),
+        'mean_rmse': wrappers.WrappedMetric(
+            deterministic.RMSE(),
+            [wrappers.EnsembleMean(which='predictions')]),
+    }
+  else:
+    all_metrics = {
+        'rmse': deterministic.RMSE(),
+        'mse': deterministic.MSE(),
+        'bias': deterministic.Bias(),
+        'acc': deterministic.ACC(climatology=climatology),
+        'prediction_activity': deterministic.PredictionActivity(
+            climatology=climatology),
+    }
+    u_names, v_names, vector_names = [], [], []
+    if {'u_component_of_wind', 'v_component_of_wind'} <= set(variables):
+      u_names.append('u_component_of_wind')
+      v_names.append('v_component_of_wind')
+      vector_names.append('wind')
+    if {'10m_u_component_of_wind',
+        '10m_v_component_of_wind'} <= set(variables):
+      u_names.append('10m_u_component_of_wind')
+      v_names.append('10m_v_component_of_wind')
+      vector_names.append('10m_wind')
+    if u_names:
+      all_metrics['vector_rmse'] = deterministic.WindVectorRMSE(
+          u_names, v_names, vector_names)
+    if precip_variables:
+      all_metrics['seeps'] = categorical.SEEPS(
+          variables=precip_variables, climatology=climatology,
+          dry_threshold_mm=[configs_lib.SEEPS_DRY_THRESHOLDS_MM[v]
+                            for v in precip_variables])
+
+  # 5. Aggregation: land-sea-augmented regions, area weights, masked.
+  target_ds = _open_dataset(tgt_cfg['path'])
+  land_sea_mask = target_ds.get('land_sea_mask')
+  bin_by = [binning.Regions(configs_lib.REGIONS,
+                            land_sea_mask=land_sea_mask)]
+  reduce_dims = (['latitude', 'longitude'] if args.temporal
+                 else ['init_time', 'latitude', 'longitude'])
+  aggregator_kwargs = dict(pred_cfg.get('aggregator_kwargs', {}))
+  aggregation_method = aggregation.Aggregator(
+      reduce_dims=reduce_dims,
+      weigh_by=[weighting.GridAreaWeighting()],
+      bin_by=bin_by,
+      masked=True,  # required for SEEPS (p1 masking)
+      **aggregator_kwargs)
+
+  # 6. Run and write.
+  init_time_str = f'{args.year}-init{args.time_frequency}h'
+  filename = (f'{args.prediction}_vs_{args.target}_{args.resolution}_'
+              f'{init_time_str}')
+  if args.temporal:
+    filename += '_temporal'
+  out_path = os.path.join(args.output_dir, filename + '.npz')
+  os.makedirs(args.output_dir, exist_ok=True)
+  print(f'Save path: {out_path}')
+
+  values = pipeline_lib.evaluate(
+      all_metrics, aggregation_method, prediction_loader, target_loader,
+      times, out_path=out_path,
+      checkpoint_path=(out_path + '.ckpt' if args.checkpoint_every else None),
+      checkpoint_every=args.checkpoint_every)
+  print(f'Wrote {len(values)} metric variables.')
+
+
+if __name__ == '__main__':
+  main()

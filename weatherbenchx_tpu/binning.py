@@ -95,8 +95,10 @@ class Regions(Binning):
                             ) and np.array_equal(
                                 lon, ls.coord_values('longitude')), (
                                     'Land/sea mask coordinates do not match.')
-      ls_np = np.asarray(ls.transpose('latitude', 'longitude').values
-                         ).astype(bool)
+      # Pure-numpy transpose: a jnp op here would create a tracer when the
+      # mask is built inside the jitted evaluation step.
+      order = [ls.dims.index('latitude'), ls.dims.index('longitude')]
+      ls_np = np.transpose(np.asarray(ls.values), order).astype(bool)
       masks = np.concatenate([masks, masks & ls_np[None]], axis=0)
       labels = np.concatenate([labels, np.array(
           [f'{k}_land' for k in self._regions.keys()])])

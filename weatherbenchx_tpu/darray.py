@@ -444,19 +444,22 @@ class DimArray:
       i = dims.index('...')
       dims = tuple(named[:i]) + tuple(rest) + tuple(named[i:])
     order = [self.dims.index(d) for d in dims]
-    return DimArray(
-        jnp.transpose(jnp.asarray(self.data), order), dims, self.coords)
+    # Host data stays numpy: keeps pure host-side workflows (result
+    # combination, serialization) off the accelerator entirely.
+    xp = np if _is_host_value(self.data) else jnp
+    return DimArray(xp.transpose(self.data, order), dims, self.coords)
 
   def expand_dims(self, dim: str | Mapping[str, int], axis: int = 0
                   ) -> 'DimArray':
     if isinstance(dim, str):
       dim = {dim: 1}
-    data = jnp.asarray(self.data)
+    xp = np if _is_host_value(self.data) else jnp
+    data = self.data
     dims = list(self.dims)
     for name, size in dim.items():
-      data = jnp.expand_dims(data, axis)
+      data = xp.expand_dims(data, axis)
       if size != 1:
-        data = jnp.broadcast_to(
+        data = xp.broadcast_to(
             data, data.shape[:axis] + (size,) + data.shape[axis + 1:])
       dims.insert(axis, name)
       axis += 1
@@ -737,8 +740,11 @@ def concat(arrays: Sequence[DimArray], dim: str) -> DimArray:
   if dim not in first.dims:
     arrays = [a.expand_dims(dim) for a in arrays]
   ax = arrays[0].dims.index(dim)
-  datas = [jnp.asarray(a.data) for a in arrays]
-  data = jnp.concatenate(datas, axis=ax)
+  if all(_is_host_value(a.data) for a in arrays):
+    # Host fast path: keep result-combination workflows off the device.
+    data = np.concatenate([np.asarray(a.data) for a in arrays], axis=ax)
+  else:
+    data = jnp.concatenate([jnp.asarray(a.data) for a in arrays], axis=ax)
   coords: dict[str, Coord] = {}
   for name, c in arrays[0].coords.items():
     if dim in c.dims:

@@ -38,6 +38,14 @@ from weatherbenchx_tpu.parallel import evaluator as evaluator_lib
 logger = logging.getLogger(__name__)
 
 
+def _cpu_device():
+  """The local CPU device, tolerating broken non-CPU backend registrations."""
+  try:
+    return jax.local_devices(backend='cpu')[0]
+  except RuntimeError:
+    return jax.devices()[0]
+
+
 def atomic_write_dataset(path: str, dataset: Mapping[str, DimArray]) -> None:
   """tmp+rename write, safe against duplicate/straggler attempts.
 
@@ -92,7 +100,7 @@ class EvaluationPipeline:
     # local CPU backend: dispatching them to the accelerator costs a
     # round-trip per op and wastes device time. The jitted eval step
     # transfers the prepared chunk to the mesh in one hop.
-    with jax.default_device(jax.local_devices(backend='cpu')[0]):
+    with jax.default_device(_cpu_device()):
       targets = self.targets_loader.load_chunk(init_times, lead_times)
       t1 = time.monotonic()
       predictions = self.predictions_loader.load_chunk(
