@@ -259,6 +259,10 @@ class AggregationState:
   def save(self, path: str) -> None:
     io_lib.save_dataset(path, self.to_dataset())
 
+  def to_xarray(self, separator: str = '#'):
+    """xarray.Dataset view (optional dependency), reference schema."""
+    return io_lib.to_xarray_dataset(self.to_dataset(separator))
+
   @classmethod
   def load(cls, path: str) -> 'AggregationState':
     return cls.from_dataset(io_lib.load_dataset(path))

@@ -149,6 +149,11 @@ class PerVariableMetric(Metric):
     """Compute metric value for a single variable."""
 
 
+# Deprecated backwards-compatibility shim: a Statistic implements Metric
+# directly (reference ``metrics/base.py:246-249``).
+NoOpMetric = lambda statistic: statistic
+
+
 def generate_unique_statistics_for_all_metrics(
     metrics: Mapping[str, Metric],
     predictions: Mapping[Hashable, DimArray],

@@ -28,6 +28,7 @@ import numpy as np
 
 from weatherbenchx_tpu import aggregation as aggregation_lib
 from weatherbenchx_tpu import io as io_lib
+from weatherbenchx_tpu import observability
 from weatherbenchx_tpu import time_chunks as time_chunks_lib
 from weatherbenchx_tpu import tree
 from weatherbenchx_tpu.darray import DimArray
@@ -82,8 +83,11 @@ class EvaluationPipeline:
   prefetch: int = 2
   checkpoint_path: Optional[str] = None
   checkpoint_every: int = 0
+  metrics_registry: Optional[observability.Metrics] = None
+  profile_dir: Optional[str] = None
 
   def __post_init__(self):
+    self._obs = self.metrics_registry or observability.default_metrics
     self._evaluator = evaluator_lib.ChunkEvaluator(
         metrics=self.metrics, aggregator=self.aggregator,
         mesh=self.mesh, dim_to_axis=self.dim_to_axis)
@@ -105,8 +109,11 @@ class EvaluationPipeline:
       t1 = time.monotonic()
       predictions = self.predictions_loader.load_chunk(
           init_times, lead_times, reference=targets)
+    t2 = time.monotonic()
+    self._obs.record('load_targets_seconds', t1 - t0)
+    self._obs.record('load_predictions_seconds', t2 - t1)
     logger.info('loaded chunk: targets %.0fms predictions %.0fms',
-                (t1 - t0) * 1e3, (time.monotonic() - t1) * 1e3)
+                (t1 - t0) * 1e3, (t2 - t1) * 1e3)
     return predictions, targets
 
   def _chunk_stream(self):
@@ -168,22 +175,26 @@ class EvaluationPipeline:
     """Evaluates all chunks; returns the total AggregationState."""
     buckets, start_chunk = self._load_checkpoint()
     n = len(self.times)
-    for i, offsets, (predictions, targets) in self._chunk_stream():
-      if i < start_chunk:
-        continue
-      state = self._evaluator.eval_chunk(predictions, targets)
-      key = tuple(
-          getattr(offsets, d) if d in self._bucket_dims else -1
-          for d in ('init_time', 'lead_time'))
-      if key in buckets:
-        buckets[key] = _device_add(buckets[key], state)
-      else:
-        buckets[key] = state
-      if (self.checkpoint_path and self.checkpoint_every
-          and (i + 1) % self.checkpoint_every == 0):
-        buckets[key].block_until_ready()
-        self._save_checkpoint(buckets, i + 1)
-      logger.info('chunk %d/%d done', i + 1, n)
+    with observability.maybe_profile(self.profile_dir):
+      for i, offsets, (predictions, targets) in self._chunk_stream():
+        if i < start_chunk:
+          continue
+        with self._obs.timed('eval_chunk_seconds'):
+          state = self._evaluator.eval_chunk(predictions, targets)
+        key = tuple(
+            getattr(offsets, d) if d in self._bucket_dims else -1
+            for d in ('init_time', 'lead_time'))
+        if key in buckets:
+          buckets[key] = _device_add(buckets[key], state)
+        else:
+          buckets[key] = state
+        self._obs.counter('chunks_done')
+        if (self.checkpoint_path and self.checkpoint_every
+            and (i + 1) % self.checkpoint_every == 0):
+          with self._obs.timed('checkpoint_seconds'):
+            buckets[key].block_until_ready()
+            self._save_checkpoint(buckets, i + 1)
+        logger.info('chunk %d/%d done', i + 1, n)
 
     # Final cross-bucket combine on host (outer join concat of preserved
     # chunked dims), with time coords restored to datetime64/timedelta64.

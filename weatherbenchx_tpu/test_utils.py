@@ -150,3 +150,17 @@ def canonical_forecast_pair(
       predictions[var] = build(shape, dims, coords)
     targets[var] = build(shape, dims, coords)
   return predictions, targets
+
+
+def compute_all_metrics(metrics, predictions, targets, reduce_dims,
+                        **aggregator_kwargs):
+  """Full stats -> aggregate -> finalize path for tests.
+
+  Mirrors reference ``metrics_test_utils.py:86-95``.
+  """
+  from weatherbenchx_tpu import aggregation
+
+  aggregator = aggregation.Aggregator(reduce_dims=reduce_dims,
+                                      **aggregator_kwargs)
+  return aggregation.compute_metric_values_for_single_chunk(
+      metrics, aggregator, predictions, targets)
