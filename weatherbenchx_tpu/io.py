@@ -21,8 +21,8 @@ from weatherbenchx_tpu.darray import Coord, DimArray
 Dataset = Mapping[Hashable, DimArray]
 
 
-def save_dataset(path: str, dataset: Dataset) -> None:
-  """Writes a dict[var, DimArray] dataset to an .npz container."""
+def _collect(dataset: Dataset) -> tuple[dict, dict[str, np.ndarray]]:
+  """Shared structure record + flat key→array map for both containers."""
   arrays: dict[str, np.ndarray] = {}
   meta: dict = {'version': 1, 'variables': {}}
   for i, (var, da) in enumerate(dataset.items()):
@@ -38,6 +38,31 @@ def save_dataset(path: str, dataset: Dataset) -> None:
     arrays[key] = np.asarray(da.data)
     for j, (name, c) in enumerate(da.coords.items()):
       arrays[f'{key}.c{j}'] = np.asarray(c.values)
+  return meta, arrays
+
+
+def _assemble(meta: dict, get) -> dict[str, DimArray]:
+  out: dict[str, DimArray] = {}
+  for var, spec in meta['variables'].items():
+    coords = {
+        name: Coord(tuple(cspec['dims']), get(cspec['key']))
+        for name, cspec in spec['coords'].items()
+    }
+    out[var] = DimArray(get(spec['key']), tuple(spec['dims']), coords)
+  return out
+
+
+def save_dataset(path: str, dataset: Dataset) -> None:
+  """Writes a dict[var, DimArray] dataset.
+
+  ``.wbx`` paths use the block container (thread-parallel raw writes via
+  the native core when built — the fast path for checkpoint/statistics
+  streaming); anything else writes the portable .npz container.
+  """
+  if path.endswith('.wbx'):
+    save_dataset_wbx(path, dataset)
+    return
+  meta, arrays = _collect(dataset)
   arrays['__meta__'] = np.frombuffer(
       json.dumps(meta).encode(), dtype=np.uint8)
   with open(path, 'wb') as f:
@@ -45,17 +70,107 @@ def save_dataset(path: str, dataset: Dataset) -> None:
 
 
 def load_dataset(path: str) -> dict[str, DimArray]:
-  """Reads a dataset written by save_dataset."""
+  """Reads a dataset written by save_dataset (.npz or .wbx)."""
+  if path.endswith('.wbx') or _is_wbx(path):
+    return load_dataset_wbx(path)
   with np.load(path, allow_pickle=False) as npz:
     meta = json.loads(bytes(npz['__meta__']).decode())
-    out: dict[str, DimArray] = {}
-    for var, spec in meta['variables'].items():
-      coords = {
-          name: Coord(tuple(cspec['dims']), npz[cspec['key']])
-          for name, cspec in spec['coords'].items()
-      }
-      out[var] = DimArray(npz[spec['key']], tuple(spec['dims']), coords)
-  return out
+    return _assemble(meta, lambda key: npz[key])
+
+
+# ---------------------------------------------------------------------------
+# .wbx block container
+#
+# Layout: | magic (8B) | u64 manifest_offset | 4096-aligned raw blocks ... |
+#         | manifest JSON |
+# The manifest records each block's offset/nbytes/dtype/shape plus the
+# dataset structure. Reads/writes go through the native parallel blockstore
+# (weatherbenchx_tpu/native) when available, else plain Python file I/O —
+# the format is identical either way.
+# ---------------------------------------------------------------------------
+
+_WBX_MAGIC = b'WBXBLK01'
+_ALIGN = 4096
+
+
+def _is_wbx(path: str) -> bool:
+  try:
+    with open(path, 'rb') as f:
+      return f.read(8) == _WBX_MAGIC
+  except OSError:
+    return False
+
+
+def save_dataset_wbx(path: str, dataset: Dataset,
+                     threads: int = 8) -> None:
+  from weatherbenchx_tpu import native
+
+  meta, arrays = _collect(dataset)
+  blocks: dict = {}
+  offset = _ALIGN  # first block after the (padded) header
+  buffers, offsets = [], []
+  for key, arr in arrays.items():
+    if not arr.flags.c_contiguous:
+      # (conditional: ascontiguousarray would promote 0-d arrays to 1-d)
+      arr = np.ascontiguousarray(arr).reshape(arr.shape)
+    arrays[key] = arr
+    blocks[key] = {
+        'offset': offset,
+        'nbytes': int(arr.nbytes),
+        'dtype': arr.dtype.str,
+        'shape': list(arr.shape),
+    }
+    buffers.append(arr)
+    offsets.append(offset)
+    offset += -(-max(arr.nbytes, 1) // _ALIGN) * _ALIGN
+  manifest = json.dumps({**meta, 'blocks': blocks}).encode()
+
+  with open(path, 'wb') as f:
+    f.write(_WBX_MAGIC)
+    f.write(np.uint64(offset).tobytes())
+    f.truncate(offset)
+    f.seek(offset)
+    f.write(manifest)
+  if native.available() and buffers:
+    native.pwrite_blocks(path, buffers, offsets, threads=threads)
+  else:
+    with open(path, 'r+b') as f:
+      for arr, off in zip(buffers, offsets):
+        f.seek(off)
+        f.write(arr.tobytes())
+
+
+def load_dataset_wbx(path: str, threads: int = 8) -> dict[str, DimArray]:
+  from weatherbenchx_tpu import native
+
+  with open(path, 'rb') as f:
+    magic = f.read(8)
+    if magic != _WBX_MAGIC:
+      raise ValueError(f'{path} is not a .wbx container')
+    manifest_offset = int(np.frombuffer(f.read(8), np.uint64)[0])
+    f.seek(manifest_offset)
+    manifest = json.loads(f.read().decode())
+
+  blocks = manifest['blocks']
+  keys = list(blocks.keys())
+  buffers = {
+      key: np.empty(tuple(b['shape']), dtype=np.dtype(b['dtype']))
+      for key, b in blocks.items()
+  }
+  nonempty = [k for k in keys if buffers[k].nbytes > 0]
+  if native.available() and nonempty:
+    native.pread_blocks(
+        path, [buffers[k] for k in nonempty],
+        [blocks[k]['offset'] for k in nonempty], threads=threads)
+  else:
+    with open(path, 'rb') as f:
+      for k in nonempty:
+        f.seek(blocks[k]['offset'])
+        data = f.read(blocks[k]['nbytes'])
+        buffers[k] = np.frombuffer(
+            data, dtype=np.dtype(blocks[k]['dtype'])).reshape(
+                tuple(blocks[k]['shape']))
+  return _assemble(manifest, lambda key: buffers[key])
 
 
 def to_xarray_dataset(dataset: Dataset):

@@ -52,7 +52,8 @@ def atomic_write_dataset(path: str, dataset: Mapping[str, DimArray]) -> None:
 
   Mirrors reference ``beam_utils.py:64-101``.
   """
-  tmp = f'{path}.tmp.{os.getpid()}'
+  ext = '.wbx' if path.endswith('.wbx') else ''
+  tmp = f'{path}.tmp.{os.getpid()}{ext}'
   io_lib.save_dataset(tmp, dataset)
   os.replace(tmp, path)
 
@@ -147,8 +148,10 @@ class EvaluationPipeline:
   def _save_checkpoint(self, buckets, next_chunk: int) -> None:
     manifest = {'next_chunk': next_chunk, 'buckets': []}
     for k, (key, state) in enumerate(sorted(buckets.items())):
-      path = f'{self.checkpoint_path}.bucket{k}.npz'
-      tmp = f'{path}.tmp'
+      # .wbx: thread-parallel raw block writes (native core) — checkpoints
+      # are the pipeline's hottest host I/O.
+      path = f'{self.checkpoint_path}.bucket{k}.wbx'
+      tmp = f'{path}.tmp.wbx'  # suffix picks the block container
       io_lib.save_dataset(tmp, state.to_host().to_dataset())
       os.replace(tmp, path)
       manifest['buckets'].append({'key': list(key), 'path': path})

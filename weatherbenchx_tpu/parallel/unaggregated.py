@@ -69,7 +69,7 @@ class UnaggregatedPipeline:
         for var_name, da in stat_vars.items():
           flat[f'{stat_name}.{var_name}'] = (
               evaluator_lib.restore_time_coords(da))
-      shard = f'chunk_{i:06d}.npz'
+      shard = f'chunk_{i:06d}.wbx'
       io_lib.save_dataset(os.path.join(self.out_path, shard), flat)
       manifest['shards'].append({
           'path': shard,
