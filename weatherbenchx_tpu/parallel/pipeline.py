@@ -72,6 +72,12 @@ class EvaluationPipeline:
     prefetch: number of chunks to load ahead of the device (host threads).
     checkpoint_path: if set, running state is saved here every
       ``checkpoint_every`` chunks and resumed from on restart.
+    distributed: multi-host mode — with ``jax.distributed`` initialized,
+      each process owns the chunk indices with
+      ``index %% process_count == process_index`` (data parallelism over
+      time chunks, the Beam fan-out across workers), accumulates its own
+      partial state, and the final monoid sum is taken across processes
+      via an all-gather over DCN. Checkpoints are written by process 0.
   """
 
   metrics: Mapping[str, metrics_base.Metric]
@@ -86,6 +92,7 @@ class EvaluationPipeline:
   checkpoint_every: int = 0
   metrics_registry: Optional[observability.Metrics] = None
   profile_dir: Optional[str] = None
+  distributed: bool = False
 
   def __post_init__(self):
     self._obs = self.metrics_registry or observability.default_metrics
@@ -120,6 +127,9 @@ class EvaluationPipeline:
   def _chunk_stream(self):
     """Yields (index, offsets, (predictions, targets)) with async prefetch."""
     items = list(enumerate(self.times.iter_with_chunk_offsets()))
+    if self.distributed:
+      pc, pi = jax.process_count(), jax.process_index()
+      items = [it for it in items if it[0] % pc == pi]
     if not items:
       return
     with futures.ThreadPoolExecutor(max_workers=max(self.prefetch, 1)) as ex:
@@ -192,7 +202,10 @@ class EvaluationPipeline:
         else:
           buckets[key] = state
         self._obs.counter('chunks_done')
-        if (self.checkpoint_path and self.checkpoint_every
+        writes_checkpoints = (
+            not self.distributed or jax.process_index() == 0)
+        if (writes_checkpoints and self.checkpoint_path
+            and self.checkpoint_every
             and (i + 1) % self.checkpoint_every == 0):
           with self._obs.timed('checkpoint_seconds'):
             buckets[key].block_until_ready()
@@ -205,7 +218,10 @@ class EvaluationPipeline:
         s.to_host().map(evaluator_lib.restore_time_coords)
         for s in buckets.values()
     ]
-    return aggregation_lib.AggregationState.sum(states)
+    total = aggregation_lib.AggregationState.sum(states)
+    if self.distributed and jax.process_count() > 1:
+      total = _allgather_sum_states(total)
+    return total
 
   def run_and_write(
       self,
@@ -220,6 +236,30 @@ class EvaluationPipeline:
     if aggregation_state_out_path:
       atomic_write_dataset(aggregation_state_out_path, state.to_dataset())
     return values
+
+
+def _allgather_sum_states(
+    total: aggregation_lib.AggregationState,
+) -> aggregation_lib.AggregationState:
+  """Monoid sum of per-process partial states over DCN.
+
+  Uses a host all-gather (tiny aggregated arrays) followed by the generic
+  zero-filled outer-join sum, so ragged per-process results (sparse
+  stations, preserved chunked dims) combine exactly like local buckets.
+  """
+  from jax.experimental import multihost_utils
+
+  def gather_leaf(da: DimArray):
+    stacked = multihost_utils.process_allgather(np.asarray(da.values))
+    return [da.copy(data=stacked[p]) for p in range(stacked.shape[0])]
+
+  # NOTE: this assumes per-process states share layout (same preserved-dim
+  # coords); ragged layouts should reduce preserved dims per process first.
+  n = jax.process_count()
+  parts = []
+  for p in range(n):
+    parts.append(total.map(lambda da, p=p: gather_leaf(da)[p]))
+  return aggregation_lib.AggregationState.sum(parts)
 
 
 def _device_add(a: aggregation_lib.AggregationState,
