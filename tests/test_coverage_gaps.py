@@ -1,0 +1,195 @@
+"""Coverage for components without direct tests elsewhere."""
+
+import numpy as np
+import pytest
+
+from weatherbenchx_tpu import aggregation, test_utils
+from weatherbenchx_tpu.darray import Coord, DimArray
+from weatherbenchx_tpu.data import loaders
+from weatherbenchx_tpu.metrics import base as mbase
+from weatherbenchx_tpu.metrics import deterministic, probabilistic, wrappers
+
+
+class TestClimatologyTimeDim:
+  def test_exact_time_climatology(self):
+    """Climatology with a 'time' dim: exact valid_time match."""
+    times = np.arange('2020-01-01', '2020-01-10', dtype='datetime64[D]'
+                      ).astype('datetime64[ns]')
+    clim = {'t': DimArray(np.arange(9.0), ('time',), {'time': times})}
+    init = times[:2]
+    lead = np.array([0, 24], dtype='timedelta64[h]').astype('timedelta64[ns]')
+    pred = {'t': DimArray(np.zeros((2, 2)), ('init_time', 'lead_time'),
+                          {'init_time': init, 'lead_time': lead})}
+    aligned = mbase.align_climatology(clim['t'], pred['t'])
+    # valid times: day0/day1 for init0; day1/day2 for init1.
+    np.testing.assert_allclose(np.asarray(aligned.values),
+                               [[0.0, 1.0], [1.0, 2.0]])
+
+  def test_valid_time_coord_direct(self):
+    vt = np.arange('2020-03-01', '2020-03-04', dtype='datetime64[D]'
+                   ).astype('datetime64[ns]')
+    da = DimArray(np.zeros(3), ('valid_time',), {'valid_time': vt})
+    dims, values = mbase.valid_time_coord(da)
+    assert dims == ('valid_time',)
+    np.testing.assert_array_equal(values, vt)
+
+  def test_missing_time_coords_raises(self):
+    da = DimArray(np.zeros(3), ('x',))
+    with pytest.raises(ValueError, match='valid_time or init/lead_time'):
+      mbase.valid_time_coord(da)
+
+
+class TestClimatologyLoader:
+  def test_dayofyear_hour_selection(self):
+    rng = np.random.default_rng(0)
+    clim = {'t': DimArray(
+        rng.standard_normal((366, 2, 3)), ('dayofyear', 'hour', 'latitude'),
+        {'dayofyear': np.arange(1, 367), 'hour': np.array([0, 12]),
+         'latitude': np.array([-10.0, 0.0, 10.0])})}
+    loader = loaders.ClimatologyFromDataset(ds=clim)
+    init = np.array(['2020-02-01T00', '2020-02-02T12'],
+                    dtype='datetime64[ns]')
+    lead = np.array([0, 12], dtype='timedelta64[h]').astype('timedelta64[ns]')
+    chunk = loader.load_chunk(init, lead)
+    da = chunk['t']
+    assert da.dims == ('init_time', 'lead_time', 'latitude')
+    # init0 (Feb 1 = doy 32) at hour 0 and (lead 12h) hour 12.
+    src = np.asarray(clim['t'].values)
+    np.testing.assert_allclose(np.asarray(da.values)[0, 0], src[31, 0])
+    np.testing.assert_allclose(np.asarray(da.values)[0, 1], src[31, 1])
+    # init1 Feb 2 12:00 + 12h -> Feb 3 (doy 34) hour 0.
+    np.testing.assert_allclose(np.asarray(da.values)[1, 1], src[33, 0])
+
+
+class TestTimeDependentThresholds:
+  def test_select_bin_thresholds_by_valid_time(self):
+    vt = np.arange('2020-01-01', '2020-01-05', dtype='datetime64[D]'
+                   ).astype('datetime64[ns]')
+    thresholds = DimArray(
+        np.arange(4.0)[:, None], ('valid_time', 'threshold'),
+        {'valid_time': vt, 'threshold': np.array([0.5])})
+    init = vt[:2]
+    lead = np.array([0, 24], dtype='timedelta64[h]').astype('timedelta64[ns]')
+    chunk = DimArray(np.zeros((2, 2)), ('init_time', 'lead_time'),
+                     {'init_time': init, 'lead_time': lead})
+    out = wrappers.select_bin_thresholds_by_time_from_chunk(thresholds, chunk)
+    assert set(out.dims) == {'init_time', 'lead_time', 'threshold'}
+    np.testing.assert_allclose(
+        np.asarray(out.transpose('init_time', 'lead_time',
+                                 'threshold').values)[..., 0],
+        [[0.0, 1.0], [1.0, 2.0]])
+
+  def test_cdf_with_dimarray_thresholds_requires_suffix(self):
+    with pytest.raises(ValueError, match='unique_name_suffix'):
+      wrappers.ContinuousToCDF(
+          'predictions',
+          threshold_values=DimArray(np.array([1.0]), ('threshold',)),
+          threshold_dim='threshold')
+
+  def test_monotonicity_enforcement(self):
+    da = DimArray(np.array([0.3]), ('x',))
+    with pytest.raises(ValueError, match='monotonically increasing'):
+      wrappers.compute_cdf([1.0, 0.5], da, 'threshold',
+                           enforce_monotonicity=True)
+
+
+class TestProbabilisticGaps:
+  def test_ensemble_error_exceedance(self):
+    preds, tgts = test_utils.canonical_forecast_pair(
+        n_init=2, n_lead=2, ensemble_size=4, seed=0)
+    stat = probabilistic.EnsembleErrorExceedance(thresholds=[0.5, 1.5])
+    out = stat.compute(preds, tgts)['2m_temperature']
+    assert 'number' not in out.dims
+    assert 'error_exceedance_thresholds' in out.dims
+    p = preds['2m_temperature'].values
+    t = tgts['2m_temperature'].values
+    ae = np.abs(p - t[None])
+    expected = np.stack([(ae > 0.5).mean(0), (ae > 1.5).mean(0)])
+    np.testing.assert_allclose(
+        np.asarray(out.transpose('error_exceedance_thresholds',
+                                 *tgts['2m_temperature'].dims).values),
+        expected, rtol=1e-5)
+
+  def test_crps_unfair_vs_fair_ordering(self):
+    preds, tgts = test_utils.canonical_forecast_pair(
+        n_init=2, n_lead=2, ensemble_size=5, seed=1)
+    fair = test_utils.compute_all_metrics(
+        {'c': probabilistic.CRPSEnsemble(fair=True)}, preds, tgts,
+        ['init_time', 'lead_time', 'latitude', 'longitude'])
+    unfair = test_utils.compute_all_metrics(
+        {'c': probabilistic.CRPSEnsemble(fair=False)}, preds, tgts,
+        ['init_time', 'lead_time', 'latitude', 'longitude'])
+    # Unfair divides spread by M instead of M-1: smaller spread -> larger CRPS.
+    assert unfair['c.2m_temperature'].item() > fair['c.2m_temperature'].item()
+
+  def test_spread_skill_ratio_hard_error(self):
+    with pytest.raises(ValueError, match='no longer supported'):
+      probabilistic.SpreadSkillRatio()
+
+  def test_ensemble_rps_with_per_variable_thresholds(self):
+    preds, tgts = test_utils.canonical_forecast_pair(
+        n_init=2, n_lead=2, ensemble_size=4, seed=2)
+    thresholds = {'2m_temperature': DimArray(
+        np.array([-0.5, 0.0, 0.5]), ('bins',),
+        {'bins': np.array([-0.5, 0.0, 0.5])})}
+    stat = probabilistic.EnsembleRankedProbabilityScore(
+        prediction_bin_thresholds=thresholds,
+        target_bin_thresholds=thresholds,
+        bin_dim='bins', unique_name_suffix='tvar')
+    out = stat.compute(preds, tgts)['2m_temperature']
+    assert 'bins' not in out.dims
+    assert np.isfinite(np.asarray(out.values)).all()
+
+
+class TestBaselineComparisonCustom:
+  def test_ratio_comparison(self):
+    from weatherbenchx_tpu.inference import baseline_comparison as bc
+
+    def ratio(main, baseline):
+      return {k: main[k] / baseline[k] for k in main.keys()}
+
+    preds, tgts = test_utils.canonical_forecast_pair(seed=3)
+    metrics = {'mse': deterministic.MSE()}
+    agg = aggregation.Aggregator(
+        reduce_dims=['init_time', 'lead_time', 'latitude', 'longitude'])
+    stats = mbase.compute_unique_statistics_for_all_metrics(
+        metrics, preds, tgts)
+    state = agg.aggregate_statistics(stats)
+    combined = bc.combine_aggregation_states(state, state)
+    comparison = bc.BaselineComparison(metrics['mse'], comparison=ratio)
+    values = combined.metric_values({'cmp': comparison})
+    # Same state on both sides: ratio exactly 1.
+    assert values['cmp.2m_temperature'].item() == pytest.approx(1.0)
+
+
+class TestTemporalMode:
+  def test_benchmark_cli_temporal(self, tmp_path):
+    import os
+    import sys
+    sys.path.insert(0, 'tests')
+    from test_apps import _write_source_files
+    from weatherbenchx_tpu import io as io_lib
+    from weatherbenchx_tpu.apps import run_benchmark_evaluation
+
+    ppath, tpath, cpath, init, lead = _write_source_files(
+        tmp_path, with_extras=True)
+    outdir = str(tmp_path / 'results')
+    run_benchmark_evaluation.main([
+        '--prediction', 'hres', '--target', 'era5',
+        '--resolution', '64x32', '--year', '2020',
+        '--variables', '2m_temperature', '--time_frequency', '12',
+        '--init_time_start', '2020-01-01', '--init_time_stop', '2020-01-03',
+        '--lead_time_stop_days', '2', '--lead_time_frequency', '12',
+        '--init_time_chunk_size', '2', '--lead_time_chunk_size', '4',
+        '--temporal',
+        '--output_dir', outdir,
+        '--prediction_path', ppath, '--target_path', tpath,
+        '--climatology_path', cpath,
+    ])
+    out = io_lib.load_dataset(os.path.join(
+        outdir, 'hres_vs_era5_64x32_2020-init12h_temporal.npz'))
+    da = out['rmse.2m_temperature']
+    # Temporal mode preserves init_time (per-forecast results).
+    assert 'init_time' in da.dims
+    assert da.sizes['init_time'] == 4
+    assert da.coord_values('init_time').dtype.kind == 'M'

@@ -295,11 +295,13 @@ class UnbiasedEnsembleMeanSquaredError(base.PerVariableStatistic):
     return biased_mse - predictions_bias - targets_bias
 
 
-class EnsembleRankedProbabilityScore(base.PerVariableStatistic):
+class EnsembleRankedProbabilityScore(base.Statistic):
   """Fair (or biased) RPS from ensemble samples via CDF binning.
 
   Composes ContinuousToCDF wrappers with the (un)biased MSE statistic and
-  sums over bins (reference ``probabilistic.py:339-477``).
+  sums over bins (reference ``probabilistic.py:339-477``). Computed with
+  the real variable name preserved so per-variable threshold mappings
+  resolve.
   """
 
   def __init__(self, prediction_bin_thresholds, target_bin_thresholds,
@@ -345,10 +347,15 @@ class EnsembleRankedProbabilityScore(base.PerVariableStatistic):
             f'fair_{self._fair}_'
             f'{self._unique_name_suffix}')
 
-  def _compute_per_variable(self, predictions, targets):
-    cdf_mse = self._se_stat.compute(
-        {'tmp': predictions}, {'tmp': targets})['tmp']
-    return cdf_mse.sum(self._bin_dim, skipna=self._skipna_ensemble)
+  def compute(self, predictions, targets):
+    out = {}
+    for var in predictions:
+      if var not in targets:
+        continue
+      cdf_mse = self._se_stat.compute(
+          {var: predictions[var]}, {var: targets[var]})[var]
+      out[var] = cdf_mse.sum(self._bin_dim, skipna=self._skipna_ensemble)
+    return out
 
 
 ### Metrics

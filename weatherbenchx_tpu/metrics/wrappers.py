@@ -184,10 +184,11 @@ def select_bin_thresholds_by_time_from_chunk(
     if 'valid_time' in bin_thresholds.dims:
       _, init = host_coord('init_time')
       _, lead = host_coord('lead_time')
-      vt = init[:, None] + lead[None, :]
-      coord = bin_thresholds.coord_values('valid_time')
-      lookup = {v: i for i, v in enumerate(coord)}
-      idx = np.vectorize(lambda t: lookup[t])(vt)
+      vt = (init[:, None] + lead[None, :]).astype('datetime64[ns]')
+      coord = bin_thresholds.coord_values('valid_time').astype(
+          'datetime64[ns]').astype(np.int64)
+      lookup = {int(v): i for i, v in enumerate(coord)}
+      idx = np.vectorize(lambda t: lookup[int(t)])(vt.astype(np.int64))
       return bin_thresholds.take('valid_time', idx,
                                  ('init_time', 'lead_time'))
     elif {'init_time', 'lead_time'}.issubset(bin_thresholds.dims):
