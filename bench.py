@@ -34,7 +34,7 @@ def _make_data(n_lead, nlat, nlon, ens=None, dtype=np.float32, seed=0):
   return pred, tgt, dims, lats, lons
 
 
-def _numpy_baseline_time(pred, tgt, w, ens, iters=2):
+def _numpy_baseline_time(pred, tgt, w, ens, iters=3):
   """Single-process numpy version of the same statistics (Beam-worker model)."""
   times = []
   for _ in range(iters):

@@ -320,3 +320,39 @@ class TestUtils:
     out = utils.apply_to_slices(lambda x: x * 2, da, dim=('a', 'b'))
     np.testing.assert_allclose(np.asarray(out.values), da.values * 2)
     assert out.dims == ('a', 'b')
+
+
+class TestInferenceOnComplexMetrics:
+  def test_rev_under_delta_method(self):
+    """REV's vmapped optimal-threshold gather must survive jax.linearize.
+
+    Mirrors the reference's jax-compatible REV path
+    (``probabilistic.py:883-936``, tested in ``metrics_test.py:1105-1208``).
+    """
+    from weatherbenchx_tpu import aggregation
+    from weatherbenchx_tpu.darray import DimArray as DA
+    from weatherbenchx_tpu.metrics import base as mbase, probabilistic
+
+    rng = np.random.default_rng(0)
+    n_units, n_obs = 30, 200
+    prob = rng.random((n_units, n_obs))
+    target = (rng.random((n_units, n_obs)) < prob).astype(np.float64)
+    ens = (rng.random((5, n_units, n_obs)) < prob[None]).astype(np.float64)
+    preds = {'v': DA(ens.mean(0), ('unit', 'x'))}
+    tgts = {'v': DA(target, ('unit', 'x'))}
+    clr = np.geomspace(0.01, 1, 5)[:-1]
+    opt = DA(np.full(4, 0.5), ('cost_loss_ratio',), {'cost_loss_ratio': clr})
+    metrics = {'rev': probabilistic.RelativeEconomicValue(
+        ensemble_size=5, cost_loss_ratios=clr, optimal_thresholds=opt)}
+    stats = mbase.compute_unique_statistics_for_all_metrics(
+        metrics, preds, tgts)
+    state = aggregation.Aggregator(reduce_dims=['x']).aggregate_statistics(
+        stats)
+    inference = t_test.IID(metrics, state, experimental_unit_dim='unit')
+    pt = inference.point_estimates()['rev']['v']
+    lo, hi = inference.confidence_intervals(0.05)
+    assert pt.dims == ('cost_loss_ratio',)
+    assert np.all(np.asarray(lo['rev']['v'].values)
+                  <= np.asarray(hi['rev']['v'].values))
+    assert np.isfinite(np.asarray(
+        inference.standard_error_estimates()['rev']['v'].values)).all()

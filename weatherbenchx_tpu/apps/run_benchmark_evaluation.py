@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument('--target_path', default=None)
   p.add_argument('--climatology_path', default=None)
   p.add_argument('--checkpoint_every', type=int, default=0)
+  p.add_argument('--compilation_cache_dir', default=None,
+                 help='Persistent XLA compilation cache directory')
   return p
 
 
@@ -190,7 +192,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
       all_metrics, aggregation_method, prediction_loader, target_loader,
       times, out_path=out_path,
       checkpoint_path=(out_path + '.ckpt' if args.checkpoint_every else None),
-      checkpoint_every=args.checkpoint_every)
+      checkpoint_every=args.checkpoint_every,
+      compilation_cache_dir=args.compilation_cache_dir)
   print(f'Wrote {len(values)} metric variables.')
 
 

@@ -68,6 +68,8 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument('--checkpoint_path', default=None,
                  help='Optional running-state checkpoint path (resume)')
   p.add_argument('--checkpoint_every', type=int, default=0)
+  p.add_argument('--compilation_cache_dir', default=None,
+                 help='Persistent XLA compilation cache directory')
   return p
 
 
@@ -110,7 +112,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
       out_path=args.output_path,
       aggregation_state_out_path=args.aggregation_state_output_path,
       checkpoint_path=args.checkpoint_path,
-      checkpoint_every=args.checkpoint_every)
+      checkpoint_every=args.checkpoint_every,
+      compilation_cache_dir=args.compilation_cache_dir)
   print(f'Wrote {len(values)} metric variables to {args.output_path}')
   for k, v in sorted(values.items()):
     print(f'  {k}: dims={v.dims} shape={v.shape}')

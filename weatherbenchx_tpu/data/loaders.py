@@ -115,7 +115,13 @@ class DatasetBackedLoader(base.DataLoader):
     if self._variables is not None:
       self._ds = {k: self._ds[k] for k in self._variables}
     if self._sel_kwargs is not None:
-      self._ds = {k: v.sel(**self._sel_kwargs) for k, v in self._ds.items()}
+      # Per-variable selection on applicable dims only (xarray Dataset.sel
+      # semantics: variables lacking a dim are passed through).
+      self._ds = {
+          k: v.sel({d: s for d, s in self._sel_kwargs.items()
+                    if d in v.dims})
+          for k, v in self._ds.items()
+      }
     self._preprocessed = True
 
   def load_chunk(self, init_times, lead_times=None, reference=None):

@@ -93,8 +93,15 @@ class EvaluationPipeline:
   metrics_registry: Optional[observability.Metrics] = None
   profile_dir: Optional[str] = None
   distributed: bool = False
+  compilation_cache_dir: Optional[str] = None
 
   def __post_init__(self):
+    if self.compilation_cache_dir:
+      # Persistent XLA compilation cache: repeated CLI invocations (or
+      # restarts after preemption) skip the per-program compile.
+      jax.config.update('jax_compilation_cache_dir',
+                        self.compilation_cache_dir)
+      jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
     self._obs = self.metrics_registry or observability.default_metrics
     self._evaluator = evaluator_lib.ChunkEvaluator(
         metrics=self.metrics, aggregator=self.aggregator,
