@@ -67,7 +67,7 @@ class TestScorecardHTML:
     data = json.loads(m.group(1))
     assert data['models'] == ['a', 'b']
     assert data['regions'] == ['global', 'tropics']
-    assert data['values']['t2m']['RMSE']['tropics'] == [
+    assert data['values']['t2m']['RMSE']['all']['tropics'] == [
         [1.0, 3.0], [5.0, 7.0]]
 
   def test_nan_rendered_as_null(self, tmp_path):
@@ -78,4 +78,4 @@ class TestScorecardHTML:
     page = scorecard_html.render_scorecard_html(path)
     data = json.loads(re.search(r'const DATA = (\{.*?\});\n', page,
                                 re.S).group(1))
-    assert data['values']['v']['RMSE']['all'] == [[None]]
+    assert data['values']['v']['RMSE']['all']['all'] == [[None]]

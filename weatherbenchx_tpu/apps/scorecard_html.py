@@ -1,11 +1,20 @@
-"""Static HTML scorecard viewer.
+"""Self-contained interactive HTML scorecard viewer.
 
 The reference ships Plotly Dash web apps for interactive scorecards
-(``public_benchmark/apps/dash_app.py``, deployed on App Engine). This
-dependency-free equivalent renders the combined scorecard
-(``combine_results`` output) into a single self-contained HTML file:
-model × lead-time score tables per variable/metric/region with a
-color scale, plus client-side region/metric selectors.
+(``public_benchmark/apps/dash_app.py:42-430``, deployed on App Engine).
+This dependency-free equivalent renders the combined scorecard
+(``combine_results`` output) into a single HTML file with the same
+interactions, no server required:
+
+- variable / metric / level / region selectors (level disabled for
+  surface variables, mirroring ``dash_app.py:272-276``);
+- an SVG line chart of score vs lead time, one line per model, with a
+  click-to-toggle legend (``dash_app.py:376-393``), gaps connected
+  across NaNs;
+- a relative-to-baseline mode: % improvement ``-100*(x-b)/b``, with the
+  ACC special case ``100*(x-b)/(1-b)`` and lead 0 dropped, exactly as
+  ``dash_app.py:341-350``;
+- the color-scaled model x lead-time table below the chart.
 
 Example:
   python -m weatherbenchx_tpu.apps.scorecard_html \
@@ -13,7 +22,6 @@ Example:
 """
 
 import argparse
-import html
 import json
 from typing import Optional, Sequence
 
@@ -26,52 +34,166 @@ _PAGE = """<!DOCTYPE html>
 <style>
  body {{ font-family: system-ui, sans-serif; margin: 2rem; color: #1a1a1a; }}
  h1 {{ font-size: 1.4rem; }}
- select {{ margin: 0 1rem 1rem 0; padding: 0.3rem; font-size: 1rem; }}
+ label {{ margin-right: 1rem; font-size: 0.9rem; }}
+ select {{ padding: 0.25rem; font-size: 0.95rem; }}
  table {{ border-collapse: collapse; margin-bottom: 2rem; }}
  th, td {{ border: 1px solid #ccc; padding: 0.35rem 0.7rem;
            text-align: right; font-variant-numeric: tabular-nums; }}
  th {{ background: #f2f2f2; text-align: center; }}
  caption {{ font-weight: 600; text-align: left; padding: 0.4rem 0; }}
+ #legend span {{ cursor: pointer; margin-right: 1rem; user-select: none;
+                 font-size: 0.9rem; }}
+ #legend span.off {{ opacity: 0.3; }}
+ svg text {{ font-size: 11px; fill: #444; }}
 </style></head>
 <body>
 <h1>WeatherBench-X TPU scorecard</h1>
-<label>Metric <select id="metric"></select></label>
-<label>Region <select id="region"></select></label>
+<div>
+ <label>Variable <select id="variable"></select></label>
+ <label>Metric <select id="metric"></select></label>
+ <label>Level <select id="level"></select></label>
+ <label>Region <select id="region"></select></label>
+ <label><input type="radio" name="rel" value="abs" checked> Absolute</label>
+ <label><input type="radio" name="rel" value="rel"> Relative to
+  <select id="baseline"></select></label>
+</div>
+<div id="legend"></div>
+<svg id="chart" width="900" height="420"></svg>
 <div id="tables"></div>
 <script>
 const DATA = {data_json};
-const metricSel = document.getElementById('metric');
-const regionSel = document.getElementById('region');
-for (const m of DATA.metrics) metricSel.add(new Option(m, m));
-for (const r of DATA.regions) regionSel.add(new Option(r, r));
+const PALETTE = ['#1f77b4','#ff7f0e','#2ca02c','#d62728','#9467bd',
+                 '#8c564b','#e377c2','#7f7f7f','#bcbd22','#17becf'];
+const hidden = new Set();
+const $ = id => document.getElementById(id);
+function fill(sel, opts) {{
+  const prev = sel.value; sel.innerHTML = '';
+  for (const o of opts) sel.add(new Option(o, o));
+  if (opts.includes(prev)) sel.value = prev;
+}}
+fill($('variable'), DATA.variables);
+fill($('metric'), DATA.metrics);
+fill($('region'), DATA.regions);
+fill($('baseline'), DATA.models);
+function relMode() {{
+  return document.querySelector('input[name=rel]:checked').value === 'rel';
+}}
+function currentEntry() {{
+  const v = $('variable').value, m = $('metric').value;
+  const byMetric = DATA.values[v]?.[m];
+  if (!byMetric) return null;
+  const levels = Object.keys(byMetric);
+  fill($('level'), levels);
+  $('level').disabled = levels.length === 1 && levels[0] === 'all';
+  return byMetric[$('level').value]?.[$('region').value] ?? null;
+}}
+function applyRelative(rows, metric) {{
+  const b = DATA.models.indexOf($('baseline').value);
+  const base = rows[b];
+  return rows.map(row => row.map((x, j) => {{
+    if (DATA.lead_hours[j] === 0) return null;  // no relative at t=0
+    if (x == null || base[j] == null) return null;
+    return metric === 'ACC' ? 100 * (x - base[j]) / (1 - base[j])
+                            : -100 * (x - base[j]) / base[j];
+  }}));
+}}
+function drawChart(rows, ylabel) {{
+  const svg = $('chart'), W = 900, H = 420;
+  const ml = 70, mr = 20, mt = 15, mb = 45;
+  const xs = DATA.lead_hours;
+  const shown = rows.map((r, i) => hidden.has(DATA.models[i]) ? null : r);
+  const flat = shown.flat().filter(x => x != null && isFinite(x));
+  if (!flat.length) {{ svg.innerHTML =
+      '<text x="400" y="200">No finite data for this selection.</text>';
+      return; }}
+  let lo = Math.min(...flat), hi = Math.max(...flat);
+  if (lo === hi) {{ lo -= 1; hi += 1; }}
+  const x0 = Math.min(...xs), x1 = Math.max(...xs);
+  const X = h => ml + (W - ml - mr) * (x1 > x0 ? (h - x0) / (x1 - x0) : 0.5);
+  const Y = v => H - mb - (H - mt - mb) * (v - lo) / (hi - lo);
+  let out = '';
+  for (let t = 0; t <= 5; t++) {{          // y grid + labels
+    const v = lo + (hi - lo) * t / 5, y = Y(v);
+    out += `<line x1="${{ml}}" y1="${{y}}" x2="${{W - mr}}" y2="${{y}}"
+            stroke="#eee"/><text x="${{ml - 6}}" y="${{y + 4}}"
+            text-anchor="end">${{v.toPrecision(3)}}</text>`;
+  }}
+  for (const h of xs) out += `<text x="${{X(h)}}" y="${{H - mb + 16}}"
+      text-anchor="middle">${{h}}h</text>`;
+  out += `<text x="${{ml - 52}}" y="${{(mt + H - mb) / 2}}"
+      transform="rotate(-90 ${{ml - 52}} ${{(mt + H - mb) / 2}})"
+      text-anchor="middle">${{ylabel}}</text>`;
+  shown.forEach((row, i) => {{
+    if (!row) return;
+    const pts = xs.map((h, j) => [h, row[j]])
+        .filter(p => p[1] != null && isFinite(p[1]));  // connectgaps
+    if (!pts.length) return;
+    const c = PALETTE[i % PALETTE.length];
+    out += '<polyline fill="none" stroke="' + c + '" stroke-width="2" '
+        + 'points="' + pts.map(p => `${{X(p[0])}},${{Y(p[1])}}`).join(' ')
+        + '"/>';
+    for (const p of pts) out += `<circle cx="${{X(p[0])}}" cy="${{Y(p[1])}}"
+        r="2.5" fill="${{c}}"><title>${{DATA.models[i]}} @ ${{p[0]}}h:
+        ${{p[1].toPrecision(5)}}</title></circle>`;
+  }});
+  svg.innerHTML = out;
+}}
+function drawLegend() {{
+  $('legend').innerHTML = DATA.models.map((m, i) =>
+    `<span data-m="${{m}}" class="${{hidden.has(m) ? 'off' : ''}}"
+     style="color:${{PALETTE[i % PALETTE.length]}}">&#9632; ${{m}}</span>`
+  ).join('');
+  for (const el of $('legend').children)
+    el.onclick = () => {{
+      const m = el.dataset.m;
+      hidden.has(m) ? hidden.delete(m) : hidden.add(m);
+      render();
+    }};
+}}
 function color(v, lo, hi) {{
-  if (!isFinite(v)) return '#eee';
+  if (v == null || !isFinite(v)) return '#eee';
   const t = hi > lo ? (v - lo) / (hi - lo) : 0.5;
   const g = Math.round(235 - 110 * t), r = Math.round(125 + 110 * t);
   return `rgb(${{r}},${{g}},125)`;
 }}
-function render() {{
-  const metric = metricSel.value, region = regionSel.value;
-  let out = '';
-  for (const variable of DATA.variables) {{
-    const entry = DATA.values[variable]?.[metric]?.[region];
-    if (!entry) continue;
-    const vals = entry.flat().filter(isFinite);
-    const lo = Math.min(...vals), hi = Math.max(...vals);
-    out += `<table><caption>${{variable}} — ${{metric}} — ${{region}}</caption>`;
-    out += '<tr><th>model</th>' + DATA.lead_times.map(
-        l => `<th>${{l}}</th>`).join('') + '</tr>';
-    DATA.models.forEach((model, i) => {{
-      out += `<tr><th>${{model}}</th>` + entry[i].map(v =>
-        `<td style="background:${{color(v, lo, hi)}}">` +
-        (isFinite(v) ? v.toPrecision(4) : '—') + '</td>').join('') + '</tr>';
-    }});
-    out += '</table>';
-  }}
-  document.getElementById('tables').innerHTML =
-      out || '<p>No data for this selection.</p>';
+function drawTable(rows, title) {{
+  const vals = rows.flat().filter(x => x != null && isFinite(x));
+  const lo = Math.min(...vals), hi = Math.max(...vals);
+  let out = `<table><caption>${{title}}</caption>`;
+  out += '<tr><th>model</th>' + DATA.lead_times.map(
+      l => `<th>${{l}}</th>`).join('') + '</tr>';
+  rows.forEach((row, i) => {{
+    out += `<tr><th>${{DATA.models[i]}}</th>` + row.map(v =>
+      `<td style="background:${{color(v, lo, hi)}}">` +
+      (v != null && isFinite(v) ? v.toPrecision(4) : '&mdash;')
+      + '</td>').join('') + '</tr>';
+  }});
+  $('tables').innerHTML = out + '</table>';
 }}
-metricSel.onchange = regionSel.onchange = render;
+function render() {{
+  $('baseline').disabled = !relMode();
+  let rows = currentEntry();
+  drawLegend();
+  if (!rows) {{
+    $('chart').innerHTML = '';
+    $('tables').innerHTML = '<p>No data for this selection.</p>';
+    return;
+  }}
+  const metric = $('metric').value;
+  let ylabel = metric;
+  if (relMode()) {{
+    rows = applyRelative(rows, metric);
+    ylabel = `% improvement vs ${{$('baseline').value}}`;
+  }}
+  const title = [$('variable').value, metric, $('level').value,
+                 $('region').value].filter(s => s !== 'all').join(' &mdash; ');
+  drawChart(rows, ylabel);
+  drawTable(rows, title);
+}}
+for (const id of ['variable', 'metric', 'level', 'region', 'baseline'])
+  $(id).onchange = render;
+for (const r of document.querySelectorAll('input[name=rel]'))
+  r.onchange = render;
 render();
 </script>
 </body></html>
@@ -79,7 +201,11 @@ render();
 
 
 def render_scorecard_html(scorecard_path: str) -> str:
-  """Renders the combined scorecard npz into a standalone HTML page."""
+  """Renders the combined scorecard npz into a standalone HTML page.
+
+  The input follows the ``combine_results`` schema: one DimArray per
+  variable with dims ``(model, metric[, level][, lead_time][, region])``.
+  """
   sc = io_lib.load_dataset(scorecard_path)
   variables = sorted(str(v) for v in sc.keys())
   first = sc[variables[0]]
@@ -90,28 +216,42 @@ def render_scorecard_html(scorecard_path: str) -> str:
              if 'region' in first.dims else ['all'])
   if 'lead_time' in first.dims:
     lead_values = first.coord_values('lead_time')
-    lead_labels = [str(np.timedelta64(l, 'h')) if lead_values.dtype.kind == 'm'
-                   else str(l) for l in lead_values]
+    if lead_values.dtype.kind == 'm':
+      lead_hours = (lead_values.astype('timedelta64[h]')
+                    .astype(np.int64).tolist())
+    else:
+      lead_hours = [int(l) for l in lead_values]
+    lead_labels = [f'{h}h' for h in lead_hours]
   else:
+    lead_hours = [0]
     lead_labels = ['value']
 
   values: dict = {}
   for variable in variables:
     da = sc[variable]
+    level_values = (list(da.coord_values('level'))
+                    if 'level' in da.dims else [None])
     values[variable] = {}
     for metric in [str(m) for m in da.coord_values('metric')]:
-      values[variable][metric] = {}
-      sel = da.sel(metric=metric)
-      for region in regions:
-        r = sel.sel(region=region) if 'region' in sel.dims else sel
-        order = ['model'] + (['lead_time'] if 'lead_time' in r.dims else [])
-        r = r.transpose(*order) if r.dims != tuple(order) else r
-        arr = np.asarray(r.values, dtype=np.float64)
-        if arr.ndim == 1:
-          arr = arr[:, None]
-        values[variable][metric][region] = [
-            [None if not np.isfinite(x) else float(x) for x in row]
-            for row in arr]
+      by_level: dict = {}
+      msel = da.sel(metric=metric)
+      for level_value in level_values:
+        level = 'all' if level_value is None else str(level_value)
+        lsel = (msel.sel(level=level_value)
+                if level_value is not None else msel)
+        by_region: dict = {}
+        for region in regions:
+          r = lsel.sel(region=region) if 'region' in lsel.dims else lsel
+          order = ['model'] + (['lead_time'] if 'lead_time' in r.dims else [])
+          r = r.transpose(*order) if r.dims != tuple(order) else r
+          arr = np.asarray(r.values, dtype=np.float64)
+          if arr.ndim == 1:
+            arr = arr[:, None]
+          by_region[region] = [
+              [None if not np.isfinite(x) else float(x) for x in row]
+              for row in arr]
+        by_level[level] = by_region
+      values[variable][metric] = by_level
 
   data = {
       'variables': variables,
@@ -119,6 +259,7 @@ def render_scorecard_html(scorecard_path: str) -> str:
       'metrics': metrics,
       'regions': regions,
       'lead_times': lead_labels,
+      'lead_hours': lead_hours,
       'values': values,
   }
   return _PAGE.format(data_json=json.dumps(data))
