@@ -89,8 +89,17 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     pred_cfg = {'path': args.prediction_path, 'data_loader_kwargs': {}}
   elif is_probabilistic:
     pred_cfg = configs_lib.probabilistic_prediction_configs[pred_key]
-  else:
+  elif pred_key in configs_lib.deterministic_prediction_configs:
     pred_cfg = configs_lib.deterministic_prediction_configs[pred_key]
+  else:
+    known = sorted(set(configs_lib.deterministic_prediction_configs)
+                   | set(configs_lib.probabilistic_prediction_configs))
+    same_model = [k for k in known if k.startswith(args.prediction + '_')]
+    raise SystemExit(
+        f"Unknown prediction config '{pred_key}'. "
+        + (f'Configs for this model: {same_model}. ' if same_model
+           else f'Known models: {sorted({k.rsplit("_", 2)[0] for k in known})}. ')
+        + 'Use --prediction_path to point at a local file instead.')
   tgt_cfg = ({'path': args.target_path} if args.target_path
              else configs_lib.target_configs[
                  f'{args.target}_{args.resolution}'])

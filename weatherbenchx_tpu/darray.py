@@ -443,6 +443,11 @@ class DimArray:
       rest = [d for d in self.dims if d not in named]
       i = dims.index('...')
       dims = tuple(named[:i]) + tuple(rest) + tuple(named[i:])
+    missing = [d for d in dims if d not in self.dims]
+    if missing or len(dims) != len(self.dims):
+      raise ValueError(
+          f'transpose dims {dims} do not match array dims {self.dims}'
+          + (f' (unknown: {missing})' if missing else ''))
     order = [self.dims.index(d) for d in dims]
     # Host data stays numpy: keeps pure host-side workflows (result
     # combination, serialization) off the accelerator entirely.

@@ -87,6 +87,9 @@ class EnsembleMean(InputTransform):
 
   @property
   def unique_name_suffix(self) -> str:
+    # The 'self._'-prefixed key text is intentional: the reference builds this
+    # suffix with f'..._{self._ensemble_dim=}_{self._skipna=}'
+    # (wrappers.py:142-143), and saved AggregationState keys must match.
     return (f'ensemble_mean_self._ensemble_dim={self._ensemble_dim!r}_'
             f'self._skipna={self._skipna}')
 
