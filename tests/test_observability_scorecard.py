@@ -79,3 +79,21 @@ class TestScorecardHTML:
     data = json.loads(re.search(r'const DATA = (\{.*?\});\n', page,
                                 re.S).group(1))
     assert data['values']['v']['RMSE']['all']['all'] == [[None]]
+
+  def test_level_dimension_gets_own_layer(self, tmp_path):
+    da = DimArray(
+        np.arange(12.0).reshape(1, 1, 3, 2, 2),
+        ('model', 'metric', 'level', 'lead_time', 'region'),
+        {'model': np.array(['a']), 'metric': np.array(['RMSE']),
+         'level': np.array([500, 700, 850]),
+         'lead_time': np.array([0, 6], 'timedelta64[h]').astype(
+             'timedelta64[ns]'),
+         'region': np.array(['global', 'tropics'])})
+    path = str(tmp_path / 'sc.npz')
+    io_lib.save_dataset(path, {'z': da})
+    page = scorecard_html.render_scorecard_html(path)
+    data = json.loads(re.search(r'const DATA = (\{.*?\});\n', page,
+                                re.S).group(1))
+    assert list(data['values']['z']['RMSE'].keys()) == ['500', '700', '850']
+    assert data['values']['z']['RMSE']['700']['tropics'] == [[5.0, 7.0]]
+    assert data['lead_hours'] == [0, 6]
