@@ -291,3 +291,80 @@ class TestWrappers:
     out = wrappers.WeibullEnsembleToProbabilistic(
         'predictions').transform_fn(da)
     np.testing.assert_allclose(np.asarray(out.values), [2 / 4, 2 / 4])
+
+
+class TestDecisionSupport:
+  """Confident/Covered/JaccardDistant/Opportunism (reference
+  categorical.py:701-971) on hand-computed intervals."""
+
+  def _setup(self):
+    lats = np.array([0.0, 10.0])
+    lons = np.array([0.0])
+    init = np.array(['2020-01-01T00'], dtype='datetime64[ns]')
+    lead = np.array([0], dtype='timedelta64[h]').astype('timedelta64[ns]')
+    dims = ('number', 'init_time', 'lead_time', 'latitude', 'longitude')
+    coords = {'number': np.arange(5), 'init_time': init, 'lead_time': lead,
+              'latitude': lats, 'longitude': lons}
+    # Members 0..4 at every point: q0.1 = 0.4, q0.9 = 3.6, spread 3.2.
+    vals = np.broadcast_to(
+        np.arange(5.0)[:, None, None, None, None], (5, 1, 1, 2, 1)).copy()
+    preds = {'v': DimArray(vals.astype(np.float32), dims, coords)}
+    # Both targets inside [0.4, 3.6] -> Covered mean 1.0.
+    tgts = {'v': DimArray(
+        np.array([2.0, 1.0], np.float32).reshape(1, 1, 2, 1),
+        dims[1:], {k: coords[k] for k in dims[1:]})}
+    # Climatological quantile intervals: lat0 [0, 10], lat1 [100, 102].
+    base = np.array([[[0.0], [100.0]], [[10.0], [102.0]]], np.float32)
+    clim = {'v': DimArray(
+        np.broadcast_to(base, (366, 4, 2, 2, 1)).copy(),
+        ('dayofyear', 'hour', 'quantile', 'latitude', 'longitude'),
+        {'dayofyear': np.arange(1, 367), 'hour': np.array([0, 6, 12, 18]),
+         'quantile': np.array([0.1, 0.9]), 'latitude': lats,
+         'longitude': lons})}
+    return preds, tgts, clim
+
+  def test_statistics_hand_values(self):
+    preds, tgts, clim = self._setup()
+    reduce = ['init_time', 'lead_time', 'latitude', 'longitude']
+    # Confident: spread 3.2 vs 0.7*clim_spread -> lat0: 3.2 < 7 True,
+    # lat1: 3.2 < 1.4 False.
+    conf = categorical.Confident('number', clim).compute(preds, tgts)['v']
+    np.testing.assert_array_equal(
+        np.asarray(conf.values).ravel(), [True, False])
+    # Covered: both targets inside the [0.4, 3.6] ensemble interval.
+    cov = categorical.Covered('number').compute(preds, tgts)['v']
+    np.testing.assert_array_equal(
+        np.asarray(cov.values).ravel(), [True, True])
+    # Jaccard: lat0 [0.4,3.6] vs [0,10] -> dist 0.68 < 0.75 -> False;
+    # lat1 vs [100,102] disjoint -> dist 1 -> True.
+    jd = categorical.JaccardDistant('number', clim).compute(
+        preds, tgts)['v']
+    np.testing.assert_array_equal(
+        np.asarray(jd.values).ravel(), [False, True])
+    results = compute_all(
+        {'opp': categorical.Opportunism(
+            'number', clim, is_confident=True, is_covered=True,
+            is_jaccard_distant=True)},
+        preds, tgts, reduce)
+    # Product of means: 0.5 * 1.0 * 0.5.
+    assert results['opp.v'].item() == pytest.approx(0.25)
+    results = compute_all(
+        {'opp': categorical.Opportunism(
+            'number', clim, is_confident=False, is_covered=False,
+            is_jaccard_distant=False)},
+        preds, tgts, reduce)
+    assert results['opp.v'].item() == pytest.approx(0.0)
+    results = compute_all(
+        {'opp': categorical.Opportunism('number', clim, is_confident=True)},
+        preds, tgts, reduce)
+    assert results['opp.v'].item() == pytest.approx(0.5)
+
+  def test_jaccard_identical_point_intervals_not_distant(self):
+    preds, tgts, clim = self._setup()
+    # Constant ensemble at 5 -> prediction interval [5, 5]; climatology
+    # interval also [5, 5]: union 0 -> Jaccard index 1 -> distance 0.
+    p = preds['v'].copy(data=np.full_like(np.asarray(preds['v'].values), 5.0))
+    c = clim['v'].copy(data=np.full_like(np.asarray(clim['v'].values), 5.0))
+    jd = categorical.JaccardDistant('number', {'v': c}).compute(
+        {'v': p}, tgts)['v']
+    assert not np.asarray(jd.values).any()

@@ -336,6 +336,11 @@ class Aggregator:
 
   def aggregate_stat_var(self, stat: DimArray) -> AggregationState | None:
     """Aggregate one statistic DimArray for one variable."""
+    if stat.dtype == np.bool_:
+      # XLA reduces booleans with logical OR, so a bool statistic (Covered,
+      # Confident, ErrorExceedance, ...) would aggregate to "any" instead of
+      # a weighted mean. Promote before the einsum (xr.dot promotes too).
+      stat = stat.astype(np.float32)
     if self.masked and stat.has_coord('mask'):
       mask = DimArray(stat.coords['mask'].values,
                       stat.coords['mask'].dims)
