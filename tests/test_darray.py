@@ -276,3 +276,11 @@ class TestApplyUfunc:
         a, input_core_dims=[('e',)], output_core_dims=[()])
     assert out.dims == ('x', 'y')
     np.testing.assert_allclose(out.values, a.values.max(axis=-1))
+
+
+def test_dot_all_bool_counts_instead_of_or():
+  a = DimArray(np.array([True, False, True]), ('x',))
+  b = DimArray(np.array([True, True, False]), ('x',))
+  out = darray.dot(a, b, dim='x')
+  # ANDed indicator count, not logical OR: one overlapping True.
+  assert float(np.asarray(out.values)) == 1.0

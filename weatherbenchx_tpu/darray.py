@@ -782,7 +782,12 @@ def dot(*arrays: DimArray, dim: Sequence[str] | str) -> DimArray:
   letters = {d: chr(ord('a') + i) for i, d in enumerate(all_dims)}
   spec = ','.join(''.join(letters[d] for d in a.dims) for a in arrays)
   spec += '->' + ''.join(letters[d] for d in out_dims)
-  data = jnp.einsum(spec, *[jnp.asarray(a.data) for a in arrays])
+  operands = [jnp.asarray(a.data) for a in arrays]
+  if all(op.dtype == jnp.bool_ for op in operands):
+    # XLA reduces booleans with logical OR; an all-bool contraction would
+    # compute 'any' instead of a count. (Mixed operands promote to float.)
+    operands = [op.astype(jnp.float32) for op in operands]
+  data = jnp.einsum(spec, *operands)
   coords = _merge_coords(out_dims, *[a.coords for a in arrays])
   return DimArray(data, out_dims, coords)
 
