@@ -7,6 +7,10 @@ import importlib
 import inspect
 import io
 import os
+import sys
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), '..')))
 
 import jax
 
