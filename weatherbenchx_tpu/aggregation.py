@@ -24,7 +24,6 @@ TPU-native mapping:
   (``aggregation.py:227-258``).
 """
 
-import collections
 import dataclasses
 from typing import Any, Callable, Collection, Hashable, Iterable, Mapping, Sequence
 

@@ -256,8 +256,6 @@ def _diagonal_take(da: DimArray, dim: str, idx: np.ndarray,
   Equivalent to xarray's pointwise sel when the indexer shares dims with the
   array (the second time-coord select of a dayofyear/hour climatology).
   """
-  import jax.numpy as jnp
-
   # Move out_dims to front, dim right after.
   order = [d for d in out_dims] + [dim] + [
       d for d in da.dims if d not in out_dims and d != dim]

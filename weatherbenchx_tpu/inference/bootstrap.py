@@ -13,7 +13,7 @@ import numpy as np
 from weatherbenchx_tpu import aggregation
 from weatherbenchx_tpu import darray
 from weatherbenchx_tpu import tree
-from weatherbenchx_tpu.darray import Coord, DimArray
+from weatherbenchx_tpu.darray import DimArray
 from weatherbenchx_tpu.metrics import base as metrics_base
 from weatherbenchx_tpu.inference import autodiff
 from weatherbenchx_tpu.inference import base

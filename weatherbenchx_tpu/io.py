@@ -10,7 +10,6 @@ is installed (mirrors the reference's netCDF artifacts, e.g.
 ``beam_pipeline.py:369-404``).
 """
 
-import io as _io
 import json
 from typing import Hashable, Mapping
 

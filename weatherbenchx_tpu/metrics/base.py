@@ -18,11 +18,10 @@ materializes per-point statistics in HBM unless asked to).
 """
 
 import abc
-from typing import Any, Callable, Hashable, Iterator, Mapping, final
+from typing import Any, Hashable, Iterator, Mapping, final
 
 import numpy as np
 
-from weatherbenchx_tpu import tree
 from weatherbenchx_tpu.darray import Coord, DimArray
 
 

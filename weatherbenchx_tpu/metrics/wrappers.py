@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from weatherbenchx_tpu import darray
-from weatherbenchx_tpu import tree
 from weatherbenchx_tpu.darray import Coord, DimArray
 from weatherbenchx_tpu.metrics import base
 

@@ -15,13 +15,11 @@ import os
 from typing import Hashable, Mapping, Optional
 
 import jax
-import numpy as np
 
 from weatherbenchx_tpu import aggregation as aggregation_lib
 from weatherbenchx_tpu import io as io_lib
 from weatherbenchx_tpu import time_chunks as time_chunks_lib
-from weatherbenchx_tpu import tree
-from weatherbenchx_tpu.darray import Coord, DimArray
+from weatherbenchx_tpu.darray import DimArray
 from weatherbenchx_tpu.data import base as data_base
 from weatherbenchx_tpu.metrics import base as metrics_base
 from weatherbenchx_tpu.parallel import evaluator as evaluator_lib
