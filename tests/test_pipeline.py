@@ -342,3 +342,63 @@ class TestLoaders:
     src = tgt_ds['t'].sel(valid_time=t2018)
     np.testing.assert_array_equal(
         da.isel(number=0, init_time=0, lead_time=0).values, src.values)
+
+
+class TestDistributedPartition:
+  """Multi-process data parallelism, simulated single-process.
+
+  distributed=True partitions chunks by index % process_count and combines
+  per-process partial states with a monoid sum over DCN
+  (pipeline.py:_chunk_stream/_allgather_sum_states). Simulate two processes
+  by patching jax.process_count/index and summing the partials by hand —
+  the monoid sum is exactly what the host all-gather applies.
+  """
+
+  def test_two_process_partials_sum_to_full_result(self, monkeypatch):
+    pred_ds, tgt_ds, init_times, lead_times = _source_datasets()
+    agg = aggregation.Aggregator(
+        reduce_dims=['init_time', 'latitude', 'longitude'],
+        weigh_by=[weighting.GridAreaWeighting()])
+
+    def make_pipe():
+      return pipeline_lib.EvaluationPipeline(
+          metrics=METRICS, aggregator=agg,
+          predictions_loader=loaders.PredictionsFromDataset(
+              ds=pred_ds, rename_dimensions=None),
+          targets_loader=loaders.TargetsFromDataset(
+              ds=tgt_ds, rename_dimensions=None),
+          times=time_chunks_lib.TimeChunks(
+              init_times, lead_times,
+              init_time_chunk_size=1, lead_time_chunk_size=2),
+          distributed=True)
+
+    # The DCN combine is the monoid sum; patch it out and apply by hand.
+    monkeypatch.setattr(pipeline_lib, '_allgather_sum_states', lambda s: s)
+    monkeypatch.setattr(jax, 'process_count', lambda: 2)
+    partials = []
+    chunk_counts = []
+    for pi in [0, 1]:
+      monkeypatch.setattr(jax, 'process_index', lambda pi=pi: pi)
+      pipe = make_pipe()
+      seen = sum(1 for _ in pipe._chunk_stream())
+      chunk_counts.append(seen)
+      partials.append(pipe.run())
+    # The two processes saw disjoint, jointly-exhaustive chunk sets.
+    n_chunks = len(list(time_chunks_lib.TimeChunks(
+        init_times, lead_times, init_time_chunk_size=1,
+        lead_time_chunk_size=2)))
+    assert sum(chunk_counts) == n_chunks and min(chunk_counts) > 0
+
+    combined = aggregation.AggregationState.sum(partials)
+    values = combined.metric_values(METRICS)
+
+    monkeypatch.setattr(jax, 'process_count', lambda: 1)
+    monkeypatch.setattr(jax, 'process_index', lambda: 0)
+    single = make_pipe()
+    single.distributed = False
+    expected = single.run().metric_values(METRICS)
+    assert set(values) == set(expected)
+    for k in expected:
+      a = values[k].transpose(*expected[k].dims)
+      np.testing.assert_allclose(np.asarray(a.values),
+                                 np.asarray(expected[k].values), atol=1e-5)
