@@ -402,3 +402,61 @@ class TestDistributedPartition:
       a = values[k].transpose(*expected[k].dims)
       np.testing.assert_allclose(np.asarray(a.values),
                                  np.asarray(expected[k].values), atol=1e-5)
+
+
+class TestChunksPerDispatch:
+  """chunks_per_dispatch > 1 (vmapped multi-chunk XLA dispatch) must equal
+  the one-dispatch-per-chunk result, including climatology gather coords
+  and mesh sharding."""
+
+  def _values(self, group, mesh=None, dim_to_axis=None):
+    pred_ds, tgt_ds, init_times, lead_times = _source_datasets()
+    agg = aggregation.Aggregator(
+        reduce_dims=['init_time', 'latitude', 'longitude'],
+        weigh_by=[weighting.GridAreaWeighting()],
+        bin_by=[binning.Regions({'global': ((-90, 90), (0, 360)),
+                                 'nh': ((20, 90), (0, 360))})])
+    # Climatology exercises the precomputed gather-index device coords
+    # under vmap (Statistic.prepare_chunk leaves get a batch axis).
+    clim = {'2m_temperature': DimArray(
+        np.random.default_rng(7).standard_normal((366, 4, 7, 8)).astype(
+            np.float32),
+        ('dayofyear', 'hour', 'latitude', 'longitude'),
+        {'dayofyear': np.arange(1, 367),
+         'hour': np.array([0, 6, 12, 18]),
+         'latitude': np.linspace(-90, 90, 7),
+         'longitude': np.linspace(0, 360, 8, endpoint=False)})}
+    metrics = dict(METRICS, acc=deterministic.ACC(climatology=clim))
+    pipe = pipeline_lib.EvaluationPipeline(
+        metrics=metrics, aggregator=agg,
+        predictions_loader=loaders.PredictionsFromDataset(
+            ds=pred_ds, rename_dimensions=None),
+        targets_loader=loaders.TargetsFromDataset(
+            ds=tgt_ds, rename_dimensions=None),
+        times=time_chunks_lib.TimeChunks(
+            init_times, lead_times,
+            init_time_chunk_size=1, lead_time_chunk_size=2),
+        mesh=mesh, dim_to_axis=dim_to_axis,
+        chunks_per_dispatch=group)
+    return pipe.run().metric_values(metrics)
+
+  @pytest.mark.parametrize('group', [3, 5])
+  def test_batched_equals_single(self, group):
+    single = self._values(1)
+    batched = self._values(group)  # 5 does not divide 24: tail flush path
+    assert set(batched) == set(single)
+    for k in single:
+      a = batched[k].transpose(*single[k].dims)
+      np.testing.assert_allclose(np.asarray(a.values),
+                                 np.asarray(single[k].values), atol=1e-5)
+
+  def test_batched_on_mesh(self):
+    mesh = jax.make_mesh((2, 4), ('batch', 'space'))
+    single = self._values(1)
+    batched = self._values(4, mesh=mesh,
+                           dim_to_axis={'lead_time': 'batch',
+                                        'longitude': 'space'})
+    for k in single:
+      a = batched[k].transpose(*single[k].dims)
+      np.testing.assert_allclose(np.asarray(a.values),
+                                 np.asarray(single[k].values), atol=1e-5)

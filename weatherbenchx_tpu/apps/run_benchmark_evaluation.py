@@ -62,6 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument('--checkpoint_every', type=int, default=0)
   p.add_argument('--compilation_cache_dir', default=None,
                  help='Persistent XLA compilation cache directory')
+  p.add_argument('--chunks_per_dispatch', type=int, default=1,
+                 help='Structurally-identical chunks evaluated per XLA '
+                      'dispatch (amortizes dispatch latency)')
   return p
 
 
@@ -202,7 +205,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
       times, out_path=out_path,
       checkpoint_path=(out_path + '.ckpt' if args.checkpoint_every else None),
       checkpoint_every=args.checkpoint_every,
-      compilation_cache_dir=args.compilation_cache_dir)
+      compilation_cache_dir=args.compilation_cache_dir,
+      chunks_per_dispatch=args.chunks_per_dispatch)
   print(f'Wrote {len(values)} metric variables.')
 
 

@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument('--checkpoint_every', type=int, default=0)
   p.add_argument('--compilation_cache_dir', default=None,
                  help='Persistent XLA compilation cache directory')
+  p.add_argument('--chunks_per_dispatch', type=int, default=1,
+                 help='Structurally-identical chunks evaluated per XLA '
+                      'dispatch (amortizes dispatch latency)')
   return p
 
 
@@ -113,7 +116,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
       aggregation_state_out_path=args.aggregation_state_output_path,
       checkpoint_path=args.checkpoint_path,
       checkpoint_every=args.checkpoint_every,
-      compilation_cache_dir=args.compilation_cache_dir)
+      compilation_cache_dir=args.compilation_cache_dir,
+      chunks_per_dispatch=args.chunks_per_dispatch)
   print(f'Wrote {len(values)} metric variables to {args.output_path}')
   for k, v in sorted(values.items()):
     print(f'  {k}: dims={v.dims} shape={v.shape}')

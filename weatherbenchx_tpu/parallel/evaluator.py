@@ -125,11 +125,26 @@ class ChunkEvaluator:
         name for b in (self.aggregator.bin_by or [])
         for name in b.host_coords}))
     self._jitted = jax.jit(self._eval_fn)
+    self._jitted_many = jax.jit(self._eval_many)
 
   def _eval_fn(self, predictions, targets) -> aggregation_lib.AggregationState:
     statistics = metrics_base.compute_unique_statistics_for_all_metrics(
         self.metrics, predictions, targets)
     return self.aggregator.aggregate_statistics(statistics)
+
+  def _eval_many(self, chunks):
+    """Evaluates N structurally-identical chunks in ONE XLA program.
+
+    ``chunks`` is a tuple of (predictions, targets) pairs. Inputs are
+    stacked along a new leading axis inside the program and the single-chunk
+    step is vmapped over it — one dispatch (and one host↔device round trip)
+    instead of N. Returns a state pytree whose leaves carry the leading
+    chunk axis; ``_split_states`` peels it back apart.
+    """
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *chunks)
+    return jax.vmap(
+        lambda pair: self._eval_fn(pair[0], pair[1]))(stacked)
 
   def _axis_for(self, dim: str, size: int) -> Optional[str]:
     """Mesh axis for a dim, or None (replicate) if unmapped/indivisible."""
@@ -158,8 +173,16 @@ class ChunkEvaluator:
           coords[name] = c
         else:
           v = jnp.asarray(c.values)
-          coords[name] = Coord(c.dims, jax.device_put(
-              v, self._named_sharding(c.dims, v.shape)))
+          if str(name).startswith(metrics_base.CLIM_INDEX_PREFIX):
+            # Climatology gather indices stay replicated: a gather with
+            # sharded indices into a replicated operand has no unambiguous
+            # output sharding (jax raises ShardingTypeError); the gather
+            # output is resharded to match the statistic downstream.
+            spec = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec())
+          else:
+            spec = self._named_sharding(c.dims, v.shape)
+          coords[name] = Coord(c.dims, jax.device_put(v, spec))
       out[var] = DimArray(placed, da.dims, coords)
     return out
 
@@ -169,6 +192,9 @@ class ChunkEvaluator:
       targets: Mapping[Hashable, DimArray],
   ) -> aggregation_lib.AggregationState:
     """Prepares, shards, and evaluates one chunk on the mesh."""
+    return self._jitted(*self.prepare_pair(predictions, targets))
+
+  def prepare_pair(self, predictions, targets):
     predictions = prepare_chunk(predictions, self._clim_stats,
                                 is_predictions=True, targets=targets,
                                 keep_host_coords=self._host_coords)
@@ -176,4 +202,50 @@ class ChunkEvaluator:
     if self.mesh is not None:
       predictions = self._shard(predictions)
       targets = self._shard(targets)
-    return self._jitted(predictions, targets)
+    return predictions, targets
+
+  def eval_chunks(
+      self,
+      pairs: Sequence[tuple],
+  ) -> list[aggregation_lib.AggregationState]:
+    """Evaluates several (predictions, targets) chunks in one dispatch.
+
+    All chunks must share pytree structure and leaf shapes (the pipeline
+    groups them that way); a single chunk falls through to ``eval_chunk``.
+    Amortizes per-dispatch host↔device latency — the dominant cost for
+    small chunks on remote-attached accelerators.
+    """
+    prepared = [self.prepare_pair(p, t) for p, t in pairs]
+    return self.eval_prepared(prepared)
+
+  def eval_prepared(
+      self, prepared: Sequence[tuple],
+  ) -> list[aggregation_lib.AggregationState]:
+    """Evaluates already-prepared (predictions, targets) pairs."""
+    if len(prepared) == 1:
+      return [self._jitted(*prepared[0])]
+    sigs = {batchable_signature(*pair) for pair in prepared}
+    if len(sigs) > 1:
+      # Shapes/structure diverged after preparation (e.g. a ragged tail
+      # chunk): evaluate one-by-one rather than failing the stack.
+      return [self._jitted(*pair) for pair in prepared]
+    stacked_state = self._jitted_many(tuple(prepared))
+    return _split_states(stacked_state, len(prepared))
+
+
+def _split_states(stacked_state, n: int) -> list:
+  """Splits a batched AggregationState (leading chunk axis on every leaf)."""
+  return [
+      jax.tree_util.tree_map(lambda x, k=k: x[k], stacked_state)
+      for k in range(n)
+  ]
+
+
+def batchable_signature(predictions, targets) -> tuple:
+  """Hashable key: chunks with equal keys can share one batched dispatch."""
+  leaves, treedef = jax.tree_util.tree_flatten((predictions, targets))
+  # Metadata only — never np.asarray a (possibly sharded device) leaf here.
+  shapes = tuple(
+      (getattr(l, 'shape', ()), str(getattr(l, 'dtype', type(l))))
+      for l in leaves)
+  return treedef, shapes
