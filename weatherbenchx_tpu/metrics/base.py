@@ -345,12 +345,12 @@ def attach_climatology_indices(
 ) -> dict[Hashable, DimArray]:
   """Precomputes clim alignment indices and attaches them as device coords.
 
-  Host-side per chunk (cheap: O(n_times)); the attached int32 coords are
-  pytree leaves, so the jitted statistic gathers without retracing when
-  chunk times change.
+  Host-side per chunk (cheap: O(n_times)). The int32 index coords are left
+  as numpy here; the pipeline's ``prepare_chunk`` moves them to the device
+  in one batched transfer (per-array transfers are a round trip each on
+  remote-attached accelerators), after which they are pytree leaves and the
+  jitted statistic gathers without retracing when chunk times change.
   """
-  import jax.numpy as jnp
-
   out = dict(predictions)
   for var, da in predictions.items():
     if var in climatology:
@@ -365,7 +365,7 @@ def attach_climatology_indices(
     vt_dims, vt = valid_time_coord(da)
     idx = climatology_alignment_indices(clim, vt)
     coords = {
-        f'{CLIM_INDEX_PREFIX}{d}': Coord(vt_dims, jnp.asarray(i, jnp.int32))
+        f'{CLIM_INDEX_PREFIX}{d}': Coord(vt_dims, np.asarray(i, np.int32))
         for d, i in idx.items()
     }
     out[var] = da.assign_coords(**coords)

@@ -29,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from weatherbenchx_tpu import aggregation as aggregation_lib
-from weatherbenchx_tpu import tree
 from weatherbenchx_tpu.darray import Coord, DimArray
 from weatherbenchx_tpu.metrics import base as metrics_base
 
@@ -59,7 +58,14 @@ def prepare_chunk(
 
   keep = set(keep_host_coords)
 
-  def convert(da: DimArray) -> DimArray:
+  # Two-phase conversion: collect every array bound for the device, then
+  # move them ALL in one jax.device_put. Per-array transfers are a full
+  # round trip each on remote-attached accelerators (~100x slower than one
+  # batched transfer for a typical chunk's coords).
+  pending: list[np.ndarray] = []
+  slots: list[tuple[Hashable, str, tuple]] = []  # (var, coord name, dims)
+
+  def convert(var, da: DimArray) -> DimArray:
     new_coords = {}
     for name, c in da.coords.items():
       v = c.values
@@ -70,12 +76,25 @@ def prepare_chunk(
           secs = v.astype('datetime64[s]').astype(np.int64)
         else:
           secs = v.astype('timedelta64[s]').astype(np.int64)
-        new_coords[name] = Coord(c.dims, jnp.asarray(secs))
+        pending.append(secs)
+        slots.append((var, name, c.dims))
+        new_coords[name] = c  # placeholder, replaced below
+      elif (isinstance(v, np.ndarray)
+            and str(name).startswith(metrics_base.CLIM_INDEX_PREFIX)):
+        pending.append(v)
+        slots.append((var, name, c.dims))
+        new_coords[name] = c
       else:
         new_coords[name] = c
     return DimArray(da.data, da.dims, new_coords)
 
-  return tree.map_structure(convert, out)
+  converted = {var: convert(var, da) for var, da in out.items()}
+  if pending:
+    moved = jax.device_put(pending)
+    for (var, name, dims), dev in zip(slots, moved):
+      da = converted[var]
+      converted[var] = da.assign_coords(**{name: Coord(dims, dev)})
+  return converted
 
 
 def restore_time_coords(da: DimArray) -> DimArray:
@@ -162,28 +181,41 @@ class ChunkEvaluator:
         self.mesh, jax.sharding.PartitionSpec(*axes))
 
   def _shard(self, data: Mapping[Hashable, DimArray]):
-    """Places chunk arrays across the mesh (device coords follow their dims)."""
-    out = {}
+    """Places chunk arrays across the mesh (device coords follow their dims).
+
+    All arrays move in ONE device_put call (per-array transfers are a
+    round trip each on remote-attached accelerators).
+    """
+    arrays, shardings, slots = [], [], []  # slots: (var, coord name or None)
     for var, da in data.items():
-      placed = jax.device_put(
-          jnp.asarray(da.data), self._named_sharding(da.dims, da.shape))
-      coords = {}
+      arrays.append(da.data)
+      shardings.append(self._named_sharding(da.dims, da.shape))
+      slots.append((var, None))
       for name, c in da.coords.items():
         if c.is_host:
-          coords[name] = c
+          continue
+        if str(name).startswith(metrics_base.CLIM_INDEX_PREFIX):
+          # Climatology gather indices stay replicated: a gather with
+          # sharded indices into a replicated operand has no unambiguous
+          # output sharding (jax raises ShardingTypeError); the gather
+          # output is resharded to match the statistic downstream.
+          spec = jax.sharding.NamedSharding(
+              self.mesh, jax.sharding.PartitionSpec())
         else:
-          v = jnp.asarray(c.values)
-          if str(name).startswith(metrics_base.CLIM_INDEX_PREFIX):
-            # Climatology gather indices stay replicated: a gather with
-            # sharded indices into a replicated operand has no unambiguous
-            # output sharding (jax raises ShardingTypeError); the gather
-            # output is resharded to match the statistic downstream.
-            spec = jax.sharding.NamedSharding(
-                self.mesh, jax.sharding.PartitionSpec())
-          else:
-            spec = self._named_sharding(c.dims, v.shape)
-          coords[name] = Coord(c.dims, jax.device_put(v, spec))
-      out[var] = DimArray(placed, da.dims, coords)
+          spec = self._named_sharding(c.dims, np.shape(c.values))
+        arrays.append(c.values)
+        shardings.append(spec)
+        slots.append((var, name))
+    moved = jax.device_put(arrays, shardings)
+    out = {var: da for var, da in data.items()}
+    for (var, name), dev in zip(slots, moved):
+      da = out[var]
+      if name is None:
+        out[var] = DimArray(dev, da.dims, da.coords)
+      else:
+        da = out[var]
+        out[var] = da.assign_coords(
+            **{name: Coord(da.coords[name].dims, dev)})
     return out
 
   def eval_chunk(
@@ -195,6 +227,7 @@ class ChunkEvaluator:
     return self._jitted(*self.prepare_pair(predictions, targets))
 
   def prepare_pair(self, predictions, targets):
+    """Host-side chunk preparation + batched device placement."""
     predictions = prepare_chunk(predictions, self._clim_stats,
                                 is_predictions=True, targets=targets,
                                 keep_host_coords=self._host_coords)
@@ -202,6 +235,10 @@ class ChunkEvaluator:
     if self.mesh is not None:
       predictions = self._shard(predictions)
       targets = self._shard(targets)
+    else:
+      # One transfer for the whole pair: letting jit move each numpy leaf
+      # individually costs a round trip per leaf on remote accelerators.
+      predictions, targets = jax.device_put((predictions, targets))
     return predictions, targets
 
   def eval_chunks(
