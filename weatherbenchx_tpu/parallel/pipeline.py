@@ -24,6 +24,7 @@ from concurrent import futures
 from typing import Hashable, Mapping, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from weatherbenchx_tpu import aggregation as aggregation_lib
@@ -302,10 +303,35 @@ def _allgather_sum_states(
   return aggregation_lib.AggregationState.sum(parts)
 
 
+@jax.jit
+def _tree_add_jitted(a, b):
+  # Add DimArray .data only — device coords (e.g. int64-seconds lead_time)
+  # are pytree leaves too and must NOT be summed across chunks.
+  return jax.tree_util.tree_map(
+      lambda x, y: x.copy(data=x.data + y.data), a, b,
+      is_leaf=lambda n: isinstance(n, DimArray))
+
+
 def _device_add(a: aggregation_lib.AggregationState,
                 b: aggregation_lib.AggregationState
                 ) -> aggregation_lib.AggregationState:
-  """Tree add of same-structure chunk states (device fast path)."""
+  """Tree add of same-structure chunk states (device fast path).
+
+  Same-layout states (the common case: both came from the same jitted
+  eval program) add in ONE jitted dispatch — the eager per-leaf add in
+  ``combining_sum`` would cost a round trip per leaf per chunk on
+  remote-attached accelerators. Mismatched layouts (ragged sparse chunks)
+  fall back to the general outer-join sum.
+  """
+  sa = jax.tree_util.tree_structure(a)
+  sb = jax.tree_util.tree_structure(b)
+  if sa == sb:
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    if all(getattr(x, 'shape', None) == getattr(y, 'shape', None)
+           and getattr(x, 'dtype', None) == getattr(y, 'dtype', None)
+           for x, y in zip(la, lb)):
+      return _tree_add_jitted(a, b)
   return aggregation_lib.AggregationState.sum([a, b])
 
 

@@ -61,6 +61,9 @@ class UnaggregatedPipeline:
           predictions, self._unique_stats, is_predictions=True,
           targets=targets)
       t = evaluator_lib.prepare_chunk(targets)
+      # One transfer for the whole pair (a transfer per leaf is a round
+      # trip each on remote-attached accelerators).
+      p, t = jax.device_put((p, t))
       stats = self._stats_fn(p, t)
       flat = {}
       for stat_name, stat_vars in stats.items():
