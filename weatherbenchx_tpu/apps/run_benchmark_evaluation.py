@@ -37,8 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument('--resolution', default='64x32',
                  choices=list(configs_lib.RESOLUTIONS))
   p.add_argument('--year', type=int, default=2020)
-  p.add_argument('--variables', required=True,
-                 help='Comma-delimited variables')
+  p.add_argument('--variables', default=None,
+                 help='Comma-delimited variables (default: the registry '
+                      "entry's standard variable list)")
   p.add_argument('--levels', default=None,
                  help='Comma-delimited pressure levels '
                       f'(default {configs_lib.DEFAULT_LEVELS})')
@@ -79,11 +80,6 @@ def _open_dataset(path: str) -> dict[str, DimArray]:
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
   args = build_parser().parse_args(argv)
-  variables = [v for v in args.variables.split(',') if v]
-  levels = ([int(l) for l in args.levels.split(',')]
-            if args.levels else configs_lib.DEFAULT_LEVELS)
-  precip_variables = [
-      v for v in variables if v in configs_lib.SEEPS_DRY_THRESHOLDS_MM]
 
   # 1. Config lookup (registry or explicit path overrides).
   pred_key = f'{args.prediction}_{args.resolution}_{args.year}'
@@ -106,9 +102,25 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
   tgt_cfg = ({'path': args.target_path} if args.target_path
              else configs_lib.target_configs[
                  f'{args.target}_{args.resolution}'])
+  clim_key = f'era5_{args.resolution}_{args.year}'
+  if clim_key not in configs_lib.climatology_configs:
+    clim_key = f'era5_{args.resolution}'
   clim_cfg = ({'path': args.climatology_path} if args.climatology_path
-              else configs_lib.climatology_configs[
-                  f'era5_{args.resolution}'])
+              else configs_lib.climatology_configs[clim_key])
+
+  if args.variables:
+    variables = [v for v in args.variables.split(',') if v]
+  elif pred_cfg.get('variables'):
+    variables = list(pred_cfg['variables'])
+  else:
+    raise SystemExit('--variables is required when the prediction config '
+                     'declares no default variable list.')
+  if args.levels:
+    levels = [int(l) for l in args.levels.split(',')]
+  else:
+    levels = list(pred_cfg.get('levels', configs_lib.DEFAULT_LEVELS))
+  precip_variables = [
+      v for v in variables if v in configs_lib.SEEPS_DRY_THRESHOLDS_MM]
 
   # 2. Times.
   init_times = np.arange(
@@ -124,15 +136,15 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
       lead_time_chunk_size=args.lead_time_chunk_size)
 
   # 3. Loaders.
-  sel_kwargs = {'level': levels} if args.levels is not None else None
+  sel_kwargs = {'level': levels} if levels else None
   loader_kwargs = dict(pred_cfg.get('data_loader_kwargs', {}))
   if sel_kwargs:
     loader_kwargs.setdefault('sel_kwargs', sel_kwargs)
   prediction_loader = loaders.PredictionsFromDataset(
       path=pred_cfg['path'], variables=variables, **loader_kwargs)
   target_loader = loaders.TargetsFromDataset(
-      path=tgt_cfg['path'], variables=variables,
-      sel_kwargs=sel_kwargs)
+      path=tgt_cfg['path'], variables=variables, sel_kwargs=sel_kwargs,
+      **tgt_cfg.get('data_loader_kwargs', {}))
 
   # 4. Metrics. SEEPS requires ascending latitudes on the climatology.
   climatology = _open_dataset(clim_cfg['path'])
