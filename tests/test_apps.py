@@ -198,3 +198,56 @@ class TestUnaggregatedPipeline:
     with open(os.path.join(out, 'manifest.json')) as f:
       manifest = json.load(f)
     assert len(manifest['shards']) == len(times)
+
+
+class TestConfigRegistry:
+  def test_reference_key_coverage(self):
+    """Every reference {model}_{res}_{year} key resolves in our registry."""
+    from weatherbenchx_tpu.apps import configs
+    expected = [
+        'hres_64x32_2018', 'hres_1440x721_2022',
+        'ens_mean_240x121_2020', 'era5_forecast_64x32_2018',
+        'pangu_1440x721_2022', 'pangu_hres_init_240x121_2020',
+        'keisler_64x32_2020', 'fuxi_1440x721_2020',
+        'neuralgcm_hres_240x121_2020', 'neuralgcm_ens_mean_64x32_2020',
+    ]
+    for key in expected:
+      assert key in configs.deterministic_prediction_configs, key
+    for key in ['ens_64x32_2018', 'ens_1440x721_2022',
+                'neuralgcm_ens_240x121_2020']:
+      assert key in configs.probabilistic_prediction_configs, key
+    for key in ['era5_64x32', 'hres_t0_1440x721']:
+      assert key in configs.target_configs, key
+    for key in ['era5_64x32_2018', 'era5_240x121_2020', 'era5_1440x721']:
+      assert key in configs.climatology_configs, key
+    # Climatological period follows the eval year.
+    assert '1990-2017' in configs.climatology_configs['era5_64x32_2018']['path']
+    assert '1990-2019' in configs.climatology_configs['era5_64x32_2020']['path']
+
+  def test_model_quirks(self):
+    from weatherbenchx_tpu.apps import configs
+    k = configs.deterministic_prediction_configs['keisler_64x32_2020']
+    assert k['data_loader_kwargs'] == {'add_nan_mask': True}
+    assert k['aggregator_kwargs'] == {'skipna': True}
+    f = configs.deterministic_prediction_configs['fuxi_64x32_2020']
+    assert f['levels'] == [500, 850]
+    assert 'specific_humidity' not in f['variables']
+    n = configs.probabilistic_prediction_configs['neuralgcm_ens_64x32_2020']
+    assert n['data_loader_kwargs']['rename_dimensions'][
+        'realization'] == 'number'
+    m0 = configs.single_member_configs()['ens-member0_64x32_2020']
+    assert m0['data_loader_kwargs']['sel_kwargs'] == {'number': 0}
+
+  def test_era5_target_sorts_latitude(self):
+    import numpy as np
+    from weatherbenchx_tpu.apps import configs
+    from weatherbenchx_tpu.darray import DimArray
+    fn = configs.target_configs['era5_64x32']['data_loader_kwargs'][
+        'preprocessing_fn']
+    ds = {'t': DimArray(np.arange(3.0), ('latitude',),
+                        {'latitude': np.array([30.0, 0.0, -30.0])}),
+          'scalar': DimArray(np.float32(1.0), ())}
+    out = fn(ds)
+    np.testing.assert_array_equal(out['t'].coord_values('latitude'),
+                                  [-30.0, 0.0, 30.0])
+    np.testing.assert_array_equal(np.asarray(out['t'].values), [2.0, 1.0, 0.0])
