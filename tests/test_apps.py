@@ -251,3 +251,40 @@ class TestConfigRegistry:
     np.testing.assert_array_equal(out['t'].coord_values('latitude'),
                                   [-30.0, 0.0, 30.0])
     np.testing.assert_array_equal(np.asarray(out['t'].values), [2.0, 1.0, 0.0])
+
+
+class TestHeterogeneousCombine:
+  def test_different_metric_sets_and_ranks(self, tmp_path):
+    """Deterministic + probabilistic results (different metric sets AND
+    different variable ranks) combine with NaN holes, not a crash."""
+    from weatherbenchx_tpu.darray import Coord, DimArray
+    leads = np.array([0, 6], 'timedelta64[h]').astype('timedelta64[ns]')
+    regions = np.array(['global'])
+    det = {
+        'rmse.z': DimArray(
+            np.ones((2, 3, 1)), ('lead_time', 'level', 'region'),
+            {'lead_time': leads, 'level': np.array([500, 700, 850]),
+             'region': regions}),
+        'rmse.t2m': DimArray(np.ones((2, 1)), ('lead_time', 'region'),
+                             {'lead_time': leads, 'region': regions}),
+    }
+    prob = {
+        'crps.t2m': DimArray(np.full((2, 1), 0.5), ('lead_time', 'region'),
+                             {'lead_time': leads, 'region': regions}),
+    }
+    io_lib.save_dataset(str(tmp_path / 'hres_vs_x.npz'), det)
+    io_lib.save_dataset(str(tmp_path / 'ens_vs_x.npz'), prob)
+    out = combine_results.combine_model_results({
+        'hres': str(tmp_path / 'hres_vs_x.npz'),
+        'ens': str(tmp_path / 'ens_vs_x.npz')})
+    z = out['z']
+    assert z.dims == ('model', 'metric', 'lead_time', 'level', 'region')
+    ens_row = np.asarray(z.sel(model='ens').values)
+    assert np.isnan(ens_row).all()  # ens has no z at all -> NaN hole
+    t2m = out['t2m']
+    crps = t2m.sel(model='ens', metric='CRPS')
+    np.testing.assert_allclose(np.asarray(crps.values), 0.5)
+    assert np.isnan(
+        np.asarray(t2m.sel(model='hres', metric='CRPS').values)).all()
+    np.testing.assert_allclose(
+        np.asarray(t2m.sel(model='hres', metric='RMSE').values), 1.0)

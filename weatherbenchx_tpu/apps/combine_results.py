@@ -63,8 +63,17 @@ def combine_model_results(
       for metric in metric_names:
         da = per_model[model].get(var, {}).get(metric)
         if da is None:
-          template = next(iter(per_model[model].values()))
-          template = next(iter(template.values()))
+          # NaN fill for a (model, variable, metric) hole. The template
+          # must come from the SAME (variable, metric) of another model
+          # (same dims) — a different variable of this model may have a
+          # different rank (e.g. pressure-level vs surface).
+          template = next(
+              (per_model[m][var][metric] for m in models
+               if metric in per_model[m].get(var, {})), None)
+          if template is None:  # metric exists only under other variables
+            template = next(
+                per_model[m][var][mt] for m in models
+                for mt in per_model[m].get(var, {}))
           da = template.copy(data=np.full(template.shape, np.nan))
         stack.append(da)
       model_stacks.append(darray.concat(stack, 'metric').assign_coords(
@@ -85,7 +94,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
   model_files = {}
   for fn in sorted(os.listdir(args.results_dir)):
     if fn.endswith('.npz'):
-      model_files[fn.split('_vs_')[0]] = os.path.join(args.results_dir, fn)
+      model = fn.split('_vs_')[0]
+      if model in model_files:
+        print(f'WARNING: multiple result files for model {model!r}; '
+              f'using {fn} and ignoring '
+              f'{os.path.basename(model_files[model])}')
+      model_files[model] = os.path.join(args.results_dir, fn)
   if not model_files:
     raise SystemExit(f'No .npz result files found in {args.results_dir}')
   combined = combine_model_results(model_files)
