@@ -51,17 +51,29 @@ def prepare_chunk(
   available. Coords named in ``keep_host_coords`` stay host-side (static)
   because binnings need their values at trace time.
   """
+  converted, pending, slots = _convert_chunk(
+      data, stats, is_predictions, targets, keep_host_coords)
+  if pending:
+    moved = jax.device_put(pending)
+    _apply_moved(converted, slots, moved)
+  return converted
+
+
+def _convert_chunk(data, stats, is_predictions, targets, keep_host_coords):
+  """Core of prepare_chunk with device placement deferred.
+
+  Returns (converted dict, pending arrays, slots): the caller must move
+  ``pending`` to the device in ONE jax.device_put and apply the results
+  via ``_apply_moved`` — per-array transfers are a full round trip each on
+  remote-attached accelerators (~100x slower than one batched transfer).
+  Until then the slotted coords hold host placeholders.
+  """
   out = dict(data)
   if is_predictions:
     for stat in stats:
       out, _ = stat.prepare_chunk(out, targets or {})
 
   keep = set(keep_host_coords)
-
-  # Two-phase conversion: collect every array bound for the device, then
-  # move them ALL in one jax.device_put. Per-array transfers are a full
-  # round trip each on remote-attached accelerators (~100x slower than one
-  # batched transfer for a typical chunk's coords).
   pending: list[np.ndarray] = []
   slots: list[tuple[Hashable, str, tuple]] = []  # (var, coord name, dims)
 
@@ -78,7 +90,7 @@ def prepare_chunk(
           secs = v.astype('timedelta64[s]').astype(np.int64)
         pending.append(secs)
         slots.append((var, name, c.dims))
-        new_coords[name] = c  # placeholder, replaced below
+        new_coords[name] = c  # placeholder, replaced by _apply_moved
       elif (isinstance(v, np.ndarray)
             and str(name).startswith(metrics_base.CLIM_INDEX_PREFIX)):
         pending.append(v)
@@ -89,12 +101,13 @@ def prepare_chunk(
     return DimArray(da.data, da.dims, new_coords)
 
   converted = {var: convert(var, da) for var, da in out.items()}
-  if pending:
-    moved = jax.device_put(pending)
-    for (var, name, dims), dev in zip(slots, moved):
-      da = converted[var]
-      converted[var] = da.assign_coords(**{name: Coord(dims, dev)})
-  return converted
+  return converted, pending, slots
+
+
+def _apply_moved(converted, slots, moved) -> None:
+  for (var, name, dims), dev in zip(slots, moved):
+    da = converted[var]
+    converted[var] = da.assign_coords(**{name: Coord(dims, dev)})
 
 
 def restore_time_coords(da: DimArray) -> DimArray:
@@ -227,19 +240,29 @@ class ChunkEvaluator:
     return self._jitted(*self.prepare_pair(predictions, targets))
 
   def prepare_pair(self, predictions, targets):
-    """Host-side chunk preparation + batched device placement."""
-    predictions = prepare_chunk(predictions, self._clim_stats,
-                                is_predictions=True, targets=targets,
-                                keep_host_coords=self._host_coords)
-    targets = prepare_chunk(targets, keep_host_coords=self._host_coords)
+    """Host-side chunk preparation + ONE batched device placement.
+
+    Coords (time seconds, climatology indices) and data arrays for both
+    sides of the pair move in a single jax.device_put — per-array
+    transfers are a round trip each on remote-attached accelerators.
+    """
+    p, p_pending, p_slots = _convert_chunk(
+        predictions, self._clim_stats, True, targets, self._host_coords)
+    t, t_pending, t_slots = _convert_chunk(
+        targets, (), False, None, self._host_coords)
     if self.mesh is not None:
-      predictions = self._shard(predictions)
-      targets = self._shard(targets)
-    else:
-      # One transfer for the whole pair: letting jit move each numpy leaf
-      # individually costs a round trip per leaf on remote accelerators.
-      predictions, targets = jax.device_put((predictions, targets))
-    return predictions, targets
+      # The mesh path batches placement (with shardings) inside _shard;
+      # resolve the pending coords through the same batched puts.
+      if p_pending:
+        _apply_moved(p, p_slots, jax.device_put(p_pending))
+      if t_pending:
+        _apply_moved(t, t_slots, jax.device_put(t_pending))
+      return self._shard(p), self._shard(t)
+    moved = jax.device_put((p_pending, t_pending, p, t))
+    p_moved, t_moved, p, t = moved
+    _apply_moved(p, p_slots, p_moved)
+    _apply_moved(t, t_slots, t_moved)
+    return p, t
 
   def eval_chunks(
       self,
