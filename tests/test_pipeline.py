@@ -460,3 +460,30 @@ class TestChunksPerDispatch:
       a = batched[k].transpose(*single[k].dims)
       np.testing.assert_allclose(np.asarray(a.values),
                                  np.asarray(single[k].values), atol=1e-5)
+
+
+def test_fused_accumulate_equals_default(monkeypatch):
+  """WBX_FUSED_ACCUM=1 (eval fused with the bucket add) is bit-equal."""
+  pred_ds, tgt_ds, init_times, lead_times = _source_datasets()
+  agg = aggregation.Aggregator(
+      reduce_dims=['init_time', 'latitude', 'longitude'])
+
+  def run():
+    return pipeline_lib.EvaluationPipeline(
+        metrics=METRICS, aggregator=agg,
+        predictions_loader=loaders.PredictionsFromDataset(
+            ds=pred_ds, rename_dimensions=None),
+        targets_loader=loaders.TargetsFromDataset(
+            ds=tgt_ds, rename_dimensions=None),
+        times=time_chunks_lib.TimeChunks(
+            init_times, lead_times,
+            init_time_chunk_size=1, lead_time_chunk_size=2),
+    ).run().metric_values(METRICS)
+
+  base = run()
+  monkeypatch.setenv('WBX_FUSED_ACCUM', '1')
+  fused = run()
+  for k in base:
+    np.testing.assert_array_equal(
+        np.asarray(base[k].values),
+        np.asarray(fused[k].transpose(*base[k].dims).values))

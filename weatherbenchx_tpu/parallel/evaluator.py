@@ -158,11 +158,27 @@ class ChunkEvaluator:
         for name in b.host_coords}))
     self._jitted = jax.jit(self._eval_fn)
     self._jitted_many = jax.jit(self._eval_many)
+    self._jitted_accum = jax.jit(self._eval_accum_fn)
 
   def _eval_fn(self, predictions, targets) -> aggregation_lib.AggregationState:
     statistics = metrics_base.compute_unique_statistics_for_all_metrics(
         self.metrics, predictions, targets)
     return self.aggregator.aggregate_statistics(statistics)
+
+  def _eval_accum_fn(self, predictions, targets, prev_state):
+    """Chunk evaluation fused with the running-bucket add: one dispatch.
+
+    Adds DimArray data only — device coords (e.g. int64-seconds time
+    coords) are pytree leaves and must not be summed across chunks.
+    """
+    state = self._eval_fn(predictions, targets)
+    return jax.tree_util.tree_map(
+        lambda x, y: x.copy(data=x.data + y.data), state, prev_state,
+        is_leaf=lambda n: isinstance(n, DimArray))
+
+  def eval_accum(self, pair, prev_state):
+    """Evaluates a prepared pair and adds it to ``prev_state`` (fused)."""
+    return self._jitted_accum(pair[0], pair[1], prev_state)
 
   def _eval_many(self, chunks):
     """Evaluates N structurally-identical chunks in ONE XLA program.

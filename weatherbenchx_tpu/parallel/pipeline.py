@@ -202,14 +202,14 @@ class EvaluationPipeline:
     buckets, start_chunk = self._load_checkpoint()
     n = len(self.times)
 
-    def finish_chunk(i, offsets, state):
-      key = tuple(
+    bucket_sigs: dict = {}  # bucket key -> prepared-pair signature
+
+    def bucket_key(offsets):
+      return tuple(
           getattr(offsets, d) if d in self._bucket_dims else -1
           for d in ('init_time', 'lead_time'))
-      if key in buckets:
-        buckets[key] = _device_add(buckets[key], state)
-      else:
-        buckets[key] = state
+
+    def bookkeeping(i, key):
       self._obs.counter('chunks_done')
       writes_checkpoints = (
           not self.distributed or jax.process_index() == 0)
@@ -221,15 +221,44 @@ class EvaluationPipeline:
           self._save_checkpoint(buckets, i + 1)
       logger.info('chunk %d/%d done', i + 1, n)
 
-    batch: list = []  # buffered (i, offsets, prepared_pair)
+    def absorb(i, offsets, pair, pair_sig):
+      """Folds one prepared chunk into its bucket.
+
+      Same-layout follow-up chunks fuse evaluation with the running-bucket
+      add in ONE dispatch; first-of-bucket or layout-changed chunks take
+      the eval + general-add path.
+      """
+      key = bucket_key(offsets)
+      # Fusing evaluation with the bucket add saves one dispatch per chunk,
+      # but passing the ~40 on-device bucket-state leaves as arguments costs
+      # more than the dispatch saves on per-array-round-trip transports
+      # (measured slower in interleaved A/B on the tunnel) — opt-in.
+      fused = os.environ.get('WBX_FUSED_ACCUM', '0') == '1'
+      if fused and key in buckets and bucket_sigs.get(key) == pair_sig:
+        buckets[key] = self._evaluator.eval_accum(pair, buckets[key])
+      else:
+        state = self._evaluator.eval_prepared([pair])[0]
+        if key in buckets:
+          buckets[key] = _device_add(buckets[key], state)
+        else:
+          buckets[key] = state
+      bucket_sigs[key] = pair_sig
+      bookkeeping(i, key)
+
+    batch: list = []  # buffered (i, offsets, prepared_pair, sig)
 
     def flush():
       if not batch:
         return
       with self._obs.timed('eval_chunk_seconds'):
-        states = self._evaluator.eval_prepared([p for _, _, p in batch])
-      for (i, offsets, _), state in zip(batch, states):
-        finish_chunk(i, offsets, state)
+        states = self._evaluator.eval_prepared([p for _, _, p, _ in batch])
+      for (i, offsets, _, _), state in zip(batch, states):
+        key = bucket_key(offsets)
+        if key in buckets:
+          buckets[key] = _device_add(buckets[key], state)
+        else:
+          buckets[key] = state
+        bookkeeping(i, key)
       batch.clear()
 
     group = max(int(self.chunks_per_dispatch), 1)
@@ -238,17 +267,16 @@ class EvaluationPipeline:
       for i, offsets, (predictions, targets) in self._chunk_stream():
         if i < start_chunk:
           continue
-        if group == 1:
-          with self._obs.timed('eval_chunk_seconds'):
-            state = self._evaluator.eval_chunk(predictions, targets)
-          finish_chunk(i, offsets, state)
-          continue
         pair = self._evaluator.prepare_pair(predictions, targets)
         this_sig = evaluator_lib.batchable_signature(*pair)
+        if group == 1:
+          with self._obs.timed('eval_chunk_seconds'):
+            absorb(i, offsets, pair, this_sig)
+          continue
         if batch and this_sig != sig:
           flush()  # layout changed (e.g. ragged tail): don't mix dispatches
         sig = this_sig
-        batch.append((i, offsets, pair))
+        batch.append((i, offsets, pair, this_sig))
         if len(batch) >= group:
           flush()
       flush()
