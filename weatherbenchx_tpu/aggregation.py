@@ -272,13 +272,22 @@ class AggregationState:
     return self
 
   def to_host(self) -> 'AggregationState':
-    """Device→host transfer of all arrays (as float64 numpy)."""
+    """Device→host transfer of all arrays (as float64 numpy).
+
+    One batched jax.device_get for the whole state — per-array fetches
+    are a round trip each on remote-attached accelerators.
+    """
+    fetched = jax.device_get(self)
     def conv(x: DimArray) -> DimArray:
       d = np.asarray(x.data)
       if d.dtype.kind == 'f':
         d = d.astype(np.float64)
-      return x.copy(data=d)
-    return self.map(conv)
+      coords = {
+          name: Coord(c.dims, np.asarray(c.values))
+          for name, c in x.coords.items()
+      }
+      return DimArray(d, x.dims, coords)
+    return fetched.map(conv)
 
 
 # Register as pytree so whole states pass through jit/psum directly.
