@@ -32,7 +32,7 @@ from weatherbenchx_tpu import io as io_lib
 from weatherbenchx_tpu import observability
 from weatherbenchx_tpu import time_chunks as time_chunks_lib
 from weatherbenchx_tpu import tree
-from weatherbenchx_tpu.darray import DimArray
+from weatherbenchx_tpu.darray import Coord, DimArray
 from weatherbenchx_tpu.data import base as data_base
 from weatherbenchx_tpu.metrics import base as metrics_base
 from weatherbenchx_tpu.parallel import evaluator as evaluator_lib
@@ -190,8 +190,9 @@ class EvaluationPipeline:
       manifest = json.load(f)
     buckets = {}
     for b in manifest['buckets']:
-      buckets[tuple(b['key'])] = aggregation_lib.AggregationState.from_dataset(
+      state = aggregation_lib.AggregationState.from_dataset(
           io_lib.load_dataset(b['path']))
+      buckets[tuple(b['key'])] = _restore_state_to_device(state)
     logger.info('resuming from checkpoint at chunk %d', manifest['next_chunk'])
     return buckets, manifest['next_chunk']
 
@@ -329,6 +330,49 @@ def _allgather_sum_states(
   for p in range(n):
     parts.append(total.map(lambda da, p=p: gather_leaf(da)[p]))
   return aggregation_lib.AggregationState.sum(parts)
+
+
+def _restore_state_to_device(
+    state: aggregation_lib.AggregationState,
+) -> aggregation_lib.AggregationState:
+  """Places a checkpoint-loaded (host/float64) state back on device.
+
+  Restores the running-bucket layout the evaluator produces — float32 data
+  and int64-seconds time coords as device leaves — so accumulation resumes
+  on the device fast path (bit-identical to the uninterrupted run) instead
+  of falling back to host outer-joins for every remaining chunk. One
+  batched device_put for the whole state.
+  """
+  def convert(x: DimArray) -> DimArray:
+    d = np.asarray(x.data)
+    if d.dtype == np.float64:
+      d = d.astype(np.float32)
+    coords = {}
+    pending_names = []
+    for name, c in x.coords.items():
+      v = np.asarray(c.values)
+      if (name in evaluator_lib._DATETIME_COORDS
+          or name in evaluator_lib._TIMEDELTA_COORDS) and v.dtype.kind in 'iu':
+        pending_names.append(name)
+      coords[name] = Coord(c.dims, v)
+    return DimArray(d, x.dims, coords), pending_names
+
+  converted = {}
+  pendings = {}
+  for path, leaf in tree.flatten_with_paths(
+      {'ws': state.sum_weighted_statistics, 'w': state.sum_weights}).items():
+    converted[path], pendings[path] = convert(leaf)
+  moved = jax.device_put(
+      [(converted[p].data, [np.asarray(converted[p].coords[n].values)
+                            for n in pendings[p]]) for p in converted])
+  out = {}
+  for (path, da), (data_dev, coord_devs) in zip(converted.items(), moved):
+    coords = dict(da.coords)
+    for name, dev in zip(pendings[path], coord_devs):
+      coords[name] = Coord(da.coords[name].dims, dev)
+    out[path] = DimArray(data_dev, da.dims, coords)
+  nested = tree.unflatten_from_paths(out)
+  return aggregation_lib.AggregationState(nested['ws'], nested['w'])
 
 
 @jax.jit
