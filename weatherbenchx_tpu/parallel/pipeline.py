@@ -175,9 +175,19 @@ class EvaluationPipeline:
       # are the pipeline's hottest host I/O.
       path = f'{self.checkpoint_path}.bucket{k}.wbx'
       tmp = f'{path}.tmp.wbx'  # suffix picks the block container
-      io_lib.save_dataset(tmp, state.to_host().to_dataset())
+      ds = state.to_host().to_dataset()
+      io_lib.save_dataset(tmp, ds)
       os.replace(tmp, path)
-      manifest['buckets'].append({'key': list(key), 'path': path})
+      # Live (pre-float64-upcast) dtypes, so resume restores exactly.
+      dtypes = {}
+      for part, mapping in (('ws', state.sum_weighted_statistics),
+                            ('w', state.sum_weights)):
+        for p, leaf in tree.flatten_with_paths(mapping).items():
+          dtypes['#'.join((part,) + tuple(map(str, p)))] = str(
+              np.asarray(leaf.data).dtype
+              if isinstance(leaf.data, np.ndarray) else leaf.data.dtype)
+      manifest['buckets'].append(
+          {'key': list(key), 'path': path, 'dtypes': dtypes})
     tmp = self._ckpt_manifest() + '.tmp'
     with open(tmp, 'w') as f:
       json.dump(manifest, f)
@@ -192,7 +202,8 @@ class EvaluationPipeline:
     for b in manifest['buckets']:
       state = aggregation_lib.AggregationState.from_dataset(
           io_lib.load_dataset(b['path']))
-      buckets[tuple(b['key'])] = _restore_state_to_device(state)
+      buckets[tuple(b['key'])] = _restore_state_to_device(
+          state, b.get('dtypes'))
     logger.info('resuming from checkpoint at chunk %d', manifest['next_chunk'])
     return buckets, manifest['next_chunk']
 
@@ -334,6 +345,7 @@ def _allgather_sum_states(
 
 def _restore_state_to_device(
     state: aggregation_lib.AggregationState,
+    dtypes: Optional[Mapping[str, str]] = None,
 ) -> aggregation_lib.AggregationState:
   """Places a checkpoint-loaded (host/float64) state back on device.
 
@@ -343,9 +355,11 @@ def _restore_state_to_device(
   of falling back to host outer-joins for every remaining chunk. One
   batched device_put for the whole state.
   """
-  def convert(x: DimArray) -> DimArray:
+  def convert(x: DimArray, want: Optional[str]) -> DimArray:
     d = np.asarray(x.data)
-    if d.dtype == np.float64:
+    if want is not None:
+      d = d.astype(want)
+    elif d.dtype == np.float64:
       d = d.astype(np.float32)
     coords = {}
     pending_names = []
@@ -361,7 +375,8 @@ def _restore_state_to_device(
   pendings = {}
   for path, leaf in tree.flatten_with_paths(
       {'ws': state.sum_weighted_statistics, 'w': state.sum_weights}).items():
-    converted[path], pendings[path] = convert(leaf)
+    want = (dtypes or {}).get('#'.join(map(str, path)))
+    converted[path], pendings[path] = convert(leaf, want)
   moved = jax.device_put(
       [(converted[p].data, [np.asarray(converted[p].coords[n].values)
                             for n in pendings[p]]) for p in converted])
