@@ -135,7 +135,7 @@ class TestBenchmarkCLI:
     assert 'hres_64x32_2020' in configs.deterministic_prediction_configs
     assert 'ens_240x121_2020' in configs.probabilistic_prediction_configs
     sm = configs.single_member_configs()
-    assert any(k.startswith('ens-member0') for k in sm)
+    assert any(k.startswith('ens_single_member') for k in sm)
 
 
 class TestCombineResults:
@@ -235,7 +235,8 @@ class TestConfigRegistry:
     n = configs.probabilistic_prediction_configs['neuralgcm_ens_64x32_2020']
     assert n['data_loader_kwargs']['rename_dimensions'][
         'realization'] == 'number'
-    m0 = configs.single_member_configs()['ens-member0_64x32_2020']
+    m0 = configs.deterministic_prediction_configs[
+        'ens_single_member_64x32_2020']
     assert m0['data_loader_kwargs']['sel_kwargs'] == {'number': 0}
 
   def test_era5_target_sorts_latitude(self):

@@ -182,11 +182,14 @@ def single_member_configs() -> dict[str, dict[str, Any]]:
   """Derives single-member configs from the probabilistic registry.
 
   Mirrors reference ``public_configs.py:248-285``: evaluate ensemble member
-  0 as a deterministic forecast.
+  0 of each full ensemble as a deterministic forecast, keyed
+  ``{model}_single_member_{resolution}_{year}``.
   """
   out = {}
   for key, cfg in probabilistic_prediction_configs.items():
-    out[key.replace('ens_', 'ens-member0_', 1)] = {
+    model, rest = key.split('_', 1) if key.startswith('ens_') else (
+        'neuralgcm_ens', key[len('neuralgcm_ens_'):])
+    out[f'{model}_single_member_{rest}'] = {
         **cfg,
         'data_loader_kwargs': {
             **cfg.get('data_loader_kwargs', {}),
@@ -194,3 +197,8 @@ def single_member_configs() -> dict[str, dict[str, Any]]:
         },
     }
   return out
+
+
+# Single-member variants are CLI-reachable deterministic entries
+# (reference merges them the same way, ``public_configs.py:285``).
+deterministic_prediction_configs.update(single_member_configs())
