@@ -487,3 +487,143 @@ def test_fused_accumulate_equals_default(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(base[k].values),
         np.asarray(fused[k].transpose(*base[k].dims).values))
+
+
+class TestDistributedCheckpointResume:
+  """Per-process checkpoints in distributed mode (pipeline._ckpt_prefix).
+
+  Each process must save and resume its OWN partial state: a shared
+  checkpoint would make every process resume from process 0's partial
+  sums, multiply-counting them in the final combine.
+  """
+
+  def _make_pipe(self, ckpt, tmp=None):
+    pred_ds, tgt_ds, init_times, lead_times = _source_datasets(seed=11)
+    agg = aggregation.Aggregator(
+        reduce_dims=['init_time', 'lead_time', 'latitude', 'longitude'])
+    times = time_chunks_lib.TimeChunks(
+        init_times, lead_times, init_time_chunk_size=2)
+    return pipeline_lib.EvaluationPipeline(
+        metrics=METRICS, aggregator=agg,
+        predictions_loader=loaders.PredictionsFromDataset(
+            ds=pred_ds, rename_dimensions=None),
+        targets_loader=loaders.TargetsFromDataset(
+            ds=tgt_ds, rename_dimensions=None),
+        times=times, distributed=True,
+        checkpoint_path=ckpt, checkpoint_every=1)
+
+  def test_per_process_resume_sums_to_full(self, tmp_path, monkeypatch):
+    monkeypatch.setattr(pipeline_lib, '_allgather_sum_states', lambda s: s)
+    monkeypatch.setattr(jax, 'process_count', lambda: 2)
+
+    # Ground truth: both processes run to completion, no checkpointing.
+    partials = []
+    for pi in [0, 1]:
+      monkeypatch.setattr(jax, 'process_index', lambda pi=pi: pi)
+      partials.append(self._make_pipe(None).run())
+    expected = aggregation.AggregationState.sum(partials).metric_values(
+        METRICS)
+
+    ckpt = str(tmp_path / 'ck')
+    # Each process "crashes" after its first chunk (checkpoint_every=1
+    # saved a per-process manifest), then resumes and completes.
+    for pi in [0, 1]:
+      monkeypatch.setattr(jax, 'process_index', lambda pi=pi: pi)
+      pipe = self._make_pipe(ckpt)
+      stream = pipe._chunk_stream()
+      i, offsets, (p, t) = next(stream)
+      state = pipe._evaluator.eval_chunk(p, t)
+      key = tuple(getattr(offsets, d) if d in pipe._bucket_dims else -1
+                  for d in ('init_time', 'lead_time'))
+      pipe._save_checkpoint({key: state}, i + 1)
+      stream.close()
+    manifests = sorted(f.name for f in tmp_path.iterdir()
+                       if f.name.endswith('manifest.json'))
+    assert manifests == ['ck.p0.manifest.json', 'ck.p1.manifest.json']
+
+    resumed = []
+    loads = []
+    for pi in [0, 1]:
+      monkeypatch.setattr(jax, 'process_index', lambda pi=pi: pi)
+      pipe = self._make_pipe(ckpt)
+      n_loads = 0
+      orig_load = pipe._load
+      def counting_load(chunk, _o=orig_load):
+        nonlocal n_loads
+        n_loads += 1
+        return _o(chunk)
+      pipe._load = counting_load
+      resumed.append(pipe.run())
+      loads.append(n_loads)
+    got = aggregation.AggregationState.sum(resumed).metric_values(METRICS)
+    for k in expected:
+      np.testing.assert_allclose(
+          np.asarray(got[k].values), np.asarray(expected[k].values),
+          atol=1e-6)
+    # Resume filtered completed chunks BEFORE loading them: each process
+    # re-loaded strictly fewer chunks than it owns.
+    n_chunks = len(self._make_pipe(None).times)
+    per_proc = [(n_chunks + 1) // 2, n_chunks // 2]
+    assert loads[0] < per_proc[0] and loads[1] < per_proc[1]
+
+  def test_process_count_mismatch_raises(self, tmp_path, monkeypatch):
+    monkeypatch.setattr(jax, 'process_count', lambda: 2)
+    monkeypatch.setattr(jax, 'process_index', lambda: 0)
+    ckpt = str(tmp_path / 'ck')
+    pipe = self._make_pipe(ckpt)
+    i, offsets, (p, t) = next(pipe._chunk_stream())
+    state = pipe._evaluator.eval_chunk(p, t)
+    pipe._save_checkpoint({(0, -1): state}, i + 1)
+
+    monkeypatch.setattr(jax, 'process_count', lambda: 3)
+    with pytest.raises(ValueError, match='process'):
+      self._make_pipe(ckpt)._load_checkpoint()
+
+
+class TestAllgatherSumStates:
+  """The DCN combine must tolerate ragged per-process layouts and
+  chunk-starved (zero-state) processes (serialized gather + outer join)."""
+
+  def _station_state(self, stations, values):
+    da = DimArray(np.asarray(values, np.float64), ('station',),
+                  {'station': np.asarray(stations)})
+    w = da.copy(data=np.ones_like(da.values))
+    return aggregation.AggregationState(
+        {'SquaredError': {'t': da}}, {'SquaredError': {'t': w}})
+
+  def test_ragged_and_zero_states_outer_join(self, monkeypatch):
+    from weatherbenchx_tpu import io as io_lib
+    a = self._station_state([1, 2, 3], [1.0, 2.0, 3.0])
+    b = self._station_state([2, 4], [10.0, 40.0])
+    blobs = [io_lib.dumps_dataset(a.to_dataset()), b'',
+             io_lib.dumps_dataset(b.to_dataset())]
+    monkeypatch.setattr(pipeline_lib, '_allgather_bytes', lambda p: blobs)
+    total = pipeline_lib._allgather_sum_states(a)
+    out = total.sum_weighted_statistics['SquaredError']['t']
+    np.testing.assert_array_equal(out.coord_values('station'), [1, 2, 3, 4])
+    np.testing.assert_allclose(np.asarray(out.values), [1.0, 12.0, 3.0, 40.0])
+
+  def test_local_zero_state_participates(self, monkeypatch):
+    from weatherbenchx_tpu import io as io_lib
+    b = self._station_state([5], [7.0])
+    seen = {}
+    def fake_gather(payload):
+      seen['payload'] = payload
+      return [b'', io_lib.dumps_dataset(b.to_dataset())]
+    monkeypatch.setattr(pipeline_lib, '_allgather_bytes', fake_gather)
+    total = pipeline_lib._allgather_sum_states(
+        aggregation.AggregationState.zero())
+    assert seen['payload'] == b''
+    out = total.sum_weighted_statistics['SquaredError']['t']
+    np.testing.assert_allclose(np.asarray(out.values), [7.0])
+
+  def test_dumps_loads_roundtrip(self):
+    from weatherbenchx_tpu import io as io_lib
+    a = self._station_state([1, 2], [1.5, -2.5])
+    ds = a.to_dataset()
+    back = io_lib.loads_dataset(io_lib.dumps_dataset(ds))
+    assert set(back) == set(ds)
+    for k in ds:
+      np.testing.assert_array_equal(np.asarray(back[k].values),
+                                    np.asarray(ds[k].values))
+      assert back[k].dims == ds[k].dims

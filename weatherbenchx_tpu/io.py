@@ -68,6 +68,25 @@ def save_dataset(path: str, dataset: Dataset) -> None:
     np.savez(f, **arrays)
 
 
+def dumps_dataset(dataset: Dataset) -> bytes:
+  """Serializes a dataset to portable .npz bytes (in memory)."""
+  import io as _pyio
+  meta, arrays = _collect(dataset)
+  arrays['__meta__'] = np.frombuffer(
+      json.dumps(meta).encode(), dtype=np.uint8)
+  buf = _pyio.BytesIO()
+  np.savez(buf, **arrays)
+  return buf.getvalue()
+
+
+def loads_dataset(data: bytes) -> dict[str, DimArray]:
+  """Inverse of dumps_dataset."""
+  import io as _pyio
+  with np.load(_pyio.BytesIO(data), allow_pickle=False) as npz:
+    meta = json.loads(bytes(npz['__meta__']).decode())
+    return _assemble(meta, lambda key: npz[key].copy())
+
+
 def load_dataset(path: str) -> dict[str, DimArray]:
   """Reads a dataset written by save_dataset (.npz or .wbx)."""
   if path.endswith('.wbx') or _is_wbx(path):

@@ -82,7 +82,9 @@ class EvaluationPipeline:
       ``index %% process_count == process_index`` (data parallelism over
       time chunks, the Beam fan-out across workers), accumulates its own
       partial state, and the final monoid sum is taken across processes
-      via an all-gather over DCN. Checkpoints are written by process 0.
+      via an all-gather over DCN. Each process writes (and resumes from)
+      its own per-process checkpoint; the manifest records the process
+      count and resume validates it.
   """
 
   metrics: Mapping[str, metrics_base.Metric]
@@ -137,12 +139,18 @@ class EvaluationPipeline:
                 (t1 - t0) * 1e3, (t2 - t1) * 1e3)
     return predictions, targets
 
-  def _chunk_stream(self):
-    """Yields (index, offsets, (predictions, targets)) with async prefetch."""
+  def _chunk_stream(self, start_chunk: int = 0):
+    """Yields (index, offsets, (predictions, targets)) with async prefetch.
+
+    ``start_chunk`` filters already-completed chunks BEFORE their loads are
+    submitted, so resuming a mostly-done run doesn't re-read (and discard)
+    every completed chunk from storage.
+    """
     items = list(enumerate(self.times.iter_with_chunk_offsets()))
     if self.distributed:
       pc, pi = jax.process_count(), jax.process_index()
       items = [it for it in items if it[0] % pc == pi]
+    items = [it for it in items if it[0] >= start_chunk]
     if not items:
       return
     with futures.ThreadPoolExecutor(max_workers=max(self.prefetch, 1)) as ex:
@@ -165,15 +173,33 @@ class EvaluationPipeline:
 
   # -- checkpointing -----------------------------------------------------------
 
+  def _ckpt_prefix(self) -> str:
+    """Checkpoint file prefix; per-process in distributed mode.
+
+    In distributed mode every process owns its own modulo-slice of the
+    chunk list, so each process must checkpoint (and resume) its OWN
+    partial state — a shared checkpoint would make every process resume
+    from process 0's partial sums, multiply-counting them in the final
+    all-gather while dropping everyone else's.
+    """
+    if self.distributed and jax.process_count() > 1:
+      return f'{self.checkpoint_path}.p{jax.process_index()}'
+    return self.checkpoint_path
+
   def _ckpt_manifest(self) -> str:
-    return f'{self.checkpoint_path}.manifest.json'
+    return f'{self._ckpt_prefix()}.manifest.json'
 
   def _save_checkpoint(self, buckets, next_chunk: int) -> None:
-    manifest = {'next_chunk': next_chunk, 'buckets': []}
+    manifest = {
+        'next_chunk': next_chunk,
+        'process_index': jax.process_index() if self.distributed else 0,
+        'process_count': jax.process_count() if self.distributed else 1,
+        'buckets': [],
+    }
     for k, (key, state) in enumerate(sorted(buckets.items())):
       # .wbx: thread-parallel raw block writes (native core) — checkpoints
       # are the pipeline's hottest host I/O.
-      path = f'{self.checkpoint_path}.bucket{k}.wbx'
+      path = f'{self._ckpt_prefix()}.bucket{k}.wbx'
       tmp = f'{path}.tmp.wbx'  # suffix picks the block container
       ds = state.to_host().to_dataset()
       io_lib.save_dataset(tmp, ds)
@@ -198,6 +224,15 @@ class EvaluationPipeline:
       return {}, 0
     with open(self._ckpt_manifest()) as f:
       manifest = json.load(f)
+    want_count = jax.process_count() if self.distributed else 1
+    have_count = manifest.get('process_count', 1)
+    if have_count != want_count:
+      raise ValueError(
+          f'Checkpoint {self._ckpt_manifest()} was written by a run with '
+          f'{have_count} processes, but this run has {want_count}. The '
+          'chunk→process assignment (index % process_count) would differ, '
+          'so resuming would double-count or drop chunks. Restart with the '
+          'same process count or remove the checkpoint.')
     buckets = {}
     for b in manifest['buckets']:
       state = aggregation_lib.AggregationState.from_dataset(
@@ -223,10 +258,8 @@ class EvaluationPipeline:
 
     def bookkeeping(i, key):
       self._obs.counter('chunks_done')
-      writes_checkpoints = (
-          not self.distributed or jax.process_index() == 0)
-      if (writes_checkpoints and self.checkpoint_path
-          and self.checkpoint_every
+      # Each process checkpoints its own partial state (see _ckpt_prefix).
+      if (self.checkpoint_path and self.checkpoint_every
           and (i + 1) % self.checkpoint_every == 0):
         with self._obs.timed('checkpoint_seconds'):
           buckets[key].block_until_ready()
@@ -276,9 +309,8 @@ class EvaluationPipeline:
     group = max(int(self.chunks_per_dispatch), 1)
     sig = None
     with observability.maybe_profile(self.profile_dir):
-      for i, offsets, (predictions, targets) in self._chunk_stream():
-        if i < start_chunk:
-          continue
+      for i, offsets, (predictions, targets) in self._chunk_stream(
+          start_chunk):
         pair = self._evaluator.prepare_pair(predictions, targets)
         this_sig = evaluator_lib.batchable_signature(*pair)
         if group == 1:
@@ -319,27 +351,44 @@ class EvaluationPipeline:
     return values
 
 
+def _allgather_bytes(payload: bytes) -> list[bytes]:
+  """All-gathers one variable-length byte string per process over DCN.
+
+  Two collectives total: a length exchange, then one padded uint8 gather.
+  """
+  from jax.experimental import multihost_utils
+
+  lengths = np.asarray(multihost_utils.process_allgather(
+      np.array([len(payload)], dtype=np.int64))).reshape(-1)
+  max_len = max(int(lengths.max()), 1)
+  padded = np.zeros(max_len, dtype=np.uint8)
+  padded[:len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+  gathered = np.asarray(multihost_utils.process_allgather(padded))
+  gathered = gathered.reshape(len(lengths), max_len)
+  return [gathered[p, :int(lengths[p])].tobytes() for p in range(len(lengths))]
+
+
 def _allgather_sum_states(
     total: aggregation_lib.AggregationState,
 ) -> aggregation_lib.AggregationState:
   """Monoid sum of per-process partial states over DCN.
 
-  Uses a host all-gather (tiny aggregated arrays) followed by the generic
-  zero-filled outer-join sum, so ragged per-process results (sparse
-  stations, preserved chunked dims) combine exactly like local buckets.
+  Serializes each process's (tiny, aggregated) state to bytes and
+  all-gathers once, then takes the generic zero-filled outer-join sum on
+  the host. Serialization makes the collective layout-independent: ragged
+  per-process results (different station sets, different preserved-dim
+  coords) and chunk-starved processes holding the zero state all
+  participate in the same fixed-shape byte gather, and the outer-join sum
+  aligns whatever comes back.
   """
-  from jax.experimental import multihost_utils
-
-  def gather_leaf(da: DimArray):
-    stacked = multihost_utils.process_allgather(np.asarray(da.values))
-    return [da.copy(data=stacked[p]) for p in range(stacked.shape[0])]
-
-  # NOTE: this assumes per-process states share layout (same preserved-dim
-  # coords); ragged layouts should reduce preserved dims per process first.
-  n = jax.process_count()
+  payload = (b'' if total.sum_weighted_statistics is None
+             else io_lib.dumps_dataset(total.to_dataset()))
   parts = []
-  for p in range(n):
-    parts.append(total.map(lambda da, p=p: gather_leaf(da)[p]))
+  for blob in _allgather_bytes(payload):
+    if not blob:
+      continue  # a process that processed zero chunks
+    parts.append(aggregation_lib.AggregationState.from_dataset(
+        io_lib.loads_dataset(blob)))
   return aggregation_lib.AggregationState.sum(parts)
 
 
