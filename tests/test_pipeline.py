@@ -627,3 +627,52 @@ class TestAllgatherSumStates:
       np.testing.assert_array_equal(np.asarray(back[k].values),
                                     np.asarray(ds[k].values))
       assert back[k].dims == ds[k].dims
+
+
+class TestRemoteFilesystemIO:
+  """fsspec-backed output + checkpoint paths (reference beam_utils.py:64-101
+  via fsspec; validated on the in-memory filesystem)."""
+
+  def test_metrics_write_and_checkpoint_resume_on_memory_fs(self):
+    from weatherbenchx_tpu import fileio
+    pred_ds, tgt_ds, init_times, lead_times = _source_datasets(seed=9)
+    agg = aggregation.Aggregator(
+        reduce_dims=['init_time', 'lead_time', 'latitude', 'longitude'])
+    times = time_chunks_lib.TimeChunks(
+        init_times, lead_times, init_time_chunk_size=4)
+    mk = lambda ckpt: pipeline_lib.EvaluationPipeline(
+        metrics=METRICS, aggregator=agg,
+        predictions_loader=loaders.PredictionsFromDataset(
+            ds=pred_ds, rename_dimensions=None),
+        targets_loader=loaders.TargetsFromDataset(
+            ds=tgt_ds, rename_dimensions=None),
+        times=times, checkpoint_path=ckpt, checkpoint_every=1)
+
+    full = mk(None).run_and_write(out_path='memory://out/metrics.npz')
+    back = fileio.load_dataset_any('memory://out/metrics.npz')
+    assert set(back) == set(full)
+    for k in full:
+      np.testing.assert_array_equal(np.asarray(back[k].values),
+                                    np.asarray(full[k].values))
+
+    # Interrupt after 2 chunks with checkpoints on memory://, then resume.
+    ckpt = 'memory://ckpt/run1'
+    pipe = mk(ckpt)
+    stream = pipe._chunk_stream()
+    buckets = {}
+    for i, offsets, (p, t) in stream:
+      state = pipe._evaluator.eval_chunk(p, t)
+      key = tuple(getattr(offsets, d) if d in pipe._bucket_dims else -1
+                  for d in ('init_time', 'lead_time'))
+      buckets[key] = state if key not in buckets else (
+          aggregation.AggregationState.sum([buckets[key], state]))
+      if i == 1:
+        pipe._save_checkpoint(buckets, 2)
+        stream.close()
+        break
+    assert fileio.exists(f'{ckpt}.manifest.json')
+    resumed = mk(ckpt).run().metric_values(METRICS)
+    for k in full:
+      np.testing.assert_allclose(
+          np.asarray(resumed[k].values), np.asarray(full[k].values),
+          atol=1e-6)

@@ -1,0 +1,142 @@
+"""Year-scale 0.25-degree streaming-evaluation demo.
+
+Validates the lazy windowed-read path at production scale: a full-year
+6-hourly 0.25-degree store (18 GB on disk: 12 GB predictions + 6 GB
+targets) evaluates chunk-by-chunk with bounded RSS — the process never
+holds more than a few prefetched chunks, regardless of store size.
+(The reference achieves this with lazy Zarr + per-chunk compute,
+``data_loaders/base.py:146-153``; here it's LazyArray windowed preads.)
+
+Usage:
+  python tools/stream_scale_demo.py --make_store   # writes /tmp/stream/*.wbx
+  python tools/stream_scale_demo.py --run [--backend=cpu] [--chunk=32]
+
+Run --make_store and --run as separate invocations so store generation
+doesn't pollute the evaluation's peak-RSS measurement.
+"""
+
+import argparse
+import json
+import os
+import resource
+import time
+
+import numpy as np
+
+STORE_DIR = '/tmp/stream'
+N_INIT = 1460  # 1 year, 6-hourly
+N_LEAD = 2
+NLAT, NLON = 721, 1440
+
+
+def make_store():
+  from weatherbenchx_tpu import io as io_lib
+  from weatherbenchx_tpu.darray import DimArray
+
+  os.makedirs(STORE_DIR, exist_ok=True)
+  rng = np.random.default_rng(0)
+  init_times = (np.datetime64('2020-01-01', 'ns')
+                + np.arange(N_INIT) * np.timedelta64(6, 'h'))
+  lead_times = (np.arange(N_LEAD) * np.timedelta64(6, 'h')
+                ).astype('timedelta64[ns]')
+  valid_times = (np.datetime64('2020-01-01', 'ns')
+                 + np.arange(N_INIT + N_LEAD) * np.timedelta64(6, 'h'))
+  lats = np.linspace(90, -90, NLAT)  # descending, like real ERA5 stores
+  lons = np.linspace(0, 360, NLON, endpoint=False)
+
+  # Fill from a small random tile: full-entropy content at memcpy speed.
+  tile = rng.standard_normal((8, NLAT, NLON)).astype(np.float32)
+
+  def filled(n_outer, extra_shape=()):
+    out = np.empty((n_outer,) + extra_shape + (NLAT, NLON), np.float32)
+    flat = out.reshape(-1, NLAT, NLON)
+    for i in range(flat.shape[0]):
+      flat[i] = tile[i % tile.shape[0]]
+      flat[i, 0, 0] = i  # break tunnel-side memoization of identical slabs
+    return out
+
+  tgt = {'2m_temperature': DimArray(
+      filled(N_INIT + N_LEAD), ('valid_time', 'latitude', 'longitude'),
+      {'valid_time': valid_times, 'latitude': lats, 'longitude': lons})}
+  io_lib.save_dataset(f'{STORE_DIR}/era5.wbx', tgt)
+  del tgt
+
+  pred = {'2m_temperature': DimArray(
+      filled(N_INIT, (N_LEAD,)),
+      ('init_time', 'lead_time', 'latitude', 'longitude'),
+      {'init_time': init_times, 'lead_time': lead_times,
+       'latitude': lats, 'longitude': lons})}
+  io_lib.save_dataset(f'{STORE_DIR}/preds.wbx', pred)
+  gb = sum(os.path.getsize(f'{STORE_DIR}/{f}')
+           for f in ('era5.wbx', 'preds.wbx')) / 1e9
+  print(f'wrote {STORE_DIR}: {gb:.1f} GB')
+
+
+def run(backend: str, chunk: int):
+  if backend == 'cpu':
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+  import jax
+
+  from weatherbenchx_tpu import aggregation, binning, weighting
+  from weatherbenchx_tpu import time_chunks as time_chunks_lib
+  from weatherbenchx_tpu.data import loaders
+  from weatherbenchx_tpu.metrics import deterministic
+  from weatherbenchx_tpu.parallel import pipeline as pipeline_lib
+
+  init_times = (np.datetime64('2020-01-01', 'ns')
+                + np.arange(N_INIT) * np.timedelta64(6, 'h'))
+  lead_times = (np.arange(N_LEAD) * np.timedelta64(6, 'h')
+                ).astype('timedelta64[ns]')
+
+  metrics = {'rmse': deterministic.RMSE(), 'mse': deterministic.MSE()}
+  agg = aggregation.Aggregator(
+      reduce_dims=['init_time', 'latitude', 'longitude'],
+      weigh_by=[weighting.GridAreaWeighting()],
+      bin_by=[binning.Regions({'global': ((-90, 90), (0, 360)),
+                               'nh': ((20, 90), (0, 360))})])
+  sort_lat = lambda ds: {
+      k: (v.sortby('latitude') if 'latitude' in v.dims else v)
+      for k, v in ds.items()}
+  pipe = pipeline_lib.EvaluationPipeline(
+      metrics=metrics, aggregator=agg,
+      predictions_loader=loaders.PredictionsFromDataset(
+          path=f'{STORE_DIR}/preds.wbx', rename_dimensions=None,
+          preprocessing_fn=sort_lat),
+      targets_loader=loaders.TargetsFromDataset(
+          path=f'{STORE_DIR}/era5.wbx', rename_dimensions=None,
+          preprocessing_fn=sort_lat),
+      times=time_chunks_lib.TimeChunks(
+          init_times, lead_times, init_time_chunk_size=chunk),
+      prefetch=2,
+      compilation_cache_dir='/tmp/stream/xla_cache')
+
+  t0 = time.monotonic()
+  values = pipe.run().metric_values(metrics)
+  rmse = float(np.asarray(values['rmse.2m_temperature'].values).ravel()[0])
+  wall = time.monotonic() - t0
+  store_gb = sum(os.path.getsize(f'{STORE_DIR}/{f}')
+                 for f in ('era5.wbx', 'preds.wbx')) / 1e9
+  peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+  pts = N_INIT * N_LEAD * NLAT * NLON
+  print(json.dumps({
+      'backend': backend, 'wall_seconds': round(wall, 1),
+      'store_gb': round(store_gb, 2), 'peak_rss_gb': round(peak_gb, 2),
+      'gridpoints': pts, 'gridpoints_per_second': round(pts / wall),
+      'chunks': int(np.ceil(N_INIT / chunk)), 'rmse_global': round(rmse, 5),
+  }))
+  assert peak_gb < store_gb / 3, (
+      f'RSS {peak_gb:.1f} GB not bounded vs store {store_gb:.1f} GB')
+
+
+if __name__ == '__main__':
+  ap = argparse.ArgumentParser()
+  ap.add_argument('--make_store', action='store_true')
+  ap.add_argument('--run', action='store_true')
+  ap.add_argument('--backend', default='axon')
+  ap.add_argument('--chunk', type=int, default=32)
+  args = ap.parse_args()
+  if args.make_store:
+    make_store()
+  if args.run:
+    run(args.backend, args.chunk)

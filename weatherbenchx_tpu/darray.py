@@ -44,6 +44,8 @@ def _is_host_value(v: Any) -> bool:
     return True
   if isinstance(v, (bool, int, float, str, bytes, np.generic)):
     return True
+  if getattr(v, '__wbx_lazy__', False):  # lazy windowed view (lazy.py)
+    return True
   return False
 
 
@@ -172,7 +174,8 @@ class DimArray:
     if isinstance(dims, str):
       dims = (dims,)
     dims = tuple(dims)
-    if _is_host_value(data) and not isinstance(data, np.ndarray):
+    if (_is_host_value(data) and not isinstance(data, np.ndarray)
+        and not getattr(data, '__wbx_lazy__', False)):
       data = np.asarray(data)
     ndim = getattr(data, 'ndim', 0)
     if ndim != len(dims):
@@ -535,13 +538,17 @@ class DimArray:
     for dim, labels in indexers.items():
       coord = np.asarray(self.coords[dim].values)
       if isinstance(labels, slice):
-        # Label-slice: inclusive on both ends (pandas/xarray convention),
-        # assuming an ascending coordinate.
+        # Label-slice: inclusive on both ends, following the coordinate's
+        # own order (pandas/xarray convention) — on a descending coordinate
+        # (e.g. north-to-south latitude stores) start is the upper bound.
+        descending = coord.size > 1 and coord[0] > coord[-1]
         mask = np.ones(coord.shape, bool)
         if labels.start is not None:
-          mask &= coord >= labels.start
+          mask &= (coord <= labels.start) if descending else (
+              coord >= labels.start)
         if labels.stop is not None:
-          mask &= coord <= labels.stop
+          mask &= (coord >= labels.stop) if descending else (
+              coord <= labels.stop)
         isel_idx[dim] = np.nonzero(mask)[0]
       else:
         isel_idx[dim] = _label_indices(coord, labels, method)
@@ -564,7 +571,10 @@ class DimArray:
       raise ValueError(f'{new_dims=} does not match indices shape {idx_shape}')
     flat_idx = indices.reshape(-1)
     if _is_host_value(self.data):
-      gathered = np.take(self.data, np.asarray(flat_idx), axis=ax)
+      # One-axis fancy index (== np.take); on a lazy view this is THE
+      # windowed read: only the gathered rows come off disk.
+      gathered = np.asarray(
+          self.data[(slice(None),) * ax + (np.asarray(flat_idx),)])
     else:
       gathered = jnp.take(jnp.asarray(self.data), jnp.asarray(flat_idx),
                           axis=ax)

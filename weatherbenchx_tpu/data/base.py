@@ -150,10 +150,13 @@ class DataLoader(abc.ABC):
       chunk = self._interpolation.interpolate(chunk, reference)
 
     if self._compute:
-      # Materialize any lazy views into contiguous host arrays,
-      # preserving dtype.
+      # Materialize any lazy views into contiguous host arrays, preserving
+      # dtype. For lazy-opened stores this is the per-chunk windowed read
+      # (reference per-chunk .compute(), ``data_loaders/base.py:146-153``).
       def _compute_one(da: DimArray) -> DimArray:
         d = da.data
+        if getattr(d, '__wbx_lazy__', False):
+          return da.copy(data=np.asarray(d))
         if isinstance(d, np.ndarray) and not d.flags.c_contiguous:
           return da.copy(data=np.ascontiguousarray(d))
         return da

@@ -98,15 +98,26 @@ class DatasetBackedLoader(base.DataLoader):
       return
     if self._ds is None:
       assert self._path is not None
-      if self._path.rstrip('/').endswith('.npz'):
-        self._ds = io_lib.load_dataset(self._path)
+      stripped = self._path.rstrip('/')
+      if stripped.endswith(('.npz', '.wbx')):
+        # Lazy open: coords eager, data as windowed views. Per-chunk
+        # selections read only their window from disk, so stores larger
+        # than RAM stream chunk-by-chunk (reference lazy-Zarr behavior,
+        # ``data_loaders/base.py:146-153``).
+        self._ds = io_lib.open_dataset(self._path)
+      elif stripped.endswith('.zarr'):
+        try:
+          import xarray as xr  # optional dependency
+        except ImportError:
+          # Self-contained lazy Zarr v2 reader (zarr_io.py).
+          from weatherbenchx_tpu import zarr_io
+          self._ds = zarr_io.open_dataset_zarr(self._path)
+        else:
+          self._ds = io_lib.open_xarray_dataset(xr.open_zarr(self._path))
       else:
         import xarray as xr  # optional dependency
-        if self._path.rstrip('/').endswith('.zarr'):
-          xds = xr.open_zarr(self._path)
-        else:
-          xds = xr.open_dataset(self._path)
-        self._ds = io_lib.from_xarray_dataset(xds)
+        self._ds = io_lib.open_xarray_dataset(
+            xr.open_dataset(self._path, chunks={}))
     if self._preprocessing_fn is not None:
       self._ds = self._preprocessing_fn(self._ds)
     self._ds = rename_dataset(

@@ -1,64 +1,166 @@
 """Sparse (station/satellite) observation loaders from partitioned Parquet.
 
-Reference semantics: ``weatherbenchX/data_loaders/sparse_parquet.py:27-524``.
-Chunks come back as dict[var, DimArray] over an ``index`` dim with
+Feature parity with reference ``weatherbenchX/data_loaders/sparse_parquet.py``
+(hive partitioning ``:27-69``, windowed time filters and duplicate handling
+``:72-360``, METAR preset ``:362-524``), redesigned around two small pieces:
+
+* :class:`PartitionLayout` — maps a time range onto the hive-partitioned
+  file set (``year=/month=[/day=[/hour=]]``);
+* :class:`Window` — the half-open/closed valid-time interval a single
+  (init, lead) evaluation point selects, with its Parquet predicate.
+
+Chunks come back as ``dict[var, DimArray]`` over an ``index`` dim with
 latitude/longitude/elevation/station/valid_time (+ init_time/lead_time)
-coordinates — ready for grid→sparse interpolation against them.
+coordinates — ready for grid→sparse interpolation against them. Ragged
+``index`` lengths are padded downstream (``data/base.py
+pad_dim_to_multiple``) so the jitted pipeline sees a bounded shape set.
 """
 
-import functools
+import dataclasses
 import os
-from typing import Callable, Hashable, Mapping, Optional, Sequence, Union
+from typing import Callable, Mapping, Optional, Sequence, Union
 
 import numpy as np
 
 from weatherbenchx_tpu.darray import Coord, DimArray
 from weatherbenchx_tpu.data import base
 
-
-def get_parquet_files_subset(
-    path: str,
-    time_start: np.datetime64,
-    time_end: np.datetime64,
-    partition_by: str,
-) -> list[str]:
-  """Hive-partition filenames covering [time_start, time_end]."""
-  unit = {'month': 'M', 'day': 'D', 'hour': 'h'}.get(partition_by)
-  if unit is None:
-    raise NotImplementedError(f'{partition_by} not implemented.')
-  time_start = np.datetime64(time_start, unit)
-  time_end = np.datetime64(time_end, unit)
-  td = np.timedelta64(1, unit)
-  times = np.arange(time_start, time_end + td, td)
-  return [parquet_filename_for_time(path, t, unit) for t in times]
+_ZERO_TD = np.timedelta64(0, 'h')
 
 
-def parquet_filename_for_time(path: str, time: np.datetime64,
-                              unit: str) -> str:
-  """Partition filename for a given time (reference ``:53-69``)."""
-  t = time.item()
-  year, month = t.year, t.month
-  if unit == 'M':
-    fn = f'year={year}/month={month}/{year}-{str(month).zfill(2)}.parquet'
-  elif unit == 'D':
-    day = t.day
-    fn = (f'year={year}/month={month}/day={day}/'
-          f'{year}-{str(month).zfill(2)}-{str(day).zfill(2)}.parquet')
-  elif unit == 'h':
-    day, hour = t.day, t.hour
-    fn = (f'year={year}/month={month}/day={day}/hour={hour}/'
-          f'{year}-{str(month).zfill(2)}-{str(day).zfill(2)}'
-          f'T{str(hour).zfill(2)}.parquet')
+@dataclasses.dataclass(frozen=True)
+class PartitionLayout:
+  """Hive partition scheme: one parquet file per month/day/hour.
+
+  Assumes no missing files over the requested range (matching the
+  reference's layout contract).
+  """
+
+  granularity: str  # 'month' | 'day' | 'hour'
+
+  _UNITS = {'month': 'M', 'day': 'D', 'hour': 'h'}
+
+  def __post_init__(self):
+    if self.granularity not in self._UNITS:
+      raise ValueError(
+          f"partitioned_by must be one of {sorted(self._UNITS)}; "
+          f"got {self.granularity!r}")
+
+  @property
+  def numpy_unit(self) -> str:
+    return self._UNITS[self.granularity]
+
+  def file_for(self, root: str, when: np.datetime64) -> str:
+    t = when.item()
+    parts = [f'year={t.year}', f'month={t.month}']
+    stamp = f'{t.year}-{t.month:02d}'
+    if self.granularity in ('day', 'hour'):
+      parts.append(f'day={t.day}')
+      stamp += f'-{t.day:02d}'
+    if self.granularity == 'hour':
+      parts.append(f'hour={t.hour}')
+      stamp += f'T{t.hour:02d}'
+    return os.path.join(root, *parts, f'{stamp}.parquet')
+
+  def files_covering(self, root: str, start: np.datetime64,
+                     stop: np.datetime64) -> list[str]:
+    """Partition files whose period intersects [start, stop]."""
+    unit = self.numpy_unit
+    one = np.timedelta64(1, unit)
+    periods = np.arange(np.datetime64(start, unit),
+                        np.datetime64(stop, unit) + one, one)
+    return [self.file_for(root, p) for p in periods]
+
+
+@dataclasses.dataclass(frozen=True)
+class Window:
+  """A valid-time selection interval for one evaluation point.
+
+  ``stop=None`` means an exact-time match. Otherwise the interval is
+  ``[start, stop)`` — or ``[start, stop]`` when ``closed_end``.
+  """
+
+  start: np.datetime64
+  stop: Optional[np.datetime64] = None
+  closed_end: bool = False
+
+  def predicate(self, time_column: str) -> list[tuple]:
+    """The pyarrow row filter implementing this window."""
+    import pandas as pd
+
+    if self.stop is None:
+      return [(time_column, '=', pd.Timestamp(self.start))]
+    return [(time_column, '>=', pd.Timestamp(self.start)),
+            (time_column, '<=' if self.closed_end else '<',
+             pd.Timestamp(self.stop))]
+
+  def file_range(self, slack: np.timedelta64) -> tuple:
+    last = self.start if self.stop is None else self.stop
+    return self.start - slack, last + slack
+
+
+def _as_tolerance_pair(
+    tolerance: Union[np.timedelta64, tuple, None],
+) -> Optional[tuple]:
+  """Normalizes the tolerance argument to a validated (before, after) pair."""
+  if tolerance is None:
+    return None
+  if isinstance(tolerance, np.timedelta64):
+    tolerance = (-tolerance, tolerance)
+  if len(tolerance) != 2:
+    raise ValueError(
+        f'tolerance takes one np.timedelta64 (symmetric) or a (before, '
+        f'after) pair; got {tolerance!r}')
+  before, after = tolerance
+  if after - before <= _ZERO_TD:
+    raise ValueError(
+        f'empty tolerance window {tolerance!r}: no observation can ever '
+        'fall inside it')
+  return before, after
+
+
+def _read_parquet_window(files: Sequence[str], window: Window,
+                         time_column: str):
+  """Reads and concatenates the window's rows across partition files."""
+  import pandas as pd
+  import pyarrow
+
+  predicate = window.predicate(time_column)
+  frames = []
+  for fn in files:
+    try:
+      frames.append(pd.read_parquet(fn, filters=predicate))
+    except pyarrow.lib.ArrowTypeError:
+      # Predicates fail to type-check against a zero-row file's schema;
+      # confirm it really is empty rather than masking a data bug.
+      whole = pd.read_parquet(fn)
+      if len(whole):
+        raise
+      frames.append(whole)
+  return pd.concat(frames, ignore_index=True)
+
+
+def _keep_closest_observation(df, key_column: str, valid_time,
+                              time_column: Optional[str]):
+  """One row per key: the temporally closest to valid_time (first on ties,
+  or plain first-seen when no time column is given)."""
+  if time_column is None:
+    order = np.arange(len(df))
   else:
-    raise NotImplementedError
-  return os.path.join(path, fn)
+    gap = np.abs(df[time_column].to_numpy() - np.datetime64(valid_time, 'ns'))
+    order = np.argsort(gap, kind='stable')
+  ranked = df.iloc[order]
+  return ranked[~ranked[key_column].duplicated()]
 
 
 class SparseObservationsFromParquet(base.DataLoader):
   """General sparse observations from hive-partitioned Parquet.
 
-  Assumes year=/month=[/day=[/hour=]] partitioning with no missing files
-  (reference ``sparse_parquet.py:72-191``).
+  Reference semantics (``sparse_parquet.py:72-360``): per evaluation point
+  (init+lead), select rows whose time falls in the point's window (exact
+  match, +/- tolerance, or a lead interval), optionally keep only the
+  closest observation per station, and stack everything into flat
+  ``index``-dim arrays.
   """
 
   def __init__(
@@ -81,160 +183,119 @@ class SparseObservationsFromParquet(base.DataLoader):
       **kwargs,
   ):
     super().__init__(compute=False, **kwargs)
-    self._path = path
-    if partitioned_by not in ['hour', 'day', 'month']:
-      raise ValueError(f'Unsupported partitioned_by: {partitioned_by}')
-    self._partitioned_by = partitioned_by
+    self._root = path
+    self._layout = PartitionLayout(partitioned_by)
     self._time_dim = time_dim
     self._variables = list(variables)
     self._coordinate_variables = list(coordinate_variables) + ['valid_time']
     self._split_variables = split_variables
     self._dropna = dropna
-    if tolerance is not None:
-      if isinstance(tolerance, np.timedelta64):
-        tolerance = (-tolerance, tolerance)
-      if len(tolerance) != 2:
-        raise ValueError(
-            'Tolerance must be a single np.timedelta64 or a 2-tuple.')
-      if (tolerance[1] - tolerance[0]) <= np.timedelta64(0, 'h'):
-        raise ValueError(
-            'Tolerance range should be non-empty. This will always return '
-            'an empty array.')
-    self._tolerance = tolerance
+    self._tolerance = _as_tolerance_pair(tolerance)
     self._rename_variables = rename_variables
     self._include_slice_end_time = include_slice_end_time
-    self._remove_duplicates = remove_duplicates
-    self._pick_closest_duplicate_by = pick_closest_duplicate_by
     if remove_duplicates and observation_dim is None:
       raise ValueError(
-          'observation_dim must be specified if remove_duplicates is True.')
+          'remove_duplicates needs observation_dim to know which column '
+          'identifies an observation')
+    self._remove_duplicates = remove_duplicates
+    self._pick_closest_duplicate_by = pick_closest_duplicate_by
     self._observation_dim = observation_dim
     self._file_tolerance = file_tolerance
     self._preprocessing_fn = preprocessing_fn
 
-  def _pick_closest_from_duplicates(self, df, valid_time):
-    import pandas as pd  # noqa: F401
+  # -- one evaluation point → one table ---------------------------------------
 
-    if self._pick_closest_duplicate_by is not None:
-      df = df.copy()
-      df['time_diff'] = np.abs(
-          df[self._pick_closest_duplicate_by] - valid_time)
-      df = df.sort_values('time_diff', ascending=True)
-    return df[~df[self._observation_dim].duplicated(keep='first')]
+  def _window_for(self, valid_time: np.datetime64,
+                  lead_interval: Optional[slice]) -> Window:
+    if self._tolerance is not None:
+      before, after = self._tolerance
+      return Window(valid_time + before, valid_time + after,
+                    closed_end=self._include_slice_end_time)
+    if lead_interval is not None:
+      return Window(valid_time - lead_interval.start,
+                    valid_time + lead_interval.stop,
+                    closed_end=self._include_slice_end_time)
+    return Window(valid_time)
 
-  def _load_data_for_single_time(self, valid_time, lead_time_slice=None):
-    import pandas as pd
-    import pyarrow
-
-    if self._tolerance is None:
-      if lead_time_slice is None:
-        start_time, stop_time = valid_time, None
-      else:
-        start_time = valid_time - lead_time_slice.start
-        stop_time = valid_time + lead_time_slice.stop
-    else:
-      start_time = valid_time + self._tolerance[0]
-      stop_time = valid_time + self._tolerance[1]
-
-    if stop_time is None:
-      file_start = start_time - self._file_tolerance
-      file_stop = start_time + self._file_tolerance
-      filters = [(self._time_dim, '=', pd.Timestamp(start_time))]
-    else:
-      file_start = start_time - self._file_tolerance
-      file_stop = stop_time + self._file_tolerance
-      op_end = '<=' if self._include_slice_end_time else '<'
-      filters = [
-          (self._time_dim, '>=', pd.Timestamp(start_time)),
-          (self._time_dim, op_end, pd.Timestamp(stop_time)),
-      ]
-    files = get_parquet_files_subset(
-        self._path, file_start, file_stop, self._partitioned_by)
-
-    def _read_single_file(fn):
-      try:
-        return pd.read_parquet(fn, filters=filters)
-      except pyarrow.lib.ArrowTypeError:
-        df = pd.read_parquet(fn)
-        assert len(df) == 0, 'This should only happen if the file is empty.'
-        return df
-
-    df = pd.concat([_read_single_file(fn) for fn in files],
-                   ignore_index=True)
+  def _table_for_point(self, valid_time: np.datetime64,
+                       lead_interval: Optional[slice] = None):
+    window = self._window_for(valid_time, lead_interval)
+    lo, hi = window.file_range(self._file_tolerance)
+    files = self._layout.files_covering(self._root, lo, hi)
+    df = _read_parquet_window(files, window, self._time_dim)
     if self._preprocessing_fn is not None:
       df = self._preprocessing_fn(df)
     if self._remove_duplicates:
-      assert lead_time_slice is None, (
-          'Removing duplicates not compatible with slice lead_time.')
-      df = self._pick_closest_from_duplicates(df, valid_time)
-    if self._rename_variables is not None:
-      df = df.rename(columns=self._rename_variables)
-    df = df.rename(columns={self._time_dim: 'valid_time'})
-    return df.loc[:, self._variables + self._coordinate_variables]
+      if lead_interval is not None:
+        raise ValueError(
+            'remove_duplicates is ambiguous over a lead_times interval '
+            '(several valid observations per station is the point)')
+      df = _keep_closest_observation(
+          df, self._observation_dim, valid_time,
+          self._pick_closest_duplicate_by)
+    renames = dict(self._rename_variables or {})
+    renames[self._time_dim] = 'valid_time'
+    df = df.rename(columns=renames)
+    return df[self._variables + self._coordinate_variables]
+
+  # -- chunk assembly ----------------------------------------------------------
 
   def _load_chunk_from_source(self, init_times, lead_times=None):
     import pandas as pd
 
-    dfs = []
-    if not isinstance(lead_times, slice):
+    tables = []
+    if isinstance(lead_times, slice):
+      if self._tolerance is not None:
+        raise ValueError(
+            'tolerance and a lead_times interval both define the time '
+            'window; specify only one')
       for init_time in init_times:
-        if lead_times is None:
-          dfs.append(self._load_data_for_single_time(init_time))
-        else:
-          for lead_time in lead_times:
-            valid_time = init_time + lead_time
-            df = self._load_data_for_single_time(valid_time)
-            df = df.copy()
-            df['init_time'] = init_time
-            df['lead_time'] = lead_time
-            dfs.append(df)
+        df = self._table_for_point(init_time, lead_interval=lead_times)
+        df = df.assign(init_time=init_time,
+                       lead_time=df['valid_time'] - init_time)
+        tables.append(df)
+    elif lead_times is None:
+      tables = [self._table_for_point(t) for t in init_times]
     else:
-      assert self._tolerance is None, (
-          'Tolerance not compatible with lead_time slice.')
       for init_time in init_times:
-        df = self._load_data_for_single_time(
-            init_time, lead_time_slice=lead_times)
-        df = df.copy()
-        df['init_time'] = init_time
-        df['lead_time'] = df.valid_time - df.init_time
-        dfs.append(df)
+        for lead_time in lead_times:
+          df = self._table_for_point(init_time + lead_time)
+          tables.append(
+              df.assign(init_time=init_time, lead_time=lead_time))
 
-    combined = pd.concat(dfs, ignore_index=True)
-    time_coords = [] if lead_times is None else ['init_time', 'lead_time']
-    coord_names = self._coordinate_variables + time_coords
+    stacked = pd.concat(tables, ignore_index=True)
+    coord_names = list(self._coordinate_variables)
+    if lead_times is not None:
+      coord_names += ['init_time', 'lead_time']
 
-    def column_to_array(col) -> np.ndarray:
-      values = combined[col].to_numpy()
-      if values.dtype == object:
-        values = values.astype(str)
-      return values
+    def as_array(column) -> np.ndarray:
+      values = stacked[column].to_numpy()
+      # String-ish columns (station ids) come back as object arrays.
+      return values.astype(str) if values.dtype == object else values
 
-    coords = {
-        name: Coord(('index',), column_to_array(name))
-        for name in coord_names
-    }
-    coords['index'] = Coord(('index',), np.arange(len(combined)))
+    coords = {name: Coord(('index',), as_array(name))
+              for name in coord_names}
+    coords['index'] = Coord(('index',), np.arange(len(stacked)))
+    chunk = {var: DimArray(as_array(var), ('index',), coords)
+             for var in self._variables}
+    return self._drop_missing(chunk) if self._dropna else chunk
 
-    out: dict[str, DimArray] = {}
-    for var in self._variables:
-      out[var] = DimArray(
-          combined[var].to_numpy(), ('index',), coords)
-
-    if self._dropna:
-      if self._split_variables:
-        for v, da in out.items():
-          keep = np.nonzero(~np.isnan(np.asarray(da.values)))[0]
-          out[v] = da.isel(index=keep)
-      else:
-        all_finite = np.ones(len(combined), bool)
-        for da in out.values():
-          all_finite &= ~np.isnan(np.asarray(da.values))
-        keep = np.nonzero(all_finite)[0]
-        out = {v: da.isel(index=keep) for v, da in out.items()}
-    return out
+  def _drop_missing(self, chunk: dict) -> dict:
+    """NaN-row removal: per variable when split, else rows missing anywhere."""
+    finite = {v: ~np.isnan(np.asarray(da.values))
+              for v, da in chunk.items()}
+    if self._split_variables:
+      return {v: da.isel(index=np.flatnonzero(finite[v]))
+              for v, da in chunk.items()}
+    keep = np.flatnonzero(
+        np.logical_and.reduce(list(finite.values())))
+    return {v: da.isel(index=keep) for v, da in chunk.items()}
 
 
-# METAR constants (reference ``sparse_parquet.py:362-409``)
+# -- METAR preset -------------------------------------------------------------
+# Station-variable naming and QC conventions (reference
+# ``sparse_parquet.py:362-409``); the mapping itself is fixed data.
+
 METAR_TO_ERA5_NAMES = {
     'seaLevelPress': 'mean_sea_level_pressure',
     'temperature': '2m_temperature',
@@ -256,12 +317,14 @@ METAR_QC_SUFFIX = 'DD'
 METAR_BAD_QUALITY_FLAGS = ('Z', 'B', 'X', 'Q', 'k')
 METAR_COORDINATE_VARIABLES = (
     'latitude', 'longitude', 'elevation', 'stationName')
+_METAR_ELEVATION_FILL = 9.999e03
 
 
 def set_bad_quality_to_nan(df, variables, qc_suffix, bad_quality_flags):
+  """NaNs every value whose paired QC column carries a bad flag."""
   for variable in variables:
-    df[variable] = df[variable].where(
-        ~np.isin(df[variable + qc_suffix], bad_quality_flags), np.nan)
+    bad = np.isin(df[variable + qc_suffix], bad_quality_flags)
+    df[variable] = df[variable].mask(bad)
   return df
 
 
@@ -270,11 +333,23 @@ def convert_longitude_to_0_to_360(df, longitude_dim: str = 'longitude'):
   return df
 
 
-class METARFromParquet(SparseObservationsFromParquet):
-  """METAR observations with QC-flag NaNing and standard renames.
+def _metar_clean(df, metar_variables, user_fn=None):
+  """Standard METAR hygiene: QC flags → NaN, wrap longitude, NaN the
+  elevation fill value. Runs after any user preprocessing."""
+  if user_fn is not None:
+    df = user_fn(df)
+  df = set_bad_quality_to_nan(
+      df, metar_variables, METAR_QC_SUFFIX, METAR_BAD_QUALITY_FLAGS)
+  df = convert_longitude_to_0_to_360(df)
+  df['elevation'] = df['elevation'].mask(
+      df['elevation'] >= _METAR_ELEVATION_FILL)
+  return df
 
-  Reference ``sparse_parquet.py:411-524``: bad-quality flags → NaN,
-  longitude to [0, 360), elevation fill values (9999) → NaN.
+
+class METARFromParquet(SparseObservationsFromParquet):
+  """METAR observations with QC-flag NaNing and ERA5-style renames.
+
+  Reference ``sparse_parquet.py:411-524``.
   """
 
   def __init__(
@@ -282,48 +357,22 @@ class METARFromParquet(SparseObservationsFromParquet):
       path: str,
       variables: Sequence[str],
       time_dim: str,
-      split_variables: bool = False,
-      dropna: bool = False,
-      tolerance: Optional[np.timedelta64] = None,
       partitioned_by: str = 'month',
       rename_variables: Optional[Mapping[str, str]] = None,
-      include_slice_end_time: bool = False,
-      remove_duplicates: bool = False,
-      pick_closest_duplicate_by: Optional[str] = None,
-      file_tolerance: np.timedelta64 = np.timedelta64(1, 'h'),
       preprocessing_fn: Optional[Callable] = None,
       **kwargs,
   ):
-    del rename_variables  # METAR names are fixed.
-
-    def metar_preprocessing_fn(df, preprocessing_fn=None):
-      if preprocessing_fn is not None:
-        df = preprocessing_fn(df)
-      df = set_bad_quality_to_nan(
-          df,
-          [ERA5_TO_METAR_NAMES[v] for v in variables],
-          METAR_QC_SUFFIX, METAR_BAD_QUALITY_FLAGS)
-      df = convert_longitude_to_0_to_360(df)
-      df['elevation'] = df['elevation'].where(
-          df['elevation'] < 9.999e03, np.nan)
-      return df
-
+    del rename_variables  # the METAR→ERA5 naming is fixed
+    metar_variables = [ERA5_TO_METAR_NAMES[v] for v in variables]
     super().__init__(
         path=path,
-        variables=list(variables),
+        partitioned_by=partitioned_by,
         time_dim=time_dim,
+        variables=list(variables),
         coordinate_variables=METAR_COORDINATE_VARIABLES,
         observation_dim='stationName',
-        split_variables=split_variables,
-        dropna=dropna,
-        tolerance=tolerance,
-        partitioned_by=partitioned_by,
         rename_variables=METAR_TO_ERA5_NAMES,
-        include_slice_end_time=include_slice_end_time,
-        remove_duplicates=remove_duplicates,
-        pick_closest_duplicate_by=pick_closest_duplicate_by,
-        file_tolerance=file_tolerance,
-        preprocessing_fn=functools.partial(
-            metar_preprocessing_fn, preprocessing_fn=preprocessing_fn),
+        preprocessing_fn=lambda df: _metar_clean(
+            df, metar_variables, preprocessing_fn),
         **kwargs,
     )

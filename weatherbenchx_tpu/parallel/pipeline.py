@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from weatherbenchx_tpu import aggregation as aggregation_lib
+from weatherbenchx_tpu import fileio
 from weatherbenchx_tpu import io as io_lib
 from weatherbenchx_tpu import observability
 from weatherbenchx_tpu import time_chunks as time_chunks_lib
@@ -51,12 +52,10 @@ def _cpu_device():
 def atomic_write_dataset(path: str, dataset: Mapping[str, DimArray]) -> None:
   """tmp+rename write, safe against duplicate/straggler attempts.
 
-  Mirrors reference ``beam_utils.py:64-101``.
+  Mirrors reference ``beam_utils.py:64-101``; remote URLs (gs://, s3://,
+  memory://, ...) go through fsspec (``fileio.py``).
   """
-  ext = '.wbx' if path.endswith('.wbx') else ''
-  tmp = f'{path}.tmp.{os.getpid()}{ext}'
-  io_lib.save_dataset(tmp, dataset)
-  os.replace(tmp, path)
+  fileio.save_dataset_atomic(path, dataset)
 
 
 @dataclasses.dataclass
@@ -102,6 +101,7 @@ class EvaluationPipeline:
   profile_dir: Optional[str] = None
   distributed: bool = False
   compilation_cache_dir: Optional[str] = None
+  max_in_flight: int = 4
 
   def __post_init__(self):
     if self.compilation_cache_dir:
@@ -198,12 +198,16 @@ class EvaluationPipeline:
     }
     for k, (key, state) in enumerate(sorted(buckets.items())):
       # .wbx: thread-parallel raw block writes (native core) — checkpoints
-      # are the pipeline's hottest host I/O.
+      # are the pipeline's hottest host I/O. Remote checkpoint paths write
+      # portable npz bytes through fsspec instead.
       path = f'{self._ckpt_prefix()}.bucket{k}.wbx'
-      tmp = f'{path}.tmp.wbx'  # suffix picks the block container
       ds = state.to_host().to_dataset()
-      io_lib.save_dataset(tmp, ds)
-      os.replace(tmp, path)
+      if fileio.is_remote(path):
+        fileio.write_bytes_atomic(path, io_lib.dumps_dataset(ds))
+      else:
+        tmp = f'{path}.tmp.wbx'  # suffix picks the block container
+        io_lib.save_dataset(tmp, ds)
+        os.replace(tmp, path)
       # Live (pre-float64-upcast) dtypes, so resume restores exactly.
       dtypes = {}
       for part, mapping in (('ws', state.sum_weighted_statistics),
@@ -214,16 +218,12 @@ class EvaluationPipeline:
               if isinstance(leaf.data, np.ndarray) else leaf.data.dtype)
       manifest['buckets'].append(
           {'key': list(key), 'path': path, 'dtypes': dtypes})
-    tmp = self._ckpt_manifest() + '.tmp'
-    with open(tmp, 'w') as f:
-      json.dump(manifest, f)
-    os.replace(tmp, self._ckpt_manifest())
+    fileio.write_text_atomic(self._ckpt_manifest(), json.dumps(manifest))
 
   def _load_checkpoint(self):
-    if not self.checkpoint_path or not os.path.exists(self._ckpt_manifest()):
+    if not self.checkpoint_path or not fileio.exists(self._ckpt_manifest()):
       return {}, 0
-    with open(self._ckpt_manifest()) as f:
-      manifest = json.load(f)
+    manifest = json.loads(fileio.read_text(self._ckpt_manifest()))
     want_count = jax.process_count() if self.distributed else 1
     have_count = manifest.get('process_count', 1)
     if have_count != want_count:
@@ -236,7 +236,7 @@ class EvaluationPipeline:
     buckets = {}
     for b in manifest['buckets']:
       state = aggregation_lib.AggregationState.from_dataset(
-          io_lib.load_dataset(b['path']))
+          fileio.load_dataset_any(b['path']))
       buckets[tuple(b['key'])] = _restore_state_to_device(
           state, b.get('dtypes'))
     logger.info('resuming from checkpoint at chunk %d', manifest['next_chunk'])
@@ -256,8 +256,31 @@ class EvaluationPipeline:
           getattr(offsets, d) if d in self._bucket_dims else -1
           for d in ('init_time', 'lead_time'))
 
+    inflight: list = []
+
+    def throttle(state):
+      """Backpressure on asynchronously-dispatched chunks.
+
+      Async accelerator queues (and especially remote-attached ones, where
+      block_until_ready returns before execution) would otherwise accept
+      the ENTIRE dataset: every staged host->device transfer stays
+      referenced until its step runs, so host RSS grows with the store,
+      defeating streaming. Keep a small window of in-flight chunks by
+      fetching one tiny state leaf (weights of the chunk dispatched
+      max_in_flight steps ago) — state is a dependency chain, so the fetch
+      synchronizes everything up to that chunk.
+      """
+      if self.max_in_flight <= 0:
+        return
+      for leaf in tree.flatten_with_paths(state.sum_weights).values():
+        inflight.append(leaf.data)
+        break
+      if len(inflight) > self.max_in_flight:
+        np.asarray(jax.device_get(inflight.pop(0)))
+
     def bookkeeping(i, key):
       self._obs.counter('chunks_done')
+      throttle(buckets[key])
       # Each process checkpoints its own partial state (see _ckpt_prefix).
       if (self.checkpoint_path and self.checkpoint_every
           and (i + 1) % self.checkpoint_every == 0):

@@ -1,10 +1,10 @@
 """Evaluation-time chunking: the Cartesian grid of (init_time, lead_time) chunks.
 
-Semantics match the reference (``weatherbenchX/time_chunks.py:36-202``):
-the iterator yields the product of init_time chunks × lead_time chunks;
-lead times are either an exact np.timedelta64 array (chunkable) or a slice
-interval (single chunk, inclusive end). Chunk offsets locate each chunk in
-the full arrays for result assembly.
+Feature parity with reference ``weatherbenchX/time_chunks.py:36-202``: the
+iterator yields the product of init_time chunks x lead_time chunks; lead
+times are either an exact np.timedelta64 array (chunkable) or a slice
+interval (kept whole, inclusive end — loaders window it). Chunk offsets
+locate each chunk inside the full arrays for result assembly.
 
 On TPU this is pure host-side driver code: chunks map 1:1 onto jitted
 evaluation steps, and (via ``parallel.pipeline``) onto shards of the device
@@ -14,7 +14,6 @@ mesh, replacing the reference's ``beam.Create`` fan-out
 
 from collections.abc import Iterable, Iterator
 import dataclasses
-import itertools
 from typing import Optional, Union
 
 import numpy as np
@@ -24,12 +23,45 @@ TimeChunk = tuple[np.ndarray, Union[np.ndarray, slice]]
 
 @dataclasses.dataclass(frozen=True)
 class TimeChunkOffsets:
+  """Element offsets of one chunk within the full init/lead arrays."""
+
   init_time: int
   lead_time: int
 
 
+def _check_chunk_size(name: str, size: Optional[int]) -> None:
+  if size is not None and size < 0:
+    raise ValueError(f'{name} must be a non-negative int or None; got {size}')
+
+
+def _split(values: np.ndarray, size: Optional[int]) -> tuple[list, int]:
+  """Consecutive pieces of at most ``size`` elements (one piece if falsy)."""
+  if not size:
+    size = max(len(values), 1)
+  pieces = [values[lo:lo + size] for lo in range(0, len(values), size)]
+  return pieces, size
+
+
+def _as_lead_interval(interval: slice) -> slice:
+  """Validates a lead-time interval: closed range, no step, both ends set."""
+  if interval.step is not None:
+    raise ValueError(
+        f'a lead_times interval takes no step; got step={interval.step}')
+  if interval.start is None or interval.stop is None:
+    raise ValueError(
+        'a lead_times interval needs both ends; got '
+        f'slice({interval.start}, {interval.stop})')
+  return interval
+
+
 class TimeChunks(Iterable[TimeChunk]):
-  """Iterable over (init_times, lead_times) chunk tuples."""
+  """Iterable over (init_times, lead_times) chunk tuples.
+
+  Iteration order is init-major / lead-minor, so ``__getitem__(index)``
+  decomposes as ``index = init_chunk_index * num_lead_chunks +
+  lead_chunk_index`` — the layout the pipeline's modulo sharding and the
+  offset bookkeeping rely on.
+  """
 
   def __init__(
       self,
@@ -38,46 +70,32 @@ class TimeChunks(Iterable[TimeChunk]):
       init_time_chunk_size: Optional[int] = None,
       lead_time_chunk_size: Optional[int] = None,
   ):
-    if init_time_chunk_size is not None and init_time_chunk_size < 0:
-      raise ValueError(
-          f'{init_time_chunk_size=} but should be non-negative or None')
-    if lead_time_chunk_size is not None and lead_time_chunk_size < 0:
-      raise ValueError(
-          f'{lead_time_chunk_size=} but should be non-negative or None')
+    _check_chunk_size('init_time_chunk_size', init_time_chunk_size)
+    _check_chunk_size('lead_time_chunk_size', lead_time_chunk_size)
 
-    init_times = np.asarray(init_times).astype('datetime64[ns]')
-    if not init_time_chunk_size:
-      init_time_chunk_size = max(len(init_times), 1)
-    self._init_time_chunks = [
-        init_times[i:i + init_time_chunk_size]
-        for i in range(0, len(init_times), init_time_chunk_size)
-    ]
+    self._init_times = np.asarray(init_times).astype('datetime64[ns]')
+    self._init_chunks, self._init_time_chunk_size = _split(
+        self._init_times, init_time_chunk_size)
 
     if isinstance(lead_times, slice):
-      if lead_times.start is None or lead_times.stop is None:
-        raise ValueError('Slice start and stop must be specified.')
-      if lead_times.step is not None:
-        raise ValueError('Slice step must be None.')
+      # An interval stays one chunk: its extent in the source data is
+      # unknown until a loader windows it, so there is nothing to split.
       if lead_time_chunk_size:
-        raise ValueError('Chunking in lead time not compatible with slice.')
-      self._lead_time_chunks: list = [lead_times]
+        raise ValueError(
+            'lead_time_chunk_size cannot be combined with a lead_times '
+            'interval (slice) — an interval is always a single chunk')
+      self._lead_times: Union[np.ndarray, slice] = _as_lead_interval(
+          lead_times)
+      self._lead_chunks: list = [self._lead_times]
+      self._lead_time_chunk_size = lead_time_chunk_size
     elif isinstance(lead_times, np.ndarray):
-      lead_times = lead_times.astype('timedelta64[ns]')
-      if not lead_time_chunk_size:
-        lead_time_chunk_size = max(len(lead_times), 1)
-      self._lead_time_chunks = [
-          lead_times[i:i + lead_time_chunk_size]
-          for i in range(0, len(lead_times), lead_time_chunk_size)
-      ]
+      self._lead_times = lead_times.astype('timedelta64[ns]')
+      self._lead_chunks, self._lead_time_chunk_size = _split(
+          self._lead_times, lead_time_chunk_size)
     else:
-      raise ValueError('Lead times must be either np.ndarray or slice.')
-
-    self._init_times = init_times
-    self._lead_times = lead_times
-    self._init_time_chunk_size = init_time_chunk_size
-    self._lead_time_chunk_size = lead_time_chunk_size
-    self._num_init_chunks = len(self._init_time_chunks)
-    self._num_lead_chunks = len(self._lead_time_chunks)
+      raise ValueError(
+          'lead_times must be an np.ndarray of timedeltas or a slice '
+          f'interval; got {type(lead_times).__name__}')
 
   @property
   def init_times(self) -> np.ndarray:
@@ -95,26 +113,30 @@ class TimeChunks(Iterable[TimeChunk]):
   def lead_time_chunk_size(self) -> Optional[int]:
     return self._lead_time_chunk_size
 
-  def __iter__(self) -> Iterator[TimeChunk]:
-    return itertools.product(self._init_time_chunks, self._lead_time_chunks)
-
   def __len__(self) -> int:
-    return self._num_init_chunks * self._num_lead_chunks
+    return len(self._init_chunks) * len(self._lead_chunks)
+
+  def _decompose(self, index: int) -> tuple[int, int]:
+    return divmod(index, len(self._lead_chunks))
 
   def __getitem__(self, index: int) -> TimeChunk:
-    if index < 0 or index >= len(self):
-      raise IndexError(f'TimeChunks index out of range: {index}')
-    init_chunk = self._init_time_chunks[index // self._num_lead_chunks]
-    lead_chunk = self._lead_time_chunks[index % self._num_lead_chunks]
-    return init_chunk, lead_chunk
+    if not 0 <= index < len(self):
+      raise IndexError(
+          f'chunk index {index} outside [0, {len(self)})')
+    i, j = self._decompose(index)
+    return self._init_chunks[i], self._lead_chunks[j]
+
+  def __iter__(self) -> Iterator[TimeChunk]:
+    for index in range(len(self)):
+      yield self[index]
 
   def iter_with_chunk_offsets(
       self,
   ) -> Iterator[tuple[TimeChunkOffsets, TimeChunk]]:
     """Yields (offsets, chunk) pairs locating each chunk in the full arrays."""
-    for index, chunk in enumerate(self):
-      init_index = self._init_time_chunk_size * (
-          index // self._num_lead_chunks)
-      lead_index = (self._lead_time_chunk_size or 0) * (
-          index % self._num_lead_chunks)
-      yield TimeChunkOffsets(init_time=init_index, lead_time=lead_index), chunk
+    for index in range(len(self)):
+      i, j = self._decompose(index)
+      offsets = TimeChunkOffsets(
+          init_time=i * self._init_time_chunk_size,
+          lead_time=j * (self._lead_time_chunk_size or 0))
+      yield offsets, self[index]
