@@ -237,7 +237,7 @@ class TestConfigRegistry:
         'realization'] == 'number'
     m0 = configs.deterministic_prediction_configs[
         'ens_single_member_64x32_2020']
-    assert m0['data_loader_kwargs']['sel_kwargs'] == {'number': 0}
+    assert m0['data_loader_kwargs']['isel_kwargs'] == {'number': 0}
 
   def test_era5_target_sorts_latitude(self):
     import numpy as np
@@ -289,3 +289,69 @@ class TestHeterogeneousCombine:
         np.asarray(t2m.sel(model='hres', metric='CRPS').values)).all()
     np.testing.assert_allclose(
         np.asarray(t2m.sel(model='hres', metric='RMSE').values), 1.0)
+
+
+class TestUnaggregatedZarr:
+  def _run(self, tmp_path, out_name, mesh=None, dim_to_axis=None,
+           init_chunk=4, lead_chunk=2):
+    ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
+    metrics = {'rmse': deterministic.RMSE()}
+    times = tc.TimeChunks(init, lead, init_time_chunk_size=init_chunk,
+                          lead_time_chunk_size=lead_chunk)
+    out = unaggregated.define_unaggregated_pipeline(
+        metrics,
+        loaders.PredictionsFromDataset(path=ppath,
+                                       variables=['2m_temperature']),
+        loaders.TargetsFromDataset(path=tpath,
+                                   variables=['2m_temperature']),
+        times, out_path=str(tmp_path / out_name),
+        mesh=mesh, dim_to_axis=dim_to_axis)
+    pl = loaders.PredictionsFromDataset(path=ppath,
+                                        variables=['2m_temperature'])
+    tl = loaders.TargetsFromDataset(path=tpath,
+                                    variables=['2m_temperature'])
+    direct = deterministic.SquaredError().compute(
+        pl.load_chunk(init, lead), tl.load_chunk(init, lead))
+    return out, direct['2m_temperature'], init, lead
+
+  def test_zarr_store_equivalence_and_layout(self, tmp_path):
+    out, direct, init, lead = self._run(tmp_path, 'unagg.zarr')
+    # Standard zarr v2 layout, openable by the self-contained reader
+    # (and by xarray where installed).
+    assert os.path.exists(os.path.join(out, '.zmetadata'))
+    assert os.path.exists(
+        os.path.join(out, 'SquaredError.2m_temperature', '.zarray'))
+    assembled = unaggregated.load_unaggregated(out)
+    da = assembled['SquaredError.2m_temperature']
+    assert da.sizes['init_time'] == len(init)
+    assert da.sizes['lead_time'] == len(lead)
+    np.testing.assert_allclose(
+        np.asarray(da.transpose(*direct.dims).values),
+        np.asarray(direct.values), atol=1e-5)
+    np.testing.assert_array_equal(
+        da.coord_values('init_time'), np.asarray(init, 'datetime64[ns]'))
+    vt = da.coords['valid_time']
+    assert vt.dims == ('init_time', 'lead_time')
+
+  def test_zarr_ragged_tail_chunks(self, tmp_path):
+    # 5 inits / chunk 2 and 4 leads / chunk 3: ragged tails both axes.
+    out, direct, init, lead = self._run(
+        tmp_path, 'ragged.zarr', init_chunk=2, lead_chunk=3)
+    da = unaggregated.load_unaggregated(out)[
+        'SquaredError.2m_temperature']
+    np.testing.assert_allclose(
+        np.asarray(da.transpose(*direct.dims).values),
+        np.asarray(direct.values), atol=1e-5)
+
+  def test_zarr_on_virtual_mesh(self, tmp_path):
+    import jax
+    devices = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = jax.sharding.Mesh(devices, ('batch', 'space'))
+    out, direct, init, lead = self._run(
+        tmp_path, 'mesh.zarr', mesh=mesh,
+        dim_to_axis={'init_time': 'batch', 'longitude': 'space'})
+    da = unaggregated.load_unaggregated(out)[
+        'SquaredError.2m_temperature']
+    np.testing.assert_allclose(
+        np.asarray(da.transpose(*direct.dims).values),
+        np.asarray(direct.values), atol=1e-5)

@@ -193,3 +193,24 @@ class TestTemporalMode:
     assert 'init_time' in da.dims
     assert da.sizes['init_time'] == 4
     assert da.coord_values('init_time').dtype.kind == 'M'
+
+
+class TestIselKwargs:
+  def test_positional_member_selection_on_one_indexed_coord(self):
+    import numpy as np
+    from weatherbenchx_tpu.darray import DimArray
+    t = np.array(['2020-01-01T00', '2020-01-01T06'], dtype='datetime64[ns]')
+    lead = np.array([0], 'timedelta64[h]').astype('timedelta64[ns]')
+    # ECMWF perturbed-member convention: 1-indexed member coordinate.
+    ds = {'t2m': DimArray(
+        np.arange(2 * 2 * 1 * 3, dtype=np.float32).reshape(2, 2, 1, 3),
+        ('number', 'init_time', 'lead_time', 'latitude'),
+        {'number': np.array([1, 2]), 'init_time': t, 'lead_time': lead,
+         'latitude': np.array([-10.0, 0.0, 10.0])})}
+    loader = loaders.PredictionsFromDataset(
+        ds=ds, rename_dimensions=None, isel_kwargs={'number': 0})
+    chunk = loader.load_chunk(t, lead)
+    da = chunk['t2m']
+    assert 'number' not in da.dims  # first member, dim dropped
+    np.testing.assert_array_equal(
+        da.values, ds['t2m'].isel(number=0).values)

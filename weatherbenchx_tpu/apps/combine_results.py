@@ -64,16 +64,14 @@ def combine_model_results(
         da = per_model[model].get(var, {}).get(metric)
         if da is None:
           # NaN fill for a (model, variable, metric) hole. The template
-          # must come from the SAME (variable, metric) of another model
-          # (same dims) — a different variable of this model may have a
-          # different rank (e.g. pressure-level vs surface).
+          # must come from the SAME (variable, metric) of another model:
+          # a different metric can have extra dims (quantile, threshold)
+          # and would mis-shape the stack. One always exists —
+          # metric_names only contains metrics present under this
+          # variable for at least one model.
           template = next(
-              (per_model[m][var][metric] for m in models
-               if metric in per_model[m].get(var, {})), None)
-          if template is None:  # metric exists only under other variables
-            template = next(
-                per_model[m][var][mt] for m in models
-                for mt in per_model[m].get(var, {}))
+              per_model[m][var][metric] for m in models
+              if metric in per_model[m].get(var, {}))
           da = template.copy(data=np.full(template.shape, np.nan))
         stack.append(da)
       model_stacks.append(darray.concat(stack, 'metric').assign_coords(

@@ -193,7 +193,9 @@ def single_member_configs() -> dict[str, dict[str, Any]]:
         **cfg,
         'data_loader_kwargs': {
             **cfg.get('data_loader_kwargs', {}),
-            'sel_kwargs': {'number': 0},
+            # Positional: member coords may be 1-indexed (ECMWF perturbed
+            # members) — matches the reference's isel(number=0).
+            'isel_kwargs': {'number': 0},
         },
     }
   return out

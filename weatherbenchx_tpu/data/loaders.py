@@ -69,6 +69,7 @@ class DatasetBackedLoader(base.DataLoader):
       ds: Optional[Dataset] = None,
       variables: Optional[Iterable[str]] = None,
       sel_kwargs: Optional[Mapping[str, Any]] = None,
+      isel_kwargs: Optional[Mapping[str, Any]] = None,
       rename_dimensions: Optional[Union[Mapping[str, str], str]] = 'ecmwf',
       automatically_convert_lat_lon_to_latitude_longitude: bool = True,
       rename_variables: Optional[Mapping[str, str]] = None,
@@ -81,6 +82,7 @@ class DatasetBackedLoader(base.DataLoader):
     self._path = path
     self._variables = variables
     self._sel_kwargs = sel_kwargs
+    self._isel_kwargs = isel_kwargs
     self._rename_dimensions = rename_dimensions
     self._auto_latlon = automatically_convert_lat_lon_to_latitude_longitude
     self._rename_variables = rename_variables
@@ -131,6 +133,15 @@ class DatasetBackedLoader(base.DataLoader):
       self._ds = {
           k: v.sel({d: s for d, s in self._sel_kwargs.items()
                     if d in v.dims})
+          for k, v in self._ds.items()
+      }
+    if self._isel_kwargs is not None:
+      # Positional selection — e.g. member 0 of an ensemble regardless of
+      # whether the member coordinate is 0- or 1-indexed (reference uses
+      # isel(number=0), ``public_configs.py:264-285``).
+      self._ds = {
+          k: v.isel({d: s for d, s in self._isel_kwargs.items()
+                     if d in v.dims})
           for k, v in self._ds.items()
       }
     self._preprocessed = True

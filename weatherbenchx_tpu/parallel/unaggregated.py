@@ -2,11 +2,14 @@
 
 The TPU equivalent of the reference's ``define_unaggregated_pipeline``
 (``beam_pipeline.py:610-681``), which rechunks per-chunk statistics into a
-Zarr store via xarray_beam. Here each chunk's statistics are computed in
-the same jitted step and written as npz shards into a directory store with
-chunk offsets; ``load_unaggregated`` (or any shard-aware reader) assembles
-the full '<stat>.<var>' arrays. When xarray+zarr are installed the
-assembled dataset can be exported with ``io.to_xarray_dataset``.
+Zarr store via xarray_beam with a template inferred from chunk 0. Here the
+same thing happens without Beam: chunks are prepared and placed through the
+same batched-transfer / mesh-sharding path as the aggregated evaluator, the
+statistics are computed in one jitted step, and each chunk streams straight
+into its cell of a Zarr v2 store (``out_path`` ending in ``.zarr``;
+TimeChunks offsets map 1:1 onto the zarr chunk grid, so no rechunk shuffle
+is needed). A ``.wbx`` shard-directory mode remains for ragged/sparse
+statistics that don't fit a fixed grid.
 """
 
 import dataclasses
@@ -15,11 +18,13 @@ import os
 from typing import Hashable, Mapping, Optional
 
 import jax
+import numpy as np
 
 from weatherbenchx_tpu import aggregation as aggregation_lib
 from weatherbenchx_tpu import io as io_lib
 from weatherbenchx_tpu import time_chunks as time_chunks_lib
-from weatherbenchx_tpu.darray import DimArray
+from weatherbenchx_tpu import zarr_io
+from weatherbenchx_tpu.darray import Coord, DimArray
 from weatherbenchx_tpu.data import base as data_base
 from weatherbenchx_tpu.metrics import base as metrics_base
 from weatherbenchx_tpu.parallel import evaluator as evaluator_lib
@@ -28,7 +33,17 @@ from weatherbenchx_tpu.parallel import pipeline as pipeline_lib
 
 @dataclasses.dataclass
 class UnaggregatedPipeline:
-  """Computes per-chunk statistics and streams them to a sharded store."""
+  """Computes per-chunk statistics and streams them to a store.
+
+  Attributes:
+    metrics: metric name → Metric (statistics are deduplicated across them).
+    predictions_loader / targets_loader / times: as in EvaluationPipeline.
+    out_path: ``*.zarr`` → streaming Zarr v2 store (standard format, open
+      with xarray or ``zarr_io.open_dataset_zarr``); anything else → a
+      directory of per-chunk ``.wbx`` shards + manifest.
+    mesh / dim_to_axis: optional SPMD placement, same contract as
+      ChunkEvaluator.
+  """
 
   metrics: Mapping[str, metrics_base.Metric]
   predictions_loader: data_base.DataLoader
@@ -36,40 +51,153 @@ class UnaggregatedPipeline:
   times: time_chunks_lib.TimeChunks
   out_path: str
   prefetch: int = 2
+  mesh: Optional[jax.sharding.Mesh] = None
+  dim_to_axis: Optional[Mapping[str, str]] = None
 
   def __post_init__(self):
+    # Reuse the evaluator's host preparation + single-put (optionally
+    # mesh-sharded) placement; only the jitted step differs (raw
+    # statistics, no aggregation).
+    self._evaluator = evaluator_lib.ChunkEvaluator(
+        metrics=self.metrics,
+        aggregator=aggregation_lib.Aggregator(reduce_dims=()),
+        mesh=self.mesh, dim_to_axis=self.dim_to_axis)
     self._stats_fn = jax.jit(self._compute_stats)
-    self._host_coords: tuple = ()
-    self._unique_stats = evaluator_lib._unique_stats(self.metrics)
 
   def _compute_stats(self, predictions, targets):
     return metrics_base.compute_unique_statistics_for_all_metrics(
         self.metrics, predictions, targets)
 
-  def run(self) -> str:
-    """Evaluates all chunks, writing one npz shard per chunk + manifest."""
-    os.makedirs(self.out_path, exist_ok=True)
+  def _chunk_stats(self, predictions, targets) -> dict[str, DimArray]:
+    p, t = self._evaluator.prepare_pair(predictions, targets)
+    stats = self._stats_fn(p, t)
+    flat = {}
+    for stat_name, stat_vars in stats.items():
+      for var_name, da in stat_vars.items():
+        flat[f'{stat_name}.{var_name}'] = (
+            evaluator_lib.restore_time_coords(da))
+    return flat
+
+  def _stream(self):
     loader = pipeline_lib.EvaluationPipeline(
         metrics=self.metrics,
         aggregator=aggregation_lib.Aggregator(reduce_dims=()),
         predictions_loader=self.predictions_loader,
         targets_loader=self.targets_loader,
         times=self.times, prefetch=self.prefetch)
+    return loader._chunk_stream()
+
+  def run(self) -> str:
+    if self.out_path.rstrip('/').endswith('.zarr'):
+      return self._run_zarr()
+    return self._run_shards()
+
+  # -- Zarr mode ---------------------------------------------------------------
+
+  def _run_zarr(self) -> str:
+    """One zarr chunk per (TimeChunk, variable): no rechunk shuffle.
+
+    The template (shapes, dtypes, coords) comes from the first chunk with
+    init/lead expanded to the full evaluation extent — the reference's
+    ``_get_template_dataset`` (``beam_pipeline.py:543-605``).
+    """
+    if isinstance(self.times.lead_times, slice):
+      raise ValueError(
+          'Zarr unaggregated output needs exact lead_times: a lead '
+          'interval has unknown extent until load time')
+    path = self.out_path.rstrip('/')
+    os.makedirs(path, exist_ok=True)
+    init_times = self.times.init_times
+    lead_times = self.times.lead_times
+    init_chunk = self.times.init_time_chunk_size
+    lead_chunk = self.times.lead_time_chunk_size or max(len(lead_times), 1)
+
+    writers: dict[str, zarr_io.ZarrArrayWriter] = {}
+    coord_arrays: dict[str, Coord] = {}
+    aux_by_var: dict[str, list] = {}
+
+    def full_size(dim: str, chunk_size: int) -> tuple[int, int]:
+      if dim == 'init_time':
+        return len(init_times), init_chunk
+      if dim == 'lead_time':
+        return len(lead_times), lead_chunk
+      return chunk_size, chunk_size
+
+    def make_writer(key: str, da: DimArray) -> zarr_io.ZarrArrayWriter:
+      if da.has_coord('mask'):
+        raise ValueError(
+            f'{key} carries a mask coord; masks have no cell in an '
+            'unaggregated store (reference rejects them too, '
+            'beam_pipeline.py:592-599). Use masked aggregation instead.')
+      shape, chunks = zip(*(full_size(d, s)
+                            for d, s in zip(da.dims, da.shape)))
+      aux = []
+      for cname, c in da.coords.items():
+        if cname in ('init_time', 'lead_time'):
+          continue  # written whole from TimeChunks at the end
+        if set(c.dims) & {'init_time', 'lead_time'} and cname != 'valid_time':
+          continue  # chunk-local coord with no stable global layout
+        if cname not in da.dims:
+          aux.append(str(cname))
+        if cname in coord_arrays:
+          continue
+        if cname == 'valid_time':
+          full = init_times[:, None] + lead_times[None, :]
+          coord_arrays[cname] = Coord(('init_time', 'lead_time'), full)
+        else:
+          coord_arrays[cname] = Coord(c.dims, np.asarray(c.values))
+      aux_by_var[key] = aux
+      return zarr_io.ZarrArrayWriter(
+          path, key, shape, chunks, np.asarray(da.values).dtype, da.dims,
+          extra_attrs={'coordinates': ' '.join(aux)} if aux else None)
+
+    for i, offsets, (predictions, targets) in self._stream():
+      for key, da in self._chunk_stats(predictions, targets).items():
+        if key not in writers:
+          writers[key] = make_writer(key, da)
+        w = writers[key]
+        cell = []
+        for d, n in zip(da.dims, da.shape):
+          if d == 'init_time':
+            cell.append(offsets.init_time // init_chunk)
+          elif d == 'lead_time':
+            cell.append(offsets.lead_time // lead_chunk)
+          else:
+            cell.append(0)
+            if n != w.shape[da.dims.index(d)]:
+              raise ValueError(
+                  f'{key}: dim {d!r} is {n} in chunk {i} but {w.shape} in '
+                  'the template; only init_time/lead_time may vary across '
+                  'chunks in zarr mode (use the shard-directory mode for '
+                  'ragged statistics)')
+        w.write_block(cell, np.asarray(da.values))
+
+    metadata: dict = {'.zgroup': {'zarr_format': 2}, '.zattrs': {}}
+    with open(os.path.join(path, '.zgroup'), 'w') as f:
+      json.dump(metadata['.zgroup'], f)
+    coord_arrays.setdefault('init_time', Coord(('init_time',), init_times))
+    coord_arrays.setdefault('lead_time', Coord(('lead_time',), lead_times))
+    for cname, c in coord_arrays.items():
+      metadata.update(zarr_io._write_array(
+          path, cname, np.asarray(c.values), c.dims,
+          [init_chunk if d == 'init_time' else
+           lead_chunk if d == 'lead_time' else s
+           for d, s in zip(c.dims, np.shape(c.values))]))
+    for key, w in writers.items():
+      metadata.update(w.metadata)
+    with open(os.path.join(path, '.zmetadata'), 'w') as f:
+      json.dump({'metadata': metadata, 'zarr_consolidated_format': 1}, f,
+                default=zarr_io._json_default)
+    return path
+
+  # -- shard-directory mode ------------------------------------------------------
+
+  def _run_shards(self) -> str:
+    """One .wbx shard per chunk + manifest (ragged/sparse-safe)."""
+    os.makedirs(self.out_path, exist_ok=True)
     manifest = {'version': 1, 'shards': []}
-    for i, offsets, (predictions, targets) in loader._chunk_stream():
-      p = evaluator_lib.prepare_chunk(
-          predictions, self._unique_stats, is_predictions=True,
-          targets=targets)
-      t = evaluator_lib.prepare_chunk(targets)
-      # One transfer for the whole pair (a transfer per leaf is a round
-      # trip each on remote-attached accelerators).
-      p, t = jax.device_put((p, t))
-      stats = self._stats_fn(p, t)
-      flat = {}
-      for stat_name, stat_vars in stats.items():
-        for var_name, da in stat_vars.items():
-          flat[f'{stat_name}.{var_name}'] = (
-              evaluator_lib.restore_time_coords(da))
+    for i, offsets, (predictions, targets) in self._stream():
+      flat = self._chunk_stats(predictions, targets)
       shard = f'chunk_{i:06d}.wbx'
       io_lib.save_dataset(os.path.join(self.out_path, shard), flat)
       manifest['shards'].append({
@@ -85,8 +213,12 @@ class UnaggregatedPipeline:
 
 
 def load_unaggregated(path: str) -> dict[str, DimArray]:
-  """Assembles the sharded unaggregated statistics into full arrays."""
+  """Assembles unaggregated statistics into full arrays (either mode)."""
   from weatherbenchx_tpu import darray
+
+  if path.rstrip('/').endswith('.zarr'):
+    ds = zarr_io.open_dataset_zarr(path.rstrip('/'))
+    return {k: v.copy(data=np.asarray(v.data)) for k, v in ds.items()}
 
   with open(os.path.join(path, 'manifest.json')) as f:
     manifest = json.load(f)

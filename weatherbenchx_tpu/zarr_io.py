@@ -67,56 +67,83 @@ def _fill_value_json(dtype: np.dtype):
   return None
 
 
+class ZarrArrayWriter:
+  """Incremental writer for one zarr v2 array.
+
+  Metadata is written at construction; chunk blocks stream in afterwards
+  via :meth:`write_block` — the building block for the unaggregated
+  pipeline's chunk-at-a-time store writes (the xarray_beam
+  template+ChunksToZarr analog, reference ``beam_pipeline.py:543-681``).
+  """
+
+  def __init__(self, root: str, name: str, shape: Sequence[int],
+               chunks: Sequence[int], dtype, dims: Sequence[str],
+               extra_attrs: Optional[dict] = None,
+               compressor: Optional[str] = None) -> None:
+    self._adir = os.path.join(root, name)
+    os.makedirs(self._adir, exist_ok=True)
+    self.shape = tuple(int(s) for s in shape)
+    self.chunks = tuple(min(int(c), max(int(s), 1)) or 1
+                        for c, s in zip(chunks, self.shape))
+    self.dtype = np.dtype(dtype)
+    self._comp = {'id': 'zlib', 'level': 1} if compressor == 'zlib' else None
+    zarray = {
+        'zarr_format': 2,
+        'shape': list(self.shape),
+        'chunks': list(self.chunks),
+        'dtype': self.dtype.str,
+        'compressor': self._comp,
+        'fill_value': _fill_value_json(self.dtype),
+        'order': 'C',
+        'filters': None,
+        'dimension_separator': '.',
+    }
+    zattrs = {'_ARRAY_DIMENSIONS': list(dims), **(extra_attrs or {})}
+    with open(os.path.join(self._adir, '.zarray'), 'w') as f:
+      json.dump(zarray, f, default=_json_default)
+    with open(os.path.join(self._adir, '.zattrs'), 'w') as f:
+      json.dump(zattrs, f, default=_json_default)
+    self.metadata = {f'{name}/.zarray': zarray, f'{name}/.zattrs': zattrs}
+
+  def write_block(self, cell: Sequence[int], block: np.ndarray) -> None:
+    """Writes one chunk-grid cell. Ragged edge blocks are padded to full
+    chunk extent with fill (the v2 storage contract)."""
+    block = np.asarray(block).astype(self.dtype, copy=False)
+    if block.shape != self.chunks:
+      full = np.full(self.chunks,
+                     np.nan if self.dtype.kind == 'f' else 0,
+                     dtype=self.dtype)
+      full[tuple(slice(0, s) for s in block.shape)] = block
+      block = full
+    key = '.'.join(str(int(i)) for i in cell) or '0'
+    raw = np.ascontiguousarray(block).tobytes()
+    if self._comp:
+      raw = zlib.compress(raw, self._comp['level'])
+    with open(os.path.join(self._adir, key), 'wb') as f:
+      f.write(raw)
+
+  def write_full(self, values: np.ndarray) -> None:
+    grid = [max(-(-s // c), 1) for s, c in zip(self.shape, self.chunks)]
+    for cell in np.ndindex(*grid):
+      window = tuple(slice(i * c, (i + 1) * c)
+                     for i, c in zip(cell, self.chunks))
+      self.write_block(cell, values[window])
+
+
 def _write_array(root: str, name: str, values: np.ndarray,
                  dims: Sequence[str], chunks: Sequence[int],
                  extra_attrs: Optional[dict] = None,
                  compressor: Optional[str] = None) -> dict:
-  """Writes one zarr array; returns its metadata entries (for .zmetadata)."""
+  """Writes one complete zarr array; returns its .zmetadata entries."""
   values, time_attrs = _encode_cf_time(np.asarray(values))
   if not values.flags.c_contiguous:
     values = np.ascontiguousarray(values)
-  adir = os.path.join(root, name)
-  os.makedirs(adir, exist_ok=True)
-  chunks = [min(int(c), max(int(s), 1)) or 1
-            for c, s in zip(chunks, values.shape)]
-
-  comp_meta = {'id': 'zlib', 'level': 1} if compressor == 'zlib' else None
-  zarray = {
-      'zarr_format': 2,
-      'shape': list(values.shape),
-      'chunks': list(chunks),
-      'dtype': values.dtype.str,
-      'compressor': comp_meta,
-      'fill_value': _fill_value_json(values.dtype),
-      'order': 'C',
-      'filters': None,
-      'dimension_separator': '.',
-  }
-  zattrs = {'_ARRAY_DIMENSIONS': list(dims), **time_attrs,
-            **(extra_attrs or {})}
-  with open(os.path.join(adir, '.zarray'), 'w') as f:
-    json.dump(zarray, f, default=_json_default)
-  with open(os.path.join(adir, '.zattrs'), 'w') as f:
-    json.dump(zattrs, f, default=_json_default)
-
-  grid = [max(-(-s // c), 1) for s, c in zip(values.shape, chunks)]
-  for cell in np.ndindex(*grid):
-    window = tuple(slice(i * c, (i + 1) * c)
-                   for i, c in zip(cell, chunks))
-    block = np.asarray(values[window])
-    # Edge chunks are stored at full chunk extent, padded with fill.
-    if block.shape != tuple(chunks):
-      full = np.full(chunks, np.nan if values.dtype.kind == 'f' else 0,
-                     dtype=values.dtype)
-      full[tuple(slice(0, s) for s in block.shape)] = block
-      block = full
-    key = '.'.join(str(i) for i in cell) or '0'
-    raw = np.ascontiguousarray(block).tobytes()
-    if comp_meta:
-      raw = zlib.compress(raw, comp_meta['level'])
-    with open(os.path.join(adir, key), 'wb') as f:
-      f.write(raw)
-  return {f'{name}/.zarray': zarray, f'{name}/.zattrs': zattrs}
+  writer = ZarrArrayWriter(
+      root, name, values.shape, chunks, values.dtype, dims,
+      extra_attrs={**time_attrs, **(extra_attrs or {})},
+      compressor=compressor)
+  writer.write_full(values)
+  return writer.metadata
 
 
 def save_dataset_zarr(
