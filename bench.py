@@ -15,6 +15,7 @@ reference's execution model).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -171,6 +172,13 @@ def main():
 
   gridpoints = n_lead * nlat * nlon
   value = gridpoints * n_stats / dt
+
+  # CRPS spread implementation: XLA sort. A fused Pallas bitonic-network
+  # skill+PWM kernel was built, measured on-chip, and removed: both paths
+  # are compute-bound (not HBM-bound) at this ensemble size, and the
+  # power-of-two network does 64/50 wasted compares — XLA sort won 1.15x
+  # isolated (43.6 vs 50.0 ms/step) and tied in the fused eval
+  # (271.9 vs 271.7 M stats/s). See BASELINE.md.
 
   # Numpy single-process baseline on a smaller slice, scaled.
   frac = 4  # evaluate 1/frac of the leads to keep the baseline quick

@@ -42,7 +42,6 @@ MODULES = [
     'weatherbenchx_tpu.inference.bootstrap',
     'weatherbenchx_tpu.inference.block_length',
     'weatherbenchx_tpu.inference.baseline_comparison',
-    'weatherbenchx_tpu.ops.crps',
     'weatherbenchx_tpu.ops.conv',
     'weatherbenchx_tpu.ops.interp',
     'weatherbenchx_tpu.native',

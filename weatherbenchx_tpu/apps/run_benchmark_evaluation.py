@@ -70,12 +70,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _open_dataset(path: str) -> dict[str, DimArray]:
-  if path.rstrip('/').endswith('.npz'):
-    return io_lib.load_dataset(path)
-  import xarray as xr  # optional, for Zarr/netCDF stores
-  if path.rstrip('/').endswith('.zarr') or path.startswith('gs://'):
-    return io_lib.from_xarray_dataset(xr.open_zarr(path))
-  return io_lib.from_xarray_dataset(xr.open_dataset(path))
+  """Lazy open: .npz/.wbx/local .zarr are self-contained (io.open_dataset);
+  remote stores and netCDF go through xarray when installed."""
+  stripped = path.rstrip('/')
+  if (stripped.endswith(('.npz', '.wbx'))
+      or (stripped.endswith('.zarr') and '://' not in path)):
+    return io_lib.open_dataset(path)
+  import xarray as xr  # optional, for remote Zarr / netCDF stores
+  if stripped.endswith('.zarr') or path.startswith('gs://'):
+    return io_lib.open_xarray_dataset(xr.open_zarr(path))
+  return io_lib.open_xarray_dataset(xr.open_dataset(path, chunks={}))
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
@@ -146,10 +150,13 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
       path=tgt_cfg['path'], variables=variables, sel_kwargs=sel_kwargs,
       **tgt_cfg.get('data_loader_kwargs', {}))
 
-  # 4. Metrics. SEEPS requires ascending latitudes on the climatology.
-  climatology = _open_dataset(clim_cfg['path'])
-  climatology = {k: v.sortby('latitude') if 'latitude' in v.dims else v
-                 for k, v in climatology.items()}
+  # 4. Metrics. The probabilistic set needs no climatology — don't open
+  # (or require) one for it. SEEPS/ACC require ascending latitudes on the
+  # climatology.
+  if not is_probabilistic:
+    climatology = _open_dataset(clim_cfg['path'])
+    climatology = {k: v.sortby('latitude') if 'latitude' in v.dims else v
+                   for k, v in climatology.items()}
   if is_probabilistic:
     all_metrics = {
         'crps': probabilistic.CRPSEnsemble(use_sort=True),

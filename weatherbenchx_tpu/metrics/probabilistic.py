@@ -27,43 +27,7 @@ from weatherbenchx_tpu.metrics import base
 from weatherbenchx_tpu.metrics import categorical
 from weatherbenchx_tpu.metrics import deterministic
 from weatherbenchx_tpu.metrics import wrappers
-from weatherbenchx_tpu.ops import crps as crps_ops
-
 ENSEMBLE_DIM = 'number'
-
-
-def _fused_crps_kernel_applicable(predictions: DimArray, targets: DimArray,
-                                  ensemble_dim: str,
-                                  skipna_ensemble: bool) -> bool:
-  """Whether the Pallas skill+PWM kernel applies to this skill/spread pair."""
-  return (not skipna_ensemble
-          and ensemble_dim in predictions.dims
-          and ensemble_dim not in targets.dims
-          and crps_ops.supported(
-              predictions.shape, predictions.dims.index(ensemble_dim)))
-
-
-def _fused_crps_outputs(predictions: DimArray, targets: DimArray,
-                        ensemble_dim: str) -> tuple[DimArray, DimArray]:
-  """(Σ|x-y|, PWM sum) per point via the Pallas kernel.
-
-  Called from both CRPSSkill and CRPSSpread with identical operands: under
-  jit, XLA CSEs the two calls into ONE kernel execution, so skill and
-  spread share a single HBM pass over the ensemble.
-  """
-  from weatherbenchx_tpu.darray import _expand_to  # dim-name alignment
-  import jax.numpy as jnp_
-
-  ax = predictions.dims.index(ensemble_dim)
-  out_dims = tuple(d for d in predictions.dims if d != ensemble_dim)
-  tgt = _expand_to(jnp_.asarray(targets.data), targets.dims, out_dims)
-  tgt = jnp_.broadcast_to(tgt, tuple(predictions.sizes[d] for d in out_dims))
-  skill_sum, pwm_sum = crps_ops.crps_skill_and_pwm(
-      jnp_.asarray(predictions.data), tgt, ensemble_axis=ax)
-  coords = {k: c for k, c in {**targets.coords, **predictions.coords}.items()
-            if set(c.dims).issubset(out_dims)}
-  return (DimArray(skill_sum, out_dims, coords),
-          DimArray(pwm_sum, out_dims, coords))
 
 
 ### Statistics
@@ -136,11 +100,6 @@ class CRPSSkill(base.PerVariableStatistic):
     return f'CRPSSkill_{self._ensemble_dim}'
 
   def _compute_per_variable(self, predictions, targets):
-    if _fused_crps_kernel_applicable(
-        predictions, targets, self._ensemble_dim, self._skipna_ensemble):
-      skill_sum, _ = _fused_crps_outputs(
-          predictions, targets, self._ensemble_dim)
-      return skill_sum / predictions.sizes[self._ensemble_dim]
     reduce_dims = [self._ensemble_dim]
     if self._ensemble_dim in targets.dims:
       pseudo = f'{self._ensemble_dim}_PSEUDO_FOR_TARGETS'
@@ -201,13 +160,6 @@ class CRPSSpread(base.PerVariableStatistic):
       if self._skipna_ensemble:
         raise ValueError(
             'skipna_ensemble is not supported with use_sort=True.')
-      if (self._which == 'predictions'
-          and _fused_crps_kernel_applicable(
-              predictions, targets, self._ensemble_dim, False)):
-        _, pwm_sum = _fused_crps_outputs(
-            predictions, targets, self._ensemble_dim)
-        m = predictions.sizes[self._ensemble_dim]
-        return 2 * (pwm_sum / m) / (m - int(self._fair))
       # PWM form: with X sorted ascending, λ₂-type sum is
       # Σ_i (2i - M - 1) X_(i) — the rank of a sorted element IS its
       # position (ties contribute identically), so ONE sort along the
