@@ -101,7 +101,7 @@ class EvaluationPipeline:
   profile_dir: Optional[str] = None
   distributed: bool = False
   compilation_cache_dir: Optional[str] = None
-  max_in_flight: int = 4
+  max_in_flight_bytes: int = 2 << 30
 
   def __post_init__(self):
     if self.compilation_cache_dir:
@@ -170,6 +170,31 @@ class EvaluationPipeline:
           pending.append((j, offs2, ex.submit(self._load, chunk2)))
         except StopIteration:
           pass
+
+  def _prepared_stream(self, start_chunk: int = 0):
+    """Chunk stream with host preparation + device staging pipelined.
+
+    ``prepare_pair`` (host dtype/coord conversion + the single batched
+    device_put) runs one chunk ahead in a worker thread, overlapping the
+    next chunk's transfer with the current chunk's dispatch/accumulate —
+    on remote-attached accelerators the put latency is a large share of
+    the per-chunk cost.
+    """
+    def prep(pair):
+      prepared = self._evaluator.prepare_pair(*pair)
+      return prepared, evaluator_lib.batchable_signature(*prepared)
+
+    with futures.ThreadPoolExecutor(max_workers=1) as ex:
+      pending: list = []
+      for i, offsets, chunk_pair in self._chunk_stream(start_chunk):
+        pending.append((i, offsets, ex.submit(prep, chunk_pair)))
+        if len(pending) > 1:
+          j, offs, fut = pending.pop(0)
+          prepared, sig = fut.result()
+          yield j, offs, prepared, sig
+      for j, offs, fut in pending:
+        prepared, sig = fut.result()
+        yield j, offs, prepared, sig
 
   # -- checkpointing -----------------------------------------------------------
 
@@ -256,31 +281,42 @@ class EvaluationPipeline:
           getattr(offsets, d) if d in self._bucket_dims else -1
           for d in ('init_time', 'lead_time'))
 
-    inflight: list = []
+    inflight: list = []  # (state leaf token, staged bytes) per chunk
+    inflight_bytes = [0]
 
-    def throttle(state):
+    def throttle(state, staged_bytes: int):
       """Backpressure on asynchronously-dispatched chunks.
 
       Async accelerator queues (and especially remote-attached ones, where
       block_until_ready returns before execution) would otherwise accept
       the ENTIRE dataset: every staged host->device transfer stays
       referenced until its step runs, so host RSS grows with the store,
-      defeating streaming. Keep a small window of in-flight chunks by
-      fetching one tiny state leaf (weights of the chunk dispatched
-      max_in_flight steps ago) — state is a dependency chain, so the fetch
-      synchronizes everything up to that chunk.
+      defeating streaming. Bound the STAGED BYTES in flight: when the
+      window exceeds max_in_flight_bytes, fetch one tiny state leaf
+      (weights) of the oldest windowed chunk — state is a dependency
+      chain, so the fetch synchronizes everything up to that chunk. The
+      byte gate keeps small-chunk workloads free of the per-fetch
+      round-trip (~25 ms on a remote-attached chip) while still capping
+      memory for year-scale chunks.
       """
-      if self.max_in_flight <= 0:
+      if self.max_in_flight_bytes <= 0:
         return
       for leaf in tree.flatten_with_paths(state.sum_weights).values():
-        inflight.append(leaf.data)
+        inflight.append((leaf.data, staged_bytes))
+        inflight_bytes[0] += staged_bytes
         break
-      if len(inflight) > self.max_in_flight:
-        np.asarray(jax.device_get(inflight.pop(0)))
+      while inflight_bytes[0] > self.max_in_flight_bytes and len(inflight) > 1:
+        token, nbytes = inflight.pop(0)
+        inflight_bytes[0] -= nbytes
+        np.asarray(jax.device_get(token))
 
-    def bookkeeping(i, key):
+    def pair_bytes(pair) -> int:
+      return sum(getattr(leaf, 'nbytes', 0)
+                 for leaf in jax.tree_util.tree_leaves(pair))
+
+    def bookkeeping(i, key, staged_bytes):
       self._obs.counter('chunks_done')
-      throttle(buckets[key])
+      throttle(buckets[key], staged_bytes)
       # Each process checkpoints its own partial state (see _ckpt_prefix).
       if (self.checkpoint_path and self.checkpoint_every
           and (i + 1) % self.checkpoint_every == 0):
@@ -311,7 +347,7 @@ class EvaluationPipeline:
         else:
           buckets[key] = state
       bucket_sigs[key] = pair_sig
-      bookkeeping(i, key)
+      bookkeeping(i, key, pair_bytes(pair))
 
     batch: list = []  # buffered (i, offsets, prepared_pair, sig)
 
@@ -320,22 +356,19 @@ class EvaluationPipeline:
         return
       with self._obs.timed('eval_chunk_seconds'):
         states = self._evaluator.eval_prepared([p for _, _, p, _ in batch])
-      for (i, offsets, _, _), state in zip(batch, states):
+      for (i, offsets, pair, _), state in zip(batch, states):
         key = bucket_key(offsets)
         if key in buckets:
           buckets[key] = _device_add(buckets[key], state)
         else:
           buckets[key] = state
-        bookkeeping(i, key)
+        bookkeeping(i, key, pair_bytes(pair))
       batch.clear()
 
     group = max(int(self.chunks_per_dispatch), 1)
     sig = None
     with observability.maybe_profile(self.profile_dir):
-      for i, offsets, (predictions, targets) in self._chunk_stream(
-          start_chunk):
-        pair = self._evaluator.prepare_pair(predictions, targets)
-        this_sig = evaluator_lib.batchable_signature(*pair)
+      for i, offsets, pair, this_sig in self._prepared_stream(start_chunk):
         if group == 1:
           with self._obs.timed('eval_chunk_seconds'):
             absorb(i, offsets, pair, this_sig)
