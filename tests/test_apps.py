@@ -355,3 +355,85 @@ class TestUnaggregatedZarr:
     np.testing.assert_allclose(
         np.asarray(da.transpose(*direct.dims).values),
         np.asarray(direct.values), atol=1e-5)
+
+
+class TestDistributedUnaggregatedZarr:
+  """Two simulated processes write disjoint cells of one zarr store."""
+
+  def test_two_process_cells_assemble_to_full(self, tmp_path, monkeypatch):
+    import jax
+    from weatherbenchx_tpu.parallel import unaggregated as unagg_lib
+    ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
+    metrics = {'rmse': deterministic.RMSE()}
+    out = str(tmp_path / 'dist.zarr')
+
+    monkeypatch.setattr(jax, 'process_count', lambda: 2)
+    synced = []
+    import jax.experimental.multihost_utils as mh
+    monkeypatch.setattr(mh, 'sync_global_devices',
+                        lambda name: synced.append(name))
+    for pi in [1, 0]:  # process 0 last: it writes consolidated metadata
+      monkeypatch.setattr(jax, 'process_index', lambda pi=pi: pi)
+      unagg_lib.UnaggregatedPipeline(
+          metrics=metrics,
+          predictions_loader=loaders.PredictionsFromDataset(
+              path=ppath, variables=['2m_temperature']),
+          targets_loader=loaders.TargetsFromDataset(
+              path=tpath, variables=['2m_temperature']),
+          times=tc.TimeChunks(init, lead, init_time_chunk_size=2,
+                              lead_time_chunk_size=2),
+          out_path=out, distributed=True).run()
+    assert synced  # the metadata write waited on the cell barrier
+
+    da = unagg_lib.load_unaggregated(out)['SquaredError.2m_temperature']
+    pl = loaders.PredictionsFromDataset(path=ppath,
+                                        variables=['2m_temperature'])
+    tl = loaders.TargetsFromDataset(path=tpath,
+                                    variables=['2m_temperature'])
+    direct = deterministic.SquaredError().compute(
+        pl.load_chunk(init, lead), tl.load_chunk(init, lead))[
+            '2m_temperature']
+    np.testing.assert_allclose(
+        np.asarray(da.transpose(*direct.dims).values),
+        np.asarray(direct.values), atol=1e-5)
+
+  def test_shard_mode_distributed_rejected(self, tmp_path, monkeypatch):
+    import jax
+    from weatherbenchx_tpu.parallel import unaggregated as unagg_lib
+    ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
+    monkeypatch.setattr(jax, 'process_count', lambda: 2)
+    monkeypatch.setattr(jax, 'process_index', lambda: 0)
+    with pytest.raises(ValueError, match='zarr'):
+      unagg_lib.UnaggregatedPipeline(
+          metrics={'rmse': deterministic.RMSE()},
+          predictions_loader=loaders.PredictionsFromDataset(
+              path=ppath, variables=['2m_temperature']),
+          targets_loader=loaders.TargetsFromDataset(
+              path=tpath, variables=['2m_temperature']),
+          times=tc.TimeChunks(init, lead),
+          out_path=str(tmp_path / 'shards'), distributed=True).run()
+
+
+class TestCLIUnaggregatedZarr:
+  def test_flag_writes_stats_store(self, tmp_path):
+    ppath, tpath, cpath, init, lead = _write_source_files(
+        tmp_path, with_extras=True)
+    outdir = str(tmp_path / 'results')
+    run_benchmark_evaluation.main([
+        '--prediction', 'hres', '--target', 'era5',
+        '--resolution', '64x32', '--year', '2020',
+        '--variables', '2m_temperature',
+        '--time_frequency', '12',
+        '--init_time_start', '2020-01-01', '--init_time_stop', '2020-01-03',
+        '--lead_time_stop_days', '2', '--lead_time_frequency', '12',
+        '--init_time_chunk_size', '4', '--lead_time_chunk_size', '4',
+        '--output_dir', outdir, '--unaggregated_zarr',
+        '--prediction_path', ppath, '--target_path', tpath,
+        '--climatology_path', cpath,
+    ])
+    store = os.path.join(
+        outdir, 'hres_vs_era5_64x32_2020-init12h_stats.zarr')
+    assert os.path.exists(os.path.join(store, '.zmetadata'))
+    from weatherbenchx_tpu import zarr_io
+    ds = zarr_io.open_dataset_zarr(store)
+    assert any(k.startswith('SquaredError.') for k in ds)

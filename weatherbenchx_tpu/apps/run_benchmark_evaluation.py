@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument('--chunks_per_dispatch', type=int, default=1,
                  help='Structurally-identical chunks evaluated per XLA '
                       'dispatch (amortizes dispatch latency)')
+  p.add_argument('--unaggregated_zarr', action='store_true',
+                 help='Also stream raw per-point statistics into a '
+                      '<output>_stats.zarr store (reference unaggregated '
+                      'mode)')
   return p
 
 
@@ -218,6 +222,15 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
   out_path = os.path.join(args.output_dir, filename + '.npz')
   os.makedirs(args.output_dir, exist_ok=True)
   print(f'Save path: {out_path}')
+
+  if args.unaggregated_zarr:
+    # Raw per-point statistics streamed into a standard Zarr store
+    # (reference temporal/unaggregated mode, ``beam_pipeline.py:610-681``).
+    from weatherbenchx_tpu.parallel import unaggregated
+    store = unaggregated.define_unaggregated_pipeline(
+        all_metrics, prediction_loader, target_loader, times,
+        out_path=os.path.join(args.output_dir, filename + '_stats.zarr'))
+    print(f'Wrote unaggregated statistics store: {store}')
 
   values = pipeline_lib.evaluate(
       all_metrics, aggregation_method, prediction_loader, target_loader,

@@ -53,6 +53,7 @@ class UnaggregatedPipeline:
   prefetch: int = 2
   mesh: Optional[jax.sharding.Mesh] = None
   dim_to_axis: Optional[Mapping[str, str]] = None
+  distributed: bool = False
 
   def __post_init__(self):
     # Reuse the evaluator's host preparation + single-put (optionally
@@ -84,12 +85,18 @@ class UnaggregatedPipeline:
         aggregator=aggregation_lib.Aggregator(reduce_dims=()),
         predictions_loader=self.predictions_loader,
         targets_loader=self.targets_loader,
-        times=self.times, prefetch=self.prefetch)
+        times=self.times, prefetch=self.prefetch,
+        distributed=self.distributed)
     return loader._chunk_stream()
 
   def run(self) -> str:
     if self.out_path.rstrip('/').endswith('.zarr'):
       return self._run_zarr()
+    if self.distributed and jax.process_count() > 1:
+      raise ValueError(
+          'distributed unaggregated output needs a *.zarr out_path: '
+          'each process writes its own disjoint cells of one store (the '
+          'shard-directory manifest has a single writer)')
     return self._run_shards()
 
   # -- Zarr mode ---------------------------------------------------------------
@@ -171,6 +178,15 @@ class UnaggregatedPipeline:
                   'chunks in zarr mode (use the shard-directory mode for '
                   'ragged statistics)')
         w.write_block(cell, np.asarray(da.values))
+
+    # In distributed mode processes own disjoint chunk cells of the same
+    # store; coordinates/metadata are identical everywhere, so process 0
+    # writes them after a barrier ensures all cells are on disk.
+    if self.distributed and jax.process_count() > 1:
+      from jax.experimental import multihost_utils
+      multihost_utils.sync_global_devices('wbx_unaggregated_zarr_cells')
+      if jax.process_index() != 0:
+        return path
 
     metadata: dict = {'.zgroup': {'zarr_format': 2}, '.zattrs': {}}
     with open(os.path.join(path, '.zgroup'), 'w') as f:

@@ -99,10 +99,15 @@ class ZarrArrayWriter:
         'dimension_separator': '.',
     }
     zattrs = {'_ARRAY_DIMENSIONS': list(dims), **(extra_attrs or {})}
-    with open(os.path.join(self._adir, '.zarray'), 'w') as f:
-      json.dump(zarray, f, default=_json_default)
-    with open(os.path.join(self._adir, '.zattrs'), 'w') as f:
-      json.dump(zattrs, f, default=_json_default)
+    # Atomic metadata writes: concurrent writers (multi-process pipelines
+    # owning disjoint cells) emit identical content; tmp+rename keeps the
+    # overlap from tearing the JSON.
+    for fname, payload in (('.zarray', zarray), ('.zattrs', zattrs)):
+      path = os.path.join(self._adir, fname)
+      tmp = f'{path}.tmp.{os.getpid()}'
+      with open(tmp, 'w') as f:
+        json.dump(payload, f, default=_json_default)
+      os.replace(tmp, path)
     self.metadata = {f'{name}/.zarray': zarray, f'{name}/.zattrs': zattrs}
 
   def write_block(self, cell: Sequence[int], block: np.ndarray) -> None:
