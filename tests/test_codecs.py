@@ -232,3 +232,56 @@ class TestNativeDecoder:
     ds = zarr_io.open_dataset_zarr(root)
     with pytest.raises((OSError, ValueError)):
       np.asarray(ds['v'].values)
+
+
+class TestRemoteZarr:
+  """fsspec-backed stores (memory:// standing in for gs://)."""
+
+  def _dataset(self):
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((6, 5, 7)).astype(np.float32)
+    da = DimArray(data, ('time', 'lat', 'lon'), {
+        'time': Coord(('time',),
+                      np.datetime64('2020-01-01', 'ns')
+                      + np.arange(6) * np.timedelta64(6, 'h')),
+        'lat': Coord(('lat',), np.linspace(-90, 90, 5)),
+        'lon': Coord(('lon',), np.linspace(0, 360, 7, endpoint=False))})
+    return data, da
+
+  def test_remote_store_lazy_window(self):
+    data, da = self._dataset()
+    url = 'memory://zstores/a.zarr'
+    zarr_io.save_dataset_zarr(url, {'v': da}, chunks={'time': 2},
+                              compressor='blosc')
+    ds = zarr_io.open_dataset_zarr(url)
+    got = np.asarray(ds['v'].isel({'time': slice(1, 5)}).values)
+    np.testing.assert_array_equal(got, data[1:5])
+    assert ds['v'].coords['time'].values.dtype == np.dtype('datetime64[ns]')
+
+  def test_remote_load_dataset_any(self):
+    from weatherbenchx_tpu import fileio
+    data, da = self._dataset()
+    url = 'memory://zstores/b.zarr'
+    fileio.save_dataset_atomic(url, {'v': da})
+    out = fileio.load_dataset_any(url)
+    np.testing.assert_array_equal(np.asarray(out['v'].values), data)
+
+  def test_remote_loader_end_to_end(self):
+    """DatasetBackedLoader streaming chunks from a remote store."""
+    from weatherbenchx_tpu.data import loaders
+    data, da = self._dataset()
+    url = 'memory://zstores/c.zarr'
+    zarr_io.save_dataset_zarr(
+        url, {'2m_temperature': da.rename(
+            {'time': 'valid_time', 'lat': 'latitude',
+             'lon': 'longitude'})},
+        chunks={'time': 2}, compressor='zstd')
+    loader = loaders.TargetsFromDataset(path=url, rename_dimensions=None)
+    init = np.datetime64('2020-01-01', 'ns') + np.arange(2) * np.timedelta64(
+        6, 'h')
+    lead = (np.arange(2) * np.timedelta64(6, 'h')).astype('timedelta64[ns]')
+    chunk = loader.load_chunk(init, lead)
+    got = np.asarray(chunk['2m_temperature'].values)
+    assert got.shape == (2, 2, 5, 7)
+    np.testing.assert_array_equal(got[0, 0], data[0])
+    np.testing.assert_array_equal(got[1, 1], data[2])

@@ -8,8 +8,14 @@ holds more than a few prefetched chunks, regardless of store size.
 ``data_loaders/base.py:146-153``; here it's LazyArray windowed preads.)
 
 Usage:
-  python tools/stream_scale_demo.py --make_store   # writes /tmp/stream/*.wbx
-  python tools/stream_scale_demo.py --run [--backend=cpu] [--chunk=32]
+  python tools/stream_scale_demo.py --make_store [--format=wbx|zarr
+      --compressor=none|zstd|blosc]            # writes /tmp/stream/*
+  python tools/stream_scale_demo.py --run [--backend=cpu] [--chunk=32
+      --format=wbx|zarr]
+
+The zarr variant exercises the production-shaped path: a chunked v2 store
+(optionally blosc-lz4/zstd compressed, like real ERA5 mirrors) streamed
+through the native parallel cell decoder.
 
 Run --make_store and --run as separate invocations so store generation
 doesn't pollute the evaluation's peak-RSS measurement.
@@ -29,7 +35,11 @@ N_LEAD = 2
 NLAT, NLON = 721, 1440
 
 
-def make_store():
+def _store_paths(fmt):
+  return (f'{STORE_DIR}/era5.{fmt}', f'{STORE_DIR}/preds.{fmt}')
+
+
+def make_store(fmt: str = 'wbx', compressor=None):
   from weatherbenchx_tpu import io as io_lib
   from weatherbenchx_tpu.darray import DimArray
 
@@ -58,7 +68,13 @@ def make_store():
   tgt = {'2m_temperature': DimArray(
       filled(N_INIT + N_LEAD), ('valid_time', 'latitude', 'longitude'),
       {'valid_time': valid_times, 'latitude': lats, 'longitude': lons})}
-  io_lib.save_dataset(f'{STORE_DIR}/era5.wbx', tgt)
+  tgt_path, pred_path = _store_paths(fmt)
+  if fmt == 'zarr':
+    from weatherbenchx_tpu import zarr_io
+    zarr_io.save_dataset_zarr(tgt_path, tgt, chunks={'valid_time': 8},
+                              compressor=compressor)
+  else:
+    io_lib.save_dataset(tgt_path, tgt)
   del tgt
 
   pred = {'2m_temperature': DimArray(
@@ -66,13 +82,28 @@ def make_store():
       ('init_time', 'lead_time', 'latitude', 'longitude'),
       {'init_time': init_times, 'lead_time': lead_times,
        'latitude': lats, 'longitude': lons})}
-  io_lib.save_dataset(f'{STORE_DIR}/preds.wbx', pred)
-  gb = sum(os.path.getsize(f'{STORE_DIR}/{f}')
-           for f in ('era5.wbx', 'preds.wbx')) / 1e9
-  print(f'wrote {STORE_DIR}: {gb:.1f} GB')
+  if fmt == 'zarr':
+    from weatherbenchx_tpu import zarr_io
+    zarr_io.save_dataset_zarr(pred_path, pred, chunks={'init_time': 8},
+                              compressor=compressor)
+  else:
+    io_lib.save_dataset(pred_path, pred)
+  gb = _store_gb(fmt)
+  print(f'wrote {STORE_DIR} ({fmt}, {compressor}): {gb:.1f} GB')
 
 
-def run(backend: str, chunk: int):
+def _store_gb(fmt):
+  total = 0
+  for p in _store_paths(fmt):
+    if os.path.isdir(p):
+      total += sum(os.path.getsize(os.path.join(dp, f))
+                   for dp, _, fs in os.walk(p) for f in fs)
+    else:
+      total += os.path.getsize(p)
+  return total / 1e9
+
+
+def run(backend: str, chunk: int, fmt: str = 'wbx'):
   if backend == 'cpu':
     import jax
     jax.config.update('jax_platforms', 'cpu')
@@ -101,10 +132,10 @@ def run(backend: str, chunk: int):
   pipe = pipeline_lib.EvaluationPipeline(
       metrics=metrics, aggregator=agg,
       predictions_loader=loaders.PredictionsFromDataset(
-          path=f'{STORE_DIR}/preds.wbx', rename_dimensions=None,
+          path=_store_paths(fmt)[1], rename_dimensions=None,
           preprocessing_fn=sort_lat),
       targets_loader=loaders.TargetsFromDataset(
-          path=f'{STORE_DIR}/era5.wbx', rename_dimensions=None,
+          path=_store_paths(fmt)[0], rename_dimensions=None,
           preprocessing_fn=sort_lat),
       times=time_chunks_lib.TimeChunks(
           init_times, lead_times, init_time_chunk_size=chunk),
@@ -115,12 +146,11 @@ def run(backend: str, chunk: int):
   values = pipe.run().metric_values(metrics)
   rmse = float(np.asarray(values['rmse.2m_temperature'].values).ravel()[0])
   wall = time.monotonic() - t0
-  store_gb = sum(os.path.getsize(f'{STORE_DIR}/{f}')
-                 for f in ('era5.wbx', 'preds.wbx')) / 1e9
+  store_gb = _store_gb(fmt)
   peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
   pts = N_INIT * N_LEAD * NLAT * NLON
   print(json.dumps({
-      'backend': backend, 'wall_seconds': round(wall, 1),
+      'backend': backend, 'format': fmt, 'wall_seconds': round(wall, 1),
       'store_gb': round(store_gb, 2), 'peak_rss_gb': round(peak_gb, 2),
       'gridpoints': pts, 'gridpoints_per_second': round(pts / wall),
       'chunks': int(np.ceil(N_INIT / chunk)), 'rmse_global': round(rmse, 5),
@@ -142,8 +172,12 @@ if __name__ == '__main__':
   ap.add_argument('--run', action='store_true')
   ap.add_argument('--backend', default='axon')
   ap.add_argument('--chunk', type=int, default=32)
+  ap.add_argument('--format', default='wbx', choices=['wbx', 'zarr'])
+  ap.add_argument('--compressor', default='none',
+                  choices=['none', 'zstd', 'blosc'])
   args = ap.parse_args()
   if args.make_store:
-    make_store()
+    make_store(args.format,
+               None if args.compressor == 'none' else args.compressor)
   if args.run:
-    run(args.backend, args.chunk)
+    run(args.backend, args.chunk, args.format)

@@ -57,6 +57,41 @@ def read_bytes(path: str) -> bytes:
     return f.read()
 
 
+def write_bytes(path: str, data: bytes) -> None:
+  """Plain (non-atomic) write; any filesystem."""
+  if not is_remote(path):
+    with open(path, 'wb') as f:
+      f.write(data)
+    return
+  fs, p = _strip_scheme(path)
+  with fs.open(p, 'wb') as f:
+    f.write(data)
+
+
+def makedirs(path: str) -> None:
+  if not is_remote(path):
+    os.makedirs(path, exist_ok=True)
+    return
+  fs, p = _strip_scheme(path)
+  fs.makedirs(p, exist_ok=True)
+
+
+def listdir(path: str) -> list:
+  """Child basenames of a directory; any filesystem."""
+  if not is_remote(path):
+    return sorted(os.listdir(path))
+  fs, p = _strip_scheme(path)
+  return sorted(entry.rstrip('/').rsplit('/', 1)[-1]
+                for entry in fs.ls(p, detail=False))
+
+
+def isdir(path: str) -> bool:
+  if not is_remote(path):
+    return os.path.isdir(path)
+  fs, p = _strip_scheme(path)
+  return fs.isdir(p)
+
+
 def write_bytes_atomic(path: str, data: bytes) -> None:
   """tmp + rename write; concurrent/duplicate writers can't corrupt."""
   if not is_remote(path):
@@ -83,6 +118,10 @@ def save_dataset_atomic(path: str, dataset: Dataset) -> None:
   ``io.save_dataset``); remote paths write portable npz bytes.
   """
   if is_remote(path):
+    if path.rstrip('/').endswith('.zarr'):
+      from weatherbenchx_tpu import zarr_io
+      zarr_io.save_dataset_zarr(path.rstrip('/'), dataset)
+      return
     write_bytes_atomic(path, io_lib.dumps_dataset(dataset))
     return
   if path.rstrip('/').endswith('.zarr'):
@@ -98,6 +137,10 @@ def save_dataset_atomic(path: str, dataset: Dataset) -> None:
 
 def load_dataset_any(path: str) -> dict[str, DimArray]:
   if is_remote(path):
+    if path.rstrip('/').endswith('.zarr'):
+      from weatherbenchx_tpu import zarr_io
+      ds = zarr_io.open_dataset_zarr(path.rstrip('/'))
+      return {k: v.copy(data=np.asarray(v.data)) for k, v in ds.items()}
     return io_lib.loads_dataset(read_bytes(path))
   return io_lib.load_dataset(path)
 

@@ -32,6 +32,7 @@ from typing import Any, Mapping, Optional, Sequence
 import numpy as np
 
 from weatherbenchx_tpu import codecs as wbx_codecs
+from weatherbenchx_tpu import fileio
 from weatherbenchx_tpu import lazy
 from weatherbenchx_tpu.darray import Coord, DimArray
 
@@ -87,7 +88,7 @@ class ZarrArrayWriter:
                compressor: Optional[str] = None,
                compression_level: Optional[int] = None) -> None:
     self._adir = os.path.join(root, name)
-    os.makedirs(self._adir, exist_ok=True)
+    fileio.makedirs(self._adir)
     self.shape = tuple(int(s) for s in shape)
     self.chunks = tuple(min(int(c), max(int(s), 1)) or 1
                         for c, s in zip(chunks, self.shape))
@@ -112,11 +113,9 @@ class ZarrArrayWriter:
     # owning disjoint cells) emit identical content; tmp+rename keeps the
     # overlap from tearing the JSON.
     for fname, payload in (('.zarray', zarray), ('.zattrs', zattrs)):
-      path = os.path.join(self._adir, fname)
-      tmp = f'{path}.tmp.{os.getpid()}'
-      with open(tmp, 'w') as f:
-        json.dump(payload, f, default=_json_default)
-      os.replace(tmp, path)
+      fileio.write_bytes_atomic(
+          os.path.join(self._adir, fname),
+          json.dumps(payload, default=_json_default).encode())
     self.metadata = {f'{name}/.zarray': zarray, f'{name}/.zattrs': zattrs}
 
   def write_block(self, cell: Sequence[int], block: np.ndarray) -> None:
@@ -133,8 +132,7 @@ class ZarrArrayWriter:
     raw = np.ascontiguousarray(block).tobytes()
     raw = wbx_codecs.encode_cell(raw, self._codec, self.dtype.itemsize,
                                  self._level)
-    with open(os.path.join(self._adir, key), 'wb') as f:
-      f.write(raw)
+    fileio.write_bytes(os.path.join(self._adir, key), bytes(raw))
 
   def write_full(self, values: np.ndarray) -> None:
     grid = [max(-(-s // c), 1) for s, c in zip(self.shape, self.chunks)]
@@ -172,12 +170,11 @@ def save_dataset_zarr(
   ``chunks`` maps dim name → chunk length (default: whole dim). Non-dim
   coordinates are recorded per variable via the CF ``coordinates`` attr.
   """
-  os.makedirs(path, exist_ok=True)
+  fileio.makedirs(path)
   metadata: dict[str, Any] = {'.zgroup': {'zarr_format': 2}, '.zattrs': {}}
-  with open(os.path.join(path, '.zgroup'), 'w') as f:
-    json.dump(metadata['.zgroup'], f)
-  with open(os.path.join(path, '.zattrs'), 'w') as f:
-    json.dump({}, f)
+  fileio.write_bytes(os.path.join(path, '.zgroup'),
+                     json.dumps(metadata['.zgroup']).encode())
+  fileio.write_bytes(os.path.join(path, '.zattrs'), b'{}')
 
   chunks = dict(chunks or {})
   written: dict[str, tuple] = {}  # coord name -> (dims, id of values)
@@ -210,9 +207,10 @@ def save_dataset_zarr(
         compressor=compressor))
 
   if consolidated:
-    with open(os.path.join(path, '.zmetadata'), 'w') as f:
-      json.dump({'metadata': metadata, 'zarr_consolidated_format': 1}, f,
-                default=_json_default)
+    fileio.write_bytes_atomic(
+        os.path.join(path, '.zmetadata'),
+        json.dumps({'metadata': metadata, 'zarr_consolidated_format': 1},
+                   default=_json_default).encode())
 
 
 # ---------------------------------------------------------------------------
@@ -265,8 +263,7 @@ class ZarrChunkSource(lazy.ArraySource):
 
   def _load_cell(self, cell: tuple[int, ...]) -> np.ndarray:
     try:
-      with open(self._cell_path(cell), 'rb') as f:
-        raw = f.read()
+      raw = fileio.read_bytes(self._cell_path(cell))
     except FileNotFoundError:
       return np.broadcast_to(self._fill, self._chunks)
     raw = wbx_codecs.decode_cell(raw, self._codec, self._cell_nbytes)
@@ -280,6 +277,7 @@ class ZarrChunkSource(lazy.ArraySource):
     # Raw cells stay on the Python path: frombuffer is zero-copy there,
     # while the native path would pay an extra staging copy.
     if (len(cells) > 0 and self._cell_nbytes > 0 and self._codec is not None
+        and not fileio.is_remote(self._adir)
         and native.zarrcodec_available()):
       paths = [self._cell_path(c) for c in cells]
       exists = [os.path.exists(p) for p in paths]
@@ -371,21 +369,18 @@ def _decode_cf_time(values: np.ndarray, attrs: dict) -> np.ndarray:
 
 def _read_store_metadata(path: str) -> dict[str, dict]:
   zmeta = os.path.join(path, '.zmetadata')
-  if os.path.exists(zmeta):
-    with open(zmeta) as f:
-      return json.load(f)['metadata']
+  if fileio.exists(zmeta):
+    return json.loads(fileio.read_text(zmeta))['metadata']
   metadata: dict[str, dict] = {}
-  for entry in sorted(os.listdir(path)):
+  for entry in fileio.listdir(path):
     adir = os.path.join(path, entry)
     zarray = os.path.join(adir, '.zarray')
-    if not os.path.isdir(adir) or not os.path.exists(zarray):
+    if not fileio.isdir(adir) or not fileio.exists(zarray):
       continue
-    with open(zarray) as f:
-      metadata[f'{entry}/.zarray'] = json.load(f)
+    metadata[f'{entry}/.zarray'] = json.loads(fileio.read_text(zarray))
     zattrs = os.path.join(adir, '.zattrs')
-    if os.path.exists(zattrs):
-      with open(zattrs) as f:
-        metadata[f'{entry}/.zattrs'] = json.load(f)
+    if fileio.exists(zattrs):
+      metadata[f'{entry}/.zattrs'] = json.loads(fileio.read_text(zattrs))
   return metadata
 
 
