@@ -293,7 +293,7 @@ class TestHeterogeneousCombine:
 
 class TestUnaggregatedZarr:
   def _run(self, tmp_path, out_name, mesh=None, dim_to_axis=None,
-           init_chunk=4, lead_chunk=2):
+           init_chunk=4, lead_chunk=2, compressor=None):
     ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
     metrics = {'rmse': deterministic.RMSE()}
     times = tc.TimeChunks(init, lead, init_time_chunk_size=init_chunk,
@@ -305,7 +305,7 @@ class TestUnaggregatedZarr:
         loaders.TargetsFromDataset(path=tpath,
                                    variables=['2m_temperature']),
         times, out_path=str(tmp_path / out_name),
-        mesh=mesh, dim_to_axis=dim_to_axis)
+        mesh=mesh, dim_to_axis=dim_to_axis, compressor=compressor)
     pl = loaders.PredictionsFromDataset(path=ppath,
                                         variables=['2m_temperature'])
     tl = loaders.TargetsFromDataset(path=tpath,
@@ -313,6 +313,34 @@ class TestUnaggregatedZarr:
     direct = deterministic.SquaredError().compute(
         pl.load_chunk(init, lead), tl.load_chunk(init, lead))
     return out, direct['2m_temperature'], init, lead
+
+  def test_compressed_store_roundtrip(self, tmp_path):
+    out, direct, init, lead = self._run(tmp_path, 'unagg_c.zarr',
+                                        compressor='blosc')
+    import json as _json
+    zarray = _json.load(open(os.path.join(
+        out, 'SquaredError.2m_temperature', '.zarray')))
+    assert zarray['compressor']['id'] == 'blosc'
+    da = unaggregated.load_unaggregated(out)['SquaredError.2m_temperature']
+    np.testing.assert_allclose(
+        np.asarray(da.transpose(*direct.dims).values),
+        np.asarray(direct.values), atol=1e-5)
+
+  def test_remote_store(self, tmp_path):
+    # memory:// out_path: cells stream through fsspec like gs:// would.
+    ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
+    metrics = {'rmse': deterministic.RMSE()}
+    times = tc.TimeChunks(init, lead, init_time_chunk_size=4,
+                          lead_time_chunk_size=2)
+    out = unaggregated.define_unaggregated_pipeline(
+        metrics,
+        loaders.PredictionsFromDataset(path=ppath,
+                                       variables=['2m_temperature']),
+        loaders.TargetsFromDataset(path=tpath,
+                                   variables=['2m_temperature']),
+        times, out_path='memory://unagg_remote.zarr', compressor='zstd')
+    da = unaggregated.load_unaggregated(out)['SquaredError.2m_temperature']
+    assert da.sizes['init_time'] == len(init)
 
   def test_zarr_store_equivalence_and_layout(self, tmp_path):
     out, direct, init, lead = self._run(tmp_path, 'unagg.zarr')

@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument('--chunks_per_dispatch', type=int, default=1,
                  help='Structurally-identical chunks evaluated per XLA '
                       'dispatch (amortizes dispatch latency)')
+  p.add_argument('--zarr_compressor', default=None,
+                 choices=['zlib', 'zstd', 'blosc'],
+                 help='Compression for --unaggregated_zarr cells')
   p.add_argument('--unaggregated_zarr', action='store_true',
                  help='Also stream raw per-point statistics into a '
                       '<output>_stats.zarr store (reference unaggregated '
@@ -229,7 +232,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     from weatherbenchx_tpu.parallel import unaggregated
     store = unaggregated.define_unaggregated_pipeline(
         all_metrics, prediction_loader, target_loader, times,
-        out_path=os.path.join(args.output_dir, filename + '_stats.zarr'))
+        out_path=os.path.join(args.output_dir, filename + '_stats.zarr'),
+        compressor=args.zarr_compressor)
     print(f'Wrote unaggregated statistics store: {store}')
 
   values = pipeline_lib.evaluate(

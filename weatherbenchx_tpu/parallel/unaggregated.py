@@ -21,6 +21,7 @@ import jax
 import numpy as np
 
 from weatherbenchx_tpu import aggregation as aggregation_lib
+from weatherbenchx_tpu import fileio
 from weatherbenchx_tpu import io as io_lib
 from weatherbenchx_tpu import time_chunks as time_chunks_lib
 from weatherbenchx_tpu import zarr_io
@@ -54,6 +55,7 @@ class UnaggregatedPipeline:
   mesh: Optional[jax.sharding.Mesh] = None
   dim_to_axis: Optional[Mapping[str, str]] = None
   distributed: bool = False
+  compressor: Optional[str] = None  # zarr cells: None/'zlib'/'zstd'/'blosc'
 
   def __post_init__(self):
     # Reuse the evaluator's host preparation + single-put (optionally
@@ -113,7 +115,7 @@ class UnaggregatedPipeline:
           'Zarr unaggregated output needs exact lead_times: a lead '
           'interval has unknown extent until load time')
     path = self.out_path.rstrip('/')
-    os.makedirs(path, exist_ok=True)
+    fileio.makedirs(path)
     init_times = self.times.init_times
     lead_times = self.times.lead_times
     init_chunk = self.times.init_time_chunk_size
@@ -156,7 +158,8 @@ class UnaggregatedPipeline:
       aux_by_var[key] = aux
       return zarr_io.ZarrArrayWriter(
           path, key, shape, chunks, np.asarray(da.values).dtype, da.dims,
-          extra_attrs={'coordinates': ' '.join(aux)} if aux else None)
+          extra_attrs={'coordinates': ' '.join(aux)} if aux else None,
+          compressor=self.compressor)
 
     for i, offsets, (predictions, targets) in self._stream():
       for key, da in self._chunk_stats(predictions, targets).items():
@@ -189,8 +192,8 @@ class UnaggregatedPipeline:
         return path
 
     metadata: dict = {'.zgroup': {'zarr_format': 2}, '.zattrs': {}}
-    with open(os.path.join(path, '.zgroup'), 'w') as f:
-      json.dump(metadata['.zgroup'], f)
+    fileio.write_bytes(os.path.join(path, '.zgroup'),
+                       json.dumps(metadata['.zgroup']).encode())
     coord_arrays.setdefault('init_time', Coord(('init_time',), init_times))
     coord_arrays.setdefault('lead_time', Coord(('lead_time',), lead_times))
     for cname, c in coord_arrays.items():
@@ -201,9 +204,10 @@ class UnaggregatedPipeline:
            for d, s in zip(c.dims, np.shape(c.values))]))
     for key, w in writers.items():
       metadata.update(w.metadata)
-    with open(os.path.join(path, '.zmetadata'), 'w') as f:
-      json.dump({'metadata': metadata, 'zarr_consolidated_format': 1}, f,
-                default=zarr_io._json_default)
+    fileio.write_bytes_atomic(
+        os.path.join(path, '.zmetadata'),
+        json.dumps({'metadata': metadata, 'zarr_consolidated_format': 1},
+                   default=zarr_io._json_default).encode())
     return path
 
   # -- shard-directory mode ------------------------------------------------------
