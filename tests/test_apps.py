@@ -465,3 +465,76 @@ class TestCLIUnaggregatedZarr:
     from weatherbenchx_tpu import zarr_io
     ds = zarr_io.open_dataset_zarr(store)
     assert any(k.startswith('SquaredError.') for k in ds)
+
+
+class TestSinglePassStatsSink:
+  """chunk_stats_sink streams unaggregated statistics out of the SAME
+  pipeline pass that accumulates the aggregated state."""
+
+  def test_sink_store_matches_standalone_pipeline(self, tmp_path):
+    from weatherbenchx_tpu import weighting
+    from weatherbenchx_tpu.parallel import pipeline as pipeline_lib
+
+    ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
+    metrics = {'rmse': deterministic.RMSE()}
+    times = tc.TimeChunks(init, lead, init_time_chunk_size=4,
+                          lead_time_chunk_size=2)
+
+    def mk_loaders():
+      return (loaders.PredictionsFromDataset(
+                  path=ppath, variables=['2m_temperature']),
+              loaders.TargetsFromDataset(
+                  path=tpath, variables=['2m_temperature']))
+
+    # Single pass: aggregated eval + sink.
+    pl_, tl_ = mk_loaders()
+    store = unaggregated.ZarrStatsStore(
+        times, str(tmp_path / 'sink.zarr'), compressor='zstd')
+    agg = aggregation.Aggregator(
+        reduce_dims=['init_time', 'latitude', 'longitude'],
+        weigh_by=[weighting.GridAreaWeighting()])
+    values = pipeline_lib.EvaluationPipeline(
+        metrics=metrics, aggregator=agg,
+        predictions_loader=pl_, targets_loader=tl_, times=times,
+        chunk_stats_sink=store.write_chunk).run().metric_values(metrics)
+    store.finalize()
+    assert np.isfinite(
+        np.asarray(values['rmse.2m_temperature'].values)).all()
+
+    # Standalone unaggregated pipeline over the same inputs.
+    pl2, tl2 = mk_loaders()
+    out2 = unaggregated.define_unaggregated_pipeline(
+        metrics, pl2, tl2, times, out_path=str(tmp_path / 'solo.zarr'))
+
+    a = unaggregated.load_unaggregated(str(tmp_path / 'sink.zarr'))
+    b = unaggregated.load_unaggregated(out2)
+    assert set(a) == set(b) == {'SquaredError.2m_temperature'}
+    da, db = a['SquaredError.2m_temperature'], b['SquaredError.2m_temperature']
+    np.testing.assert_allclose(
+        np.asarray(da.values),
+        np.asarray(db.transpose(*da.dims).values), atol=1e-6)
+
+  def test_sink_with_batched_dispatch(self, tmp_path):
+    from weatherbenchx_tpu.parallel import pipeline as pipeline_lib
+
+    ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
+    metrics = {'rmse': deterministic.RMSE()}
+    times = tc.TimeChunks(init, lead, init_time_chunk_size=2,
+                          lead_time_chunk_size=2)
+    store = unaggregated.ZarrStatsStore(
+        times, str(tmp_path / 'batched.zarr'))
+    pipeline_lib.EvaluationPipeline(
+        metrics=metrics,
+        aggregator=aggregation.Aggregator(
+            reduce_dims=['init_time', 'latitude', 'longitude']),
+        predictions_loader=loaders.PredictionsFromDataset(
+            path=ppath, variables=['2m_temperature']),
+        targets_loader=loaders.TargetsFromDataset(
+            path=tpath, variables=['2m_temperature']),
+        times=times, chunks_per_dispatch=2,
+        chunk_stats_sink=store.write_chunk).run()
+    store.finalize()
+    da = unaggregated.load_unaggregated(
+        str(tmp_path / 'batched.zarr'))['SquaredError.2m_temperature']
+    assert da.sizes['init_time'] == len(init)
+    assert np.isfinite(np.asarray(da.values)).all()

@@ -285,3 +285,40 @@ class TestRemoteZarr:
     assert got.shape == (2, 2, 5, 7)
     np.testing.assert_array_equal(got[0, 0], data[0])
     np.testing.assert_array_equal(got[1, 1], data[2])
+
+
+def test_cf_float_time_decode(tmp_path):
+  """Float-encoded CF time (xarray writes e.g. float64 'days since ...')
+  must round, not truncate: 0.25 days is 06:00, not 00:00."""
+  import json
+  root = tmp_path / 'ft.zarr'
+  (root / 'time').mkdir(parents=True)
+  vals = np.array([0.0, 0.25, 0.5, 1.75])
+  (root / 'time' / '.zarray').write_text(json.dumps({
+      'zarr_format': 2, 'shape': [4], 'chunks': [4], 'dtype': '<f8',
+      'compressor': None, 'fill_value': 'NaN', 'order': 'C',
+      'filters': None}))
+  (root / 'time' / '.zattrs').write_text(json.dumps({
+      '_ARRAY_DIMENSIONS': ['time'],
+      'units': 'days since 2020-01-01', 'calendar': 'proleptic_gregorian'}))
+  (root / 'time' / '0').write_bytes(vals.tobytes())
+  (root / 'v').mkdir()
+  (root / 'v' / '.zarray').write_text(json.dumps({
+      'zarr_format': 2, 'shape': [4], 'chunks': [4], 'dtype': '<f4',
+      'compressor': None, 'fill_value': 'NaN', 'order': 'C',
+      'filters': None}))
+  (root / 'v' / '.zattrs').write_text(json.dumps(
+      {'_ARRAY_DIMENSIONS': ['time']}))
+  (root / 'v' / '0').write_bytes(np.arange(4, dtype=np.float32).tobytes())
+  ds = zarr_io.open_dataset_zarr(str(root))
+  t = ds['v'].coords['time'].values
+  expect = (np.datetime64('2020-01-01', 'ns')
+            + (vals * 86400e9).astype(np.int64) * np.timedelta64(1, 'ns'))
+  np.testing.assert_array_equal(t, expect)
+
+
+def test_cf_float_timedelta_decode():
+  from weatherbenchx_tpu.zarr_io import _decode_cf_time
+  out = _decode_cf_time(np.array([0.5, 1.0]), {'units': 'hours'})
+  np.testing.assert_array_equal(
+      out, np.array([1800, 3600], 'timedelta64[s]').astype('timedelta64[ns]'))

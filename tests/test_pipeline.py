@@ -676,3 +676,36 @@ class TestRemoteFilesystemIO:
       np.testing.assert_allclose(
           np.asarray(resumed[k].values), np.asarray(full[k].values),
           atol=1e-6)
+
+
+class TestDistributedCheckpointCadence:
+  """checkpoint_every counts LOCAL completions, not global chunk indices.
+
+  With process_count=2, process 0 owns even global indices (i+1 always
+  odd), so a global (i+1) % checkpoint_every == 0 test with an even
+  cadence would never fire for it — a crash would silently lose all of
+  process 0's progress."""
+
+  def test_every_process_checkpoints(self, tmp_path, monkeypatch):
+    monkeypatch.setattr(pipeline_lib, '_allgather_sum_states', lambda s: s)
+    monkeypatch.setattr(jax, 'process_count', lambda: 2)
+    pred_ds, tgt_ds, init_times, lead_times = _source_datasets(seed=3)
+    agg = aggregation.Aggregator(
+        reduce_dims=['init_time', 'lead_time', 'latitude', 'longitude'])
+    times = time_chunks_lib.TimeChunks(
+        init_times, lead_times, init_time_chunk_size=1)
+    assert len(times) >= 4  # >= 2 chunks per process
+    ckpt = str(tmp_path / 'ck')
+    for pi in [0, 1]:
+      monkeypatch.setattr(jax, 'process_index', lambda pi=pi: pi)
+      pipeline_lib.EvaluationPipeline(
+          metrics=METRICS, aggregator=agg,
+          predictions_loader=loaders.PredictionsFromDataset(
+              ds=pred_ds, rename_dimensions=None),
+          targets_loader=loaders.TargetsFromDataset(
+              ds=tgt_ds, rename_dimensions=None),
+          times=times, distributed=True,
+          checkpoint_path=ckpt, checkpoint_every=2).run()
+    manifests = sorted(f.name for f in tmp_path.iterdir()
+                       if f.name.endswith('manifest.json'))
+    assert manifests == ['ck.p0.manifest.json', 'ck.p1.manifest.json']

@@ -77,16 +77,23 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _open_dataset(path: str) -> dict[str, DimArray]:
-  """Lazy open: .npz/.wbx/local .zarr are self-contained (io.open_dataset);
-  remote stores and netCDF go through xarray when installed."""
+  """Lazy open: .npz/.wbx/.zarr (local or fsspec URL) are self-contained
+  (io.open_dataset / zarr_io); netCDF goes through xarray when installed."""
+  import importlib.util
+
   stripped = path.rstrip('/')
-  if (stripped.endswith(('.npz', '.wbx'))
-      or (stripped.endswith('.zarr') and '://' not in path)):
+  if stripped.endswith(('.npz', '.wbx')):
     return io_lib.open_dataset(path)
-  import xarray as xr  # optional, for remote Zarr / netCDF stores
-  if stripped.endswith('.zarr') or path.startswith('gs://'):
-    return io_lib.open_xarray_dataset(xr.open_zarr(path))
-  return io_lib.open_xarray_dataset(xr.open_dataset(path, chunks={}))
+  if stripped.endswith('.zarr'):
+    if (importlib.util.find_spec('xarray') is not None
+        and importlib.util.find_spec('zarr') is not None):
+      import xarray as xr
+      return io_lib.open_xarray_dataset(xr.open_zarr(path))
+    from weatherbenchx_tpu import zarr_io
+    return zarr_io.open_dataset_zarr(stripped)
+  import xarray as xr  # optional, for netCDF stores
+  lazy_kwargs = {'chunks': {}} if importlib.util.find_spec('dask') else {}
+  return io_lib.open_xarray_dataset(xr.open_dataset(path, **lazy_kwargs))
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
@@ -226,15 +233,16 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
   os.makedirs(args.output_dir, exist_ok=True)
   print(f'Save path: {out_path}')
 
+  stats_store = None
   if args.unaggregated_zarr:
-    # Raw per-point statistics streamed into a standard Zarr store
-    # (reference temporal/unaggregated mode, ``beam_pipeline.py:610-681``).
+    # Raw per-point statistics streamed into a standard Zarr store from
+    # the SAME pass as the aggregated evaluation (reference computes both
+    # in one Beam graph, ``beam_pipeline.py:449-540,610-681``) — the
+    # dataset is read and transferred once.
     from weatherbenchx_tpu.parallel import unaggregated
-    store = unaggregated.define_unaggregated_pipeline(
-        all_metrics, prediction_loader, target_loader, times,
-        out_path=os.path.join(args.output_dir, filename + '_stats.zarr'),
+    stats_store = unaggregated.ZarrStatsStore(
+        times, os.path.join(args.output_dir, filename + '_stats.zarr'),
         compressor=args.zarr_compressor)
-    print(f'Wrote unaggregated statistics store: {store}')
 
   values = pipeline_lib.evaluate(
       all_metrics, aggregation_method, prediction_loader, target_loader,
@@ -242,7 +250,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
       checkpoint_path=(out_path + '.ckpt' if args.checkpoint_every else None),
       checkpoint_every=args.checkpoint_every,
       compilation_cache_dir=args.compilation_cache_dir,
-      chunks_per_dispatch=args.chunks_per_dispatch)
+      chunks_per_dispatch=args.chunks_per_dispatch,
+      chunk_stats_sink=stats_store.write_chunk if stats_store else None)
+  if stats_store is not None:
+    print(f'Wrote unaggregated statistics store: {stats_store.finalize()}')
   print(f'Wrote {len(values)} metric variables.')
 
 

@@ -102,7 +102,7 @@ def blosc_decompress(chunk: bytes) -> bytes:
   """Decodes one c-blosc1 chunk (the numcodecs.Blosc payload)."""
   if len(chunk) < 16:
     raise ValueError('blosc chunk shorter than its 16-byte header')
-  version, _, flags, typesize = chunk[0], chunk[1], chunk[2], chunk[3]
+  flags, typesize = chunk[2], chunk[3]
   nbytes, blocksize, cbytes = struct.unpack_from('<iii', chunk, 4)
   if flags & _FLAG_BITSHUFFLE:
     raise ValueError('blosc bit-shuffle filter is not supported')
@@ -120,8 +120,7 @@ def blosc_decompress(chunk: bytes) -> bytes:
   for b in range(nblocks):
     bsize = min(blocksize, nbytes - b * blocksize)
     leftover = bsize != blocksize
-    nsplits = _decode_nsplits(flags, version, compressor, typesize,
-                              bsize, leftover)
+    nsplits = _decode_nsplits(flags, typesize, bsize, leftover)
     neblock = bsize // nsplits
     pos = bstarts[b]
     parts = []
@@ -141,20 +140,15 @@ def blosc_decompress(chunk: bytes) -> bytes:
   return out
 
 
-def _decode_nsplits(flags: int, version: int, compressor: str,
-                    typesize: int, bsize: int, leftover: bool) -> int:
-  """Number of per-block streams, mirroring c-blosc1's decoder."""
-  if leftover or typesize <= 1:
+def _decode_nsplits(flags: int, typesize: int, bsize: int,
+                    leftover: bool) -> int:
+  """Number of per-block streams, mirroring c-blosc1's decoder.
+
+  Chunks that were written without splitting set flag 0x10; absence of
+  the flag means split whenever the block was big enough to have been
+  (which is also the rule ancient pre-flag writers followed)."""
+  if leftover or typesize <= 1 or flags & _FLAG_NOSPLIT:
     return 1
-  if flags & _FLAG_NOSPLIT:
-    return 1
-  if version >= 2:
-    # Modern chunks record non-splitting in the flag, so absence of the
-    # flag means split (provided the block is big enough to have been).
-    if typesize <= _MAX_SPLITS and bsize // typesize >= _MIN_BUFFERSIZE:
-      return typesize
-    return 1
-  # Ancient format: the original always-split rule.
   if typesize <= _MAX_SPLITS and bsize // typesize >= _MIN_BUFFERSIZE:
     return typesize
   return 1

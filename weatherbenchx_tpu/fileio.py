@@ -93,22 +93,37 @@ def isdir(path: str) -> bool:
 
 
 def write_bytes_atomic(path: str, data: bytes) -> None:
-  """tmp + rename write; concurrent/duplicate writers can't corrupt."""
+  """tmp + rename write; concurrent/duplicate writers can't corrupt.
+
+  The tmp name carries a uuid, not just the pid: duplicate writers on
+  different hosts (or identical containers, where pids collide) each get
+  their own tmp object, so one writer's mv can't delete another's tmp."""
+  import uuid
+
+  suffix = f'.tmp.{uuid.uuid4().hex[:12]}'
   if not is_remote(path):
-    tmp = f'{path}.tmp.{os.getpid()}'
+    tmp = path + suffix
     with open(tmp, 'wb') as f:
       f.write(data)
     os.replace(tmp, path)
     return
   fs, p = _strip_scheme(path)
-  tmp = f'{p}.tmp.{os.getpid()}'
+  tmp = p + suffix
   with fs.open(tmp, 'wb') as f:
     f.write(data)
-  # Some object stores lack atomic rename; mv-over-existing still leaves
-  # either the old or the new complete object, never a torn one.
-  if fs.exists(p):
-    fs.rm(p)
-  fs.mv(tmp, p)
+  # Object stores: mv (server-side copy+delete) overwrites in place on
+  # gcs/s3/memory — either the old or the new complete object is visible,
+  # never a torn one. Filesystems whose mv refuses to overwrite get one
+  # rm+retry (a momentary missing-destination window, duplicate-writer
+  # safe because each writer owns a distinct tmp).
+  try:
+    fs.mv(tmp, p)
+  except (OSError, FileExistsError):
+    try:
+      fs.rm(p)
+    except FileNotFoundError:
+      pass
+    fs.mv(tmp, p)
 
 
 def save_dataset_atomic(path: str, dataset: Dataset) -> None:

@@ -118,7 +118,7 @@ int decode_blosc(const std::vector<uint8_t>& raw, uint8_t* dst,
                  int64_t dst_n) {
   if (raw.size() < 16) return E_FORMAT;
   const uint8_t* p = raw.data();
-  int version = p[0], flags = p[2], typesize = p[3];
+  int flags = p[2], typesize = p[3];
   int32_t nbytes = le32(p + 4), blocksize = le32(p + 8);
   if (flags & 0x4) return E_UNSUPPORTED;  // bit-shuffle
   if (nbytes != dst_n) return E_SIZE;
@@ -146,7 +146,6 @@ int decode_blosc(const std::vector<uint8_t>& raw, uint8_t* dst,
     if (!leftover && typesize > 1 && !(flags & 0x10) &&
         typesize <= kMaxSplits && bsize / typesize >= kMinBuffer)
       nsplits = typesize;
-    (void)version;
     int32_t neblock = bsize / nsplits;
     size_t pos = le32(bstarts + 4 * b);
     uint8_t* block_out = shuffled ? tmp.data() : dst + int64_t(b) * blocksize;

@@ -21,7 +21,7 @@ import logging
 import os
 import time
 from concurrent import futures
-from typing import Hashable, Mapping, Optional
+from typing import Callable, Hashable, Mapping, Optional
 
 import jax
 import jax.numpy as jnp
@@ -102,6 +102,12 @@ class EvaluationPipeline:
   distributed: bool = False
   compilation_cache_dir: Optional[str] = None
   max_in_flight_bytes: int = 2 << 30
+  # Optional per-chunk raw-statistics sink, called as
+  # sink(i, offsets, {'<stat>.<var>': DimArray}) with the SAME prepared,
+  # device-placed chunk the aggregated step consumes — unaggregated output
+  # streams from one storage pass instead of a second pipeline (reference
+  # computes both in one Beam graph, ``beam_pipeline.py:449-540``).
+  chunk_stats_sink: Optional[Callable] = None
 
   def __post_init__(self):
     if self.compilation_cache_dir:
@@ -117,6 +123,11 @@ class EvaluationPipeline:
     reduce_dims = set(self.aggregator.reduce_dims)
     self._bucket_dims = tuple(
         d for d in ('init_time', 'lead_time') if d not in reduce_dims)
+    self._raw_stats_fn = None
+    if self.chunk_stats_sink is not None:
+      self._raw_stats_fn = jax.jit(
+          lambda p, t: metrics_base.compute_unique_statistics_for_all_metrics(
+              self.metrics, p, t))
 
   # -- chunk loading ---------------------------------------------------------
 
@@ -314,16 +325,37 @@ class EvaluationPipeline:
       return sum(getattr(leaf, 'nbytes', 0)
                  for leaf in jax.tree_util.tree_leaves(pair))
 
+    local_done = [0]
+
     def bookkeeping(i, key, staged_bytes):
       self._obs.counter('chunks_done')
       throttle(buckets[key], staged_bytes)
       # Each process checkpoints its own partial state (see _ckpt_prefix).
+      # Cadence counts chunks THIS process completed, not the global chunk
+      # index: in distributed mode a process only sees indices with its
+      # residue mod process_count, which may never satisfy a global
+      # (i+1) % checkpoint_every == 0 test.
+      local_done[0] += 1
       if (self.checkpoint_path and self.checkpoint_every
-          and (i + 1) % self.checkpoint_every == 0):
+          and local_done[0] % self.checkpoint_every == 0):
         with self._obs.timed('checkpoint_seconds'):
           buckets[key].block_until_ready()
           self._save_checkpoint(buckets, i + 1)
       logger.info('chunk %d/%d done', i + 1, n)
+
+    def emit_raw_stats(i, offsets, pair):
+      if self._raw_stats_fn is None:
+        return
+      p, t = pair
+      stats = self._raw_stats_fn(p, t)
+      flat = {
+          f'{stat_name}.{var_name}':
+              evaluator_lib.restore_time_coords(da)
+          for stat_name, stat_vars in stats.items()
+          for var_name, da in stat_vars.items()
+      }
+      with self._obs.timed('chunk_stats_sink_seconds'):
+        self.chunk_stats_sink(i, offsets, flat)
 
     def absorb(i, offsets, pair, pair_sig):
       """Folds one prepared chunk into its bucket.
@@ -347,6 +379,7 @@ class EvaluationPipeline:
         else:
           buckets[key] = state
       bucket_sigs[key] = pair_sig
+      emit_raw_stats(i, offsets, pair)
       bookkeeping(i, key, pair_bytes(pair))
 
     batch: list = []  # buffered (i, offsets, prepared_pair, sig)
@@ -362,6 +395,7 @@ class EvaluationPipeline:
           buckets[key] = _device_add(buckets[key], state)
         else:
           buckets[key] = state
+        emit_raw_stats(i, offsets, pair)
         bookkeeping(i, key, pair_bytes(pair))
       batch.clear()
 

@@ -32,6 +32,131 @@ from weatherbenchx_tpu.parallel import evaluator as evaluator_lib
 from weatherbenchx_tpu.parallel import pipeline as pipeline_lib
 
 
+class ZarrStatsStore:
+  """Streaming '<stat>.<var>' Zarr store writer keyed by TimeChunks cells.
+
+  The template (shapes, dtypes, coords) comes from the first chunk with
+  init/lead expanded to the full evaluation extent — the reference's
+  ``_get_template_dataset`` (``beam_pipeline.py:543-605``). Usable either
+  through :class:`UnaggregatedPipeline` (its own storage pass) or as the
+  aggregated pipeline's ``chunk_stats_sink`` (statistics stream out of the
+  SAME pass that accumulates the aggregation state — one storage scan, one
+  set of device transfers).
+  """
+
+  def __init__(self, times: time_chunks_lib.TimeChunks, path: str,
+               compressor: Optional[str] = None,
+               distributed: bool = False) -> None:
+    if isinstance(times.lead_times, slice):
+      raise ValueError(
+          'Zarr unaggregated output needs exact lead_times: a lead '
+          'interval has unknown extent until load time')
+    self._path = path.rstrip('/')
+    fileio.makedirs(self._path)
+    self._init_times = times.init_times
+    self._lead_times = times.lead_times
+    self._init_chunk = times.init_time_chunk_size
+    self._lead_chunk = (times.lead_time_chunk_size
+                        or max(len(times.lead_times), 1))
+    self._compressor = compressor
+    self._distributed = distributed
+    self._writers: dict[str, zarr_io.ZarrArrayWriter] = {}
+    self._coord_arrays: dict[str, Coord] = {}
+
+  def _full_size(self, dim: str, chunk_size: int) -> tuple[int, int]:
+    if dim == 'init_time':
+      return len(self._init_times), self._init_chunk
+    if dim == 'lead_time':
+      return len(self._lead_times), self._lead_chunk
+    return chunk_size, chunk_size
+
+  def _make_writer(self, key: str, da: DimArray) -> zarr_io.ZarrArrayWriter:
+    if da.has_coord('mask'):
+      raise ValueError(
+          f'{key} carries a mask coord; masks have no cell in an '
+          'unaggregated store (reference rejects them too, '
+          'beam_pipeline.py:592-599). Use masked aggregation instead.')
+    shape, chunks = zip(*(self._full_size(d, s)
+                          for d, s in zip(da.dims, da.shape)))
+    aux = []
+    for cname, c in da.coords.items():
+      if cname in ('init_time', 'lead_time'):
+        continue  # written whole from TimeChunks at the end
+      if set(c.dims) & {'init_time', 'lead_time'} and cname != 'valid_time':
+        continue  # chunk-local coord with no stable global layout
+      if cname not in da.dims:
+        aux.append(str(cname))
+      if cname in self._coord_arrays:
+        continue
+      if cname == 'valid_time':
+        full = self._init_times[:, None] + self._lead_times[None, :]
+        self._coord_arrays[cname] = Coord(('init_time', 'lead_time'), full)
+      else:
+        self._coord_arrays[cname] = Coord(c.dims, np.asarray(c.values))
+    return zarr_io.ZarrArrayWriter(
+        self._path, key, shape, chunks, np.asarray(da.values).dtype,
+        da.dims, extra_attrs={'coordinates': ' '.join(aux)} if aux else None,
+        compressor=self._compressor)
+
+  def write_chunk(self, i: int,
+                  offsets: time_chunks_lib.TimeChunkOffsets,
+                  flat_stats: Mapping[str, DimArray]) -> None:
+    """Writes one chunk's '<stat>.<var>' arrays into their grid cells."""
+    for key, da in flat_stats.items():
+      if key not in self._writers:
+        self._writers[key] = self._make_writer(key, da)
+      w = self._writers[key]
+      cell = []
+      for d, n in zip(da.dims, da.shape):
+        if d == 'init_time':
+          cell.append(offsets.init_time // self._init_chunk)
+        elif d == 'lead_time':
+          cell.append(offsets.lead_time // self._lead_chunk)
+        else:
+          cell.append(0)
+          if n != w.shape[da.dims.index(d)]:
+            raise ValueError(
+                f'{key}: dim {d!r} is {n} in chunk {i} but {w.shape} in '
+                'the template; only init_time/lead_time may vary across '
+                'chunks in zarr mode (use the shard-directory mode for '
+                'ragged statistics)')
+      w.write_block(cell, np.asarray(da.values))
+
+  def finalize(self) -> str:
+    """Writes coordinates + consolidated metadata; returns the path.
+
+    In distributed mode processes own disjoint chunk cells of the same
+    store; coordinates/metadata are identical everywhere, so process 0
+    writes them after a barrier ensures all cells are on disk.
+    """
+    if self._distributed and jax.process_count() > 1:
+      from jax.experimental import multihost_utils
+      multihost_utils.sync_global_devices('wbx_unaggregated_zarr_cells')
+      if jax.process_index() != 0:
+        return self._path
+    path = self._path
+    metadata: dict = {'.zgroup': {'zarr_format': 2}, '.zattrs': {}}
+    fileio.write_bytes(os.path.join(path, '.zgroup'),
+                       json.dumps(metadata['.zgroup']).encode())
+    coords = dict(self._coord_arrays)
+    coords.setdefault('init_time', Coord(('init_time',), self._init_times))
+    coords.setdefault('lead_time', Coord(('lead_time',), self._lead_times))
+    for cname, c in coords.items():
+      metadata.update(zarr_io._write_array(
+          path, cname, np.asarray(c.values), c.dims,
+          [self._init_chunk if d == 'init_time' else
+           self._lead_chunk if d == 'lead_time' else s
+           for d, s in zip(c.dims, np.shape(c.values))]))
+    for key, w in self._writers.items():
+      metadata.update(w.metadata)
+    fileio.write_bytes_atomic(
+        os.path.join(path, '.zmetadata'),
+        json.dumps({'metadata': metadata, 'zarr_consolidated_format': 1},
+                   default=zarr_io._json_default).encode())
+    return path
+
+
+
 @dataclasses.dataclass
 class UnaggregatedPipeline:
   """Computes per-chunk statistics and streams them to a store.
@@ -104,111 +229,14 @@ class UnaggregatedPipeline:
   # -- Zarr mode ---------------------------------------------------------------
 
   def _run_zarr(self) -> str:
-    """One zarr chunk per (TimeChunk, variable): no rechunk shuffle.
-
-    The template (shapes, dtypes, coords) comes from the first chunk with
-    init/lead expanded to the full evaluation extent — the reference's
-    ``_get_template_dataset`` (``beam_pipeline.py:543-605``).
-    """
-    if isinstance(self.times.lead_times, slice):
-      raise ValueError(
-          'Zarr unaggregated output needs exact lead_times: a lead '
-          'interval has unknown extent until load time')
-    path = self.out_path.rstrip('/')
-    fileio.makedirs(path)
-    init_times = self.times.init_times
-    lead_times = self.times.lead_times
-    init_chunk = self.times.init_time_chunk_size
-    lead_chunk = self.times.lead_time_chunk_size or max(len(lead_times), 1)
-
-    writers: dict[str, zarr_io.ZarrArrayWriter] = {}
-    coord_arrays: dict[str, Coord] = {}
-    aux_by_var: dict[str, list] = {}
-
-    def full_size(dim: str, chunk_size: int) -> tuple[int, int]:
-      if dim == 'init_time':
-        return len(init_times), init_chunk
-      if dim == 'lead_time':
-        return len(lead_times), lead_chunk
-      return chunk_size, chunk_size
-
-    def make_writer(key: str, da: DimArray) -> zarr_io.ZarrArrayWriter:
-      if da.has_coord('mask'):
-        raise ValueError(
-            f'{key} carries a mask coord; masks have no cell in an '
-            'unaggregated store (reference rejects them too, '
-            'beam_pipeline.py:592-599). Use masked aggregation instead.')
-      shape, chunks = zip(*(full_size(d, s)
-                            for d, s in zip(da.dims, da.shape)))
-      aux = []
-      for cname, c in da.coords.items():
-        if cname in ('init_time', 'lead_time'):
-          continue  # written whole from TimeChunks at the end
-        if set(c.dims) & {'init_time', 'lead_time'} and cname != 'valid_time':
-          continue  # chunk-local coord with no stable global layout
-        if cname not in da.dims:
-          aux.append(str(cname))
-        if cname in coord_arrays:
-          continue
-        if cname == 'valid_time':
-          full = init_times[:, None] + lead_times[None, :]
-          coord_arrays[cname] = Coord(('init_time', 'lead_time'), full)
-        else:
-          coord_arrays[cname] = Coord(c.dims, np.asarray(c.values))
-      aux_by_var[key] = aux
-      return zarr_io.ZarrArrayWriter(
-          path, key, shape, chunks, np.asarray(da.values).dtype, da.dims,
-          extra_attrs={'coordinates': ' '.join(aux)} if aux else None,
-          compressor=self.compressor)
-
+    """One zarr chunk per (TimeChunk, variable): no rechunk shuffle."""
+    store = ZarrStatsStore(self.times, self.out_path,
+                           compressor=self.compressor,
+                           distributed=self.distributed)
     for i, offsets, (predictions, targets) in self._stream():
-      for key, da in self._chunk_stats(predictions, targets).items():
-        if key not in writers:
-          writers[key] = make_writer(key, da)
-        w = writers[key]
-        cell = []
-        for d, n in zip(da.dims, da.shape):
-          if d == 'init_time':
-            cell.append(offsets.init_time // init_chunk)
-          elif d == 'lead_time':
-            cell.append(offsets.lead_time // lead_chunk)
-          else:
-            cell.append(0)
-            if n != w.shape[da.dims.index(d)]:
-              raise ValueError(
-                  f'{key}: dim {d!r} is {n} in chunk {i} but {w.shape} in '
-                  'the template; only init_time/lead_time may vary across '
-                  'chunks in zarr mode (use the shard-directory mode for '
-                  'ragged statistics)')
-        w.write_block(cell, np.asarray(da.values))
-
-    # In distributed mode processes own disjoint chunk cells of the same
-    # store; coordinates/metadata are identical everywhere, so process 0
-    # writes them after a barrier ensures all cells are on disk.
-    if self.distributed and jax.process_count() > 1:
-      from jax.experimental import multihost_utils
-      multihost_utils.sync_global_devices('wbx_unaggregated_zarr_cells')
-      if jax.process_index() != 0:
-        return path
-
-    metadata: dict = {'.zgroup': {'zarr_format': 2}, '.zattrs': {}}
-    fileio.write_bytes(os.path.join(path, '.zgroup'),
-                       json.dumps(metadata['.zgroup']).encode())
-    coord_arrays.setdefault('init_time', Coord(('init_time',), init_times))
-    coord_arrays.setdefault('lead_time', Coord(('lead_time',), lead_times))
-    for cname, c in coord_arrays.items():
-      metadata.update(zarr_io._write_array(
-          path, cname, np.asarray(c.values), c.dims,
-          [init_chunk if d == 'init_time' else
-           lead_chunk if d == 'lead_time' else s
-           for d, s in zip(c.dims, np.shape(c.values))]))
-    for key, w in writers.items():
-      metadata.update(w.metadata)
-    fileio.write_bytes_atomic(
-        os.path.join(path, '.zmetadata'),
-        json.dumps({'metadata': metadata, 'zarr_consolidated_format': 1},
-                   default=zarr_io._json_default).encode())
-    return path
+      store.write_chunk(i, offsets,
+                        self._chunk_stats(predictions, targets))
+    return store.finalize()
 
   # -- shard-directory mode ------------------------------------------------------
 

@@ -27,6 +27,7 @@ import concurrent.futures
 import itertools
 import json
 import os
+import threading
 from typing import Any, Mapping, Optional, Sequence
 
 import numpy as np
@@ -219,15 +220,17 @@ def save_dataset_zarr(
 
 
 _READ_POOL = None
+_READ_POOL_LOCK = threading.Lock()
 _READ_THREADS = int(os.environ.get('WBX_ZARR_READ_THREADS', '16'))
 
 
 def _read_pool():
   global _READ_POOL
-  if _READ_POOL is None:
-    _READ_POOL = concurrent.futures.ThreadPoolExecutor(
-        max_workers=_READ_THREADS, thread_name_prefix='wbx-zarr-read')
-  return _READ_POOL
+  with _READ_POOL_LOCK:
+    if _READ_POOL is None:
+      _READ_POOL = concurrent.futures.ThreadPoolExecutor(
+          max_workers=_READ_THREADS, thread_name_prefix='wbx-zarr-read')
+    return _READ_POOL
 
 
 class ZarrChunkSource(lazy.ArraySource):
@@ -355,15 +358,23 @@ def _decode_cf_time(values: np.ndarray, attrs: dict) -> np.ndarray:
   scale = {'nanoseconds': 1, 'microseconds': 10**3, 'milliseconds': 10**6,
            'seconds': 10**9, 'minutes': 60 * 10**9, 'hours': 3600 * 10**9,
            'days': 86400 * 10**9}
+
+  def to_ns(vals, unit):
+    # Float-encoded CF time (xarray frequently writes e.g. float64 'days
+    # since ...'): scale in float, then round — truncation would shift
+    # 0.25 days to 0.
+    if vals.dtype.kind == 'f':
+      return np.rint(vals * float(scale[unit])).astype(np.int64)
+    return vals.astype(np.int64) * scale[unit]
+
   if ' since ' in units:
     unit, origin = units.split(' since ', 1)
     if unit not in scale:
       return values
     base = np.datetime64(origin.strip().replace(' ', 'T'), 'ns')
-    return base + values.astype(np.int64) * np.timedelta64(scale[unit], 'ns')
-  if units in scale and values.dtype.kind in 'iu':
-    return (values.astype(np.int64)
-            * np.timedelta64(scale[units], 'ns'))
+    return base + to_ns(values, unit) * np.timedelta64(1, 'ns')
+  if units in scale and values.dtype.kind in 'iuf':
+    return to_ns(values, units) * np.timedelta64(1, 'ns')
   return values
 
 
