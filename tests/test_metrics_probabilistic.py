@@ -261,3 +261,43 @@ class TestEnsembleAveraged:
     m = probabilistic.EnsembleAveragedMetric(deterministic.RMSE())
     with pytest.raises(ValueError, match='Failed to compute statistic'):
       compute_all({'m': m}, preds, tgts, ['latitude', 'longitude'])
+
+
+class TestRaggedEnsembles:
+  """Different prediction/target ensemble sizes (reference
+  ``metrics_test.py:644-682``, ``probabilistic.py:116-145``)."""
+
+  def _pair(self):
+    rng = np.random.default_rng(0)
+    p = DimArray(rng.standard_normal((5, 4)).astype(np.float32),
+                 ('number', 'x'),
+                 {'number': np.arange(5), 'x': np.arange(4)})
+    t = DimArray(rng.standard_normal((3, 4)).astype(np.float32),
+                 ('number', 'x'),
+                 {'number': np.arange(3), 'x': np.arange(4)})
+    return p, t
+
+  def test_wasserstein_different_ensemble_sizes(self):
+    import scipy.stats
+    p, t = self._pair()
+    out = probabilistic.WassersteinDistance('number').compute(
+        {'v': p}, {'v': t})['v']
+    pv, tv = np.asarray(p.values), np.asarray(t.values)
+    expect = [scipy.stats.wasserstein_distance(pv[:, i], tv[:, i])
+              for i in range(4)]
+    np.testing.assert_allclose(np.asarray(out.values), expect, atol=1e-6)
+
+  def test_wasserstein_missing_ensemble_dim_raises(self):
+    p, t = self._pair()
+    t_no_ens = t.isel({'number': 0})
+    with pytest.raises((ValueError, KeyError)):
+      probabilistic.WassersteinDistance('number').compute(
+          {'v': p}, {'v': t_no_ens})
+
+  def test_crps_skill_two_ensembles(self):
+    # E|X - Y| over the product of the two ensembles (pseudo-dim case).
+    p, t = self._pair()
+    out = probabilistic.CRPSSkill('number').compute({'v': p}, {'v': t})['v']
+    pv, tv = np.asarray(p.values), np.asarray(t.values)
+    expect = np.abs(pv[:, None, :] - tv[None, :, :]).mean(axis=(0, 1))
+    np.testing.assert_allclose(np.asarray(out.values), expect, atol=1e-6)
