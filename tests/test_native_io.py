@@ -26,6 +26,9 @@ def _dataset(seed=0, nbytes_big=4_000_000):
 
 class TestWbxContainer:
   def test_native_builds(self):
+    import os
+    if os.environ.get('WBX_NO_NATIVE') == '1':
+      pytest.skip('native cores disabled for this run (WBX_NO_NATIVE=1)')
     assert native.available(), 'native blockstore failed to build'
 
   def test_roundtrip_native(self, tmp_path):

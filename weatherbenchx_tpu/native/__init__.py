@@ -49,6 +49,8 @@ class _Module:
       return False
 
   def load(self):
+    if os.environ.get('WBX_NO_NATIVE') == '1':
+      return None  # force the pure-Python fallbacks (CI fallback matrix)
     with self._lock:
       if self._lib is not None or self._failed:
         return self._lib
