@@ -322,3 +322,51 @@ def test_cf_float_timedelta_decode():
   out = _decode_cf_time(np.array([0.5, 1.0]), {'units': 'hours'})
   np.testing.assert_array_equal(
       out, np.array([1800, 3600], 'timedelta64[s]').astype('timedelta64[ns]'))
+
+
+class TestNativeEncoder:
+  """Native (C++) parallel encode+write vs the Python codec path."""
+
+  @pytest.mark.parametrize('comp', [None, 'zlib', 'zstd', 'blosc'])
+  def test_native_write_python_read(self, tmp_path, comp, monkeypatch):
+    from weatherbenchx_tpu import native
+    if not native.zarrcodec_available():
+      pytest.skip('native toolchain unavailable')
+    rng = np.random.default_rng(5)
+    data = rng.standard_normal((9, 11, 6)).astype(np.float32)
+    da = DimArray(data, ('t', 'y', 'x'), {
+        't': Coord(('t',), np.arange(9)),
+        'y': Coord(('y',), np.arange(11)),
+        'x': Coord(('x',), np.arange(6))})
+    root = str(tmp_path / 'nw.zarr')
+    zarr_io.save_dataset_zarr(root, {'v': da}, chunks={'t': 2, 'y': 4},
+                              compressor=comp)  # native multi-cell encode
+    # Read back through the pure-Python decoder only.
+    monkeypatch.setattr(native, 'zarrcodec_available', lambda: False)
+    ds = zarr_io.open_dataset_zarr(root)
+    np.testing.assert_array_equal(np.asarray(ds['v'].values), data)
+
+  def test_python_fallback_write_matches(self, tmp_path, monkeypatch):
+    from weatherbenchx_tpu import native
+    rng = np.random.default_rng(6)
+    data = rng.standard_normal((8, 5)).astype(np.float64)
+    da = DimArray(data, ('t', 'y'), {
+        't': Coord(('t',), np.arange(8)), 'y': Coord(('y',), np.arange(5))})
+    monkeypatch.setattr(native, 'zarrcodec_available', lambda: False)
+    root = str(tmp_path / 'pw.zarr')
+    zarr_io.save_dataset_zarr(root, {'v': da}, chunks={'t': 3},
+                              compressor='blosc')  # threaded Python encode
+    ds = zarr_io.open_dataset_zarr(root)
+    np.testing.assert_array_equal(np.asarray(ds['v'].values), data)
+
+  def test_native_blosc_chunk_decodes_in_python(self):
+    from weatherbenchx_tpu import native
+    if not native.zarrcodec_available():
+      pytest.skip('native toolchain unavailable')
+    import tempfile, os
+    arr = np.arange(123457, dtype=np.float32)  # odd size: ragged last block
+    with tempfile.TemporaryDirectory() as d:
+      p = os.path.join(d, 'cell')
+      native.encode_cells([p], 'blosc', [arr], typesize=4)
+      raw = open(p, 'rb').read()
+    assert bytes(codecs.blosc_decompress(raw)) == arr.tobytes()

@@ -86,6 +86,10 @@ def _configure_zarrcodec(lib) -> None:
       ctypes.c_int, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
       _c_void_pp, ctypes.c_int64, ctypes.c_int]
   lib.wbx_decode_cells.restype = ctypes.c_int
+  lib.wbx_encode_cells.argtypes = [
+      ctypes.c_int, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+      _c_void_pp, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+  lib.wbx_encode_cells.restype = ctypes.c_int
 
 
 _blockstore = _Module('blockstore', [], _configure_blockstore)
@@ -165,4 +169,30 @@ def decode_cells(paths, codec, buffers, threads: int = 8) -> None:
   if rc != 0:
     i, err = divmod(rc - 1, 16)
     raise OSError(f'decode_cells: cell {paths[i]!r}: '
+                  f'{_DECODE_ERRS.get(err, err)}')
+
+
+def encode_cells(paths, codec, buffers, typesize: int,
+                 level: int = 0, threads: int = 8) -> None:
+  """Parallel encode+write of cell buffers (inverse of decode_cells).
+
+  Supported codecs: None/'zlib'/'zstd'/'blosc' (blosc is lz4+shuffle,
+  numcodecs-compatible). Buffers must be C-contiguous, identical nbytes.
+  """
+  lib = _zarrcodec.load()
+  if lib is None:
+    raise RuntimeError('native zarrcodec unavailable')
+  n = len(paths)
+  if n == 0:
+    return
+  if codec == 'gzip':
+    raise ValueError('gzip is decode-only')
+  cell_nbytes = buffers[0].nbytes
+  c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+  addrs = _as_void_pp([b.ctypes.data for b in buffers])
+  rc = lib.wbx_encode_cells(n, c_paths, _CODEC_IDS[codec], addrs,
+                            cell_nbytes, typesize, level or 0, threads)
+  if rc != 0:
+    i, err = divmod(rc - 1, 16)
+    raise OSError(f'encode_cells: cell {paths[i]!r}: '
                   f'{_DECODE_ERRS.get(err, err)}')

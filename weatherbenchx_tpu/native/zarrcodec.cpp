@@ -24,6 +24,9 @@
 
 extern "C" int LZ4_decompress_safe(const char* src, char* dst,
                                    int compressed_size, int dst_capacity);
+extern "C" int LZ4_compress_default(const char* src, char* dst,
+                                    int src_size, int dst_capacity);
+extern "C" int LZ4_compressBound(int input_size);
 
 namespace {
 
@@ -196,9 +199,186 @@ int decode_one(const char* path, int codec, uint8_t* dst, int64_t dst_n) {
   }
 }
 
+// Byte shuffle (forward): interleaved elements to byte planes.
+void shuffle_bytes(const uint8_t* in, uint8_t* out, size_t nbytes,
+                   int typesize) {
+  size_t n = nbytes / typesize;
+  for (int j = 0; j < typesize; ++j) {
+    uint8_t* plane = out + j * n;
+    const uint8_t* i = in + j;
+    for (size_t k = 0; k < n; ++k) plane[k] = i[k * typesize];
+  }
+  size_t tail = nbytes - n * typesize;
+  if (tail) std::memcpy(out + n * typesize, in + n * typesize, tail);
+}
+
+int32_t choose_blocksize(int64_t nbytes, int typesize) {
+  // Mirrors codecs._choose_blocksize: ~256 KB, a multiple of typesize.
+  int64_t bs = nbytes <= (1 << 18) ? nbytes : (1 << 18);
+  bs -= bs % typesize;
+  if (bs < typesize) bs = typesize;
+  return static_cast<int32_t>(bs);
+}
+
+void put_le32(std::vector<uint8_t>* out, size_t pos, int32_t v) {
+  std::memcpy(out->data() + pos, &v, 4);
+}
+
+void append_le32(std::vector<uint8_t>* out, int32_t v) {
+  size_t pos = out->size();
+  out->resize(pos + 4);
+  put_le32(out, pos, v);
+}
+
+// Encodes one c-blosc1 chunk (blosc-lz4, byte shuffle) — the same format
+// rules as codecs.blosc_compress, decodable by real c-blosc/numcodecs.
+int encode_blosc(const uint8_t* src, int64_t nbytes, int typesize,
+                 std::vector<uint8_t>* out) {
+  typesize = (typesize > 0 && typesize <= 255) ? typesize : 1;
+  int32_t blocksize = nbytes ? choose_blocksize(nbytes, typesize) : 0;
+  int nblocks = nbytes ? static_cast<int>((nbytes + blocksize - 1)
+                                          / blocksize) : 0;
+  bool do_shuffle = typesize > 1;
+  bool split = typesize <= kMaxSplits && blocksize / typesize >= kMinBuffer;
+  int flags = (1 << 5);  // lz4
+  if (do_shuffle) flags |= 0x1;
+  if (!split) flags |= 0x10;
+
+  auto write_memcpy_chunk = [&]() {
+    out->assign(16, 0);
+    (*out)[0] = 2;
+    (*out)[2] = 0x2;
+    (*out)[3] = static_cast<uint8_t>(typesize);
+    put_le32(out, 4, static_cast<int32_t>(nbytes));
+    put_le32(out, 8, blocksize);
+    put_le32(out, 12, static_cast<int32_t>(nbytes + 16));
+    out->insert(out->end(), src, src + nbytes);
+    return OK;
+  };
+  if (nbytes == 0) return write_memcpy_chunk();
+
+  size_t header_size = 16 + 4 * nblocks;
+  std::vector<uint8_t> body;
+  body.reserve(nbytes / 2);
+  std::vector<int32_t> bstarts(nblocks);
+  std::vector<uint8_t> shuf(do_shuffle ? blocksize : 0);
+  std::vector<uint8_t> comp(LZ4_compressBound(blocksize) + 8);
+  for (int b = 0; b < nblocks; ++b) {
+    int32_t bsize = static_cast<int32_t>(
+        std::min<int64_t>(blocksize, nbytes - int64_t(b) * blocksize));
+    const uint8_t* block = src + int64_t(b) * blocksize;
+    if (do_shuffle) {
+      shuffle_bytes(block, shuf.data(), bsize, typesize);
+      block = shuf.data();
+    }
+    int nsplits = (split && bsize == blocksize) ? typesize : 1;
+    int32_t neblock = bsize / nsplits;
+    bstarts[b] = static_cast<int32_t>(header_size + body.size());
+    for (int s = 0; s < nsplits; ++s) {
+      const uint8_t* sp = block + int64_t(s) * neblock;
+      int csize = LZ4_compress_default(
+          reinterpret_cast<const char*>(sp),
+          reinterpret_cast<char*>(comp.data()), neblock,
+          static_cast<int>(comp.size()));
+      if (csize <= 0 || csize >= neblock) {  // stored stream
+        append_le32(&body, neblock);
+        body.insert(body.end(), sp, sp + neblock);
+      } else {
+        append_le32(&body, csize);
+        body.insert(body.end(), comp.data(), comp.data() + csize);
+      }
+    }
+  }
+  int64_t cbytes = header_size + body.size();
+  if (cbytes >= nbytes + 16) return write_memcpy_chunk();
+  out->assign(16, 0);
+  (*out)[0] = 2;
+  (*out)[2] = static_cast<uint8_t>(flags);
+  (*out)[3] = static_cast<uint8_t>(typesize);
+  put_le32(out, 4, static_cast<int32_t>(nbytes));
+  put_le32(out, 8, blocksize);
+  put_le32(out, 12, static_cast<int32_t>(cbytes));
+  for (int b = 0; b < nblocks; ++b) append_le32(out, bstarts[b]);
+  out->insert(out->end(), body.begin(), body.end());
+  return OK;
+}
+
+int encode_one(const char* path, int codec, const uint8_t* src,
+               int64_t nbytes, int typesize, int level) {
+  std::vector<uint8_t> out;
+  switch (codec) {
+    case RAW:
+      out.assign(src, src + nbytes);
+      break;
+    case ZLIB: {
+      uLongf dst_n = compressBound(nbytes);
+      out.resize(dst_n);
+      if (compress2(out.data(), &dst_n, src, nbytes,
+                    level > 0 ? level : 1) != Z_OK)
+        return E_DECODE;
+      out.resize(dst_n);
+      break;
+    }
+    case ZSTD: {
+      size_t bound = ZSTD_compressBound(nbytes);
+      out.resize(bound);
+      size_t n = ZSTD_compress(out.data(), bound, src, nbytes,
+                               level > 0 ? level : 3);
+      if (ZSTD_isError(n)) return E_DECODE;
+      out.resize(n);
+      break;
+    }
+    case BLOSC: {
+      int rc = encode_blosc(src, nbytes, typesize, &out);
+      if (rc != OK) return rc;
+      break;
+    }
+    default:
+      return E_UNSUPPORTED;
+  }
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return E_OPEN;
+  size_t wrote = out.empty() ? 0 : std::fwrite(out.data(), 1, out.size(), f);
+  int close_rc = std::fclose(f);
+  return (wrote == out.size() && close_rc == 0) ? OK : E_READ;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Encodes + writes n cells concurrently (inverse of wbx_decode_cells).
+// Returns 0, or (index * 16 + errcode) + 1 of the first failing cell.
+int wbx_encode_cells(int n, const char** paths, int codec,
+                     const void** srcs, int64_t cell_nbytes, int typesize,
+                     int level, int threads) {
+  std::atomic<int> next(0);
+  std::atomic<int> status(0);
+  int nworkers = std::min(n, threads > 0 ? threads : 1);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n || status.load() != 0) return;
+      int rc = encode_one(paths[i], codec,
+                          static_cast<const uint8_t*>(srcs[i]),
+                          cell_nbytes, typesize, level);
+      if (rc != OK) {
+        int expect = 0;
+        status.compare_exchange_strong(expect, i * 16 + rc + 1);
+        return;
+      }
+    }
+  };
+  if (nworkers <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(nworkers);
+    for (int t = 0; t < nworkers; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return status.load();
+}
 
 // Decodes n cell files concurrently. paths[i] == nullptr marks a missing
 // cell (skipped — caller pre-fills dests[i]). Returns 0, or the first

@@ -135,12 +135,44 @@ class ZarrArrayWriter:
                                  self._level)
     fileio.write_bytes(os.path.join(self._adir, key), bytes(raw))
 
+  def _pad_to_cell(self, block: np.ndarray) -> np.ndarray:
+    block = np.asarray(block).astype(self.dtype, copy=False)
+    if block.shape == self.chunks:
+      return np.ascontiguousarray(block)
+    full = np.full(self.chunks, np.nan if self.dtype.kind == 'f' else 0,
+                   dtype=self.dtype)
+    full[tuple(slice(0, s) for s in block.shape)] = block
+    return full
+
   def write_full(self, values: np.ndarray) -> None:
+    """Writes every cell; encode+write runs thread-parallel per array
+    (native encoder when built, else Python codecs on the read pool —
+    file writes and all compressors release the GIL)."""
+    from weatherbenchx_tpu import native
+
     grid = [max(-(-s // c), 1) for s, c in zip(self.shape, self.chunks)]
-    for cell in np.ndindex(*grid):
-      window = tuple(slice(i * c, (i + 1) * c)
-                     for i, c in zip(cell, self.chunks))
-      self.write_block(cell, values[window])
+    cells = list(np.ndindex(*grid))
+    if len(cells) <= 1:
+      for cell in cells:
+        self.write_block(cell, values[self._cell_window(cell)])
+      return
+    if (self._codec != 'gzip' and not fileio.is_remote(self._adir)
+        and native.zarrcodec_available()):
+      blocks = [self._pad_to_cell(values[self._cell_window(c)])
+                for c in cells]
+      paths = [os.path.join(
+          self._adir, '.'.join(str(int(i)) for i in c) or '0')
+          for c in cells]
+      native.encode_cells(paths, self._codec, blocks,
+                          self.dtype.itemsize, self._level or 0,
+                          threads=_READ_THREADS)
+      return
+    list(_read_pool().map(
+        lambda c: self.write_block(c, values[self._cell_window(c)]), cells))
+
+  def _cell_window(self, cell) -> tuple:
+    return tuple(slice(i * c, (i + 1) * c)
+                 for i, c in zip(cell, self.chunks))
 
 
 def _write_array(root: str, name: str, values: np.ndarray,
