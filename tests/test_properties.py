@@ -94,3 +94,90 @@ def test_zarr_window_matches_numpy(tmp_path_factory, shape, chunk0, chunk1,
     expect = expect[(slice(None),) * axis
                     + (e if isinstance(e, slice) else np.asarray(e),)]
   np.testing.assert_array_equal(got, expect)
+
+
+# ---------------------------------------------------------------------------
+# DimArray core semantics (named-axis arithmetic, reductions, dot)
+# ---------------------------------------------------------------------------
+
+_DIM_POOL = ('a', 'b', 'c', 'd')
+
+
+@st.composite
+def _dimarray(draw, dims_from=_DIM_POOL, max_len=5):
+  names = draw(st.permutations(dims_from))
+  k = draw(st.integers(1, min(3, len(dims_from))))
+  dims = tuple(names[:k])
+  shape = tuple(draw(st.integers(1, max_len)) for _ in dims)
+  seed = draw(st.integers(0, 2**31 - 1))
+  rng = np.random.default_rng(seed)
+  data = rng.standard_normal(shape).astype(np.float32)
+  coords = {d: Coord((d,), np.arange(n)) for d, n in zip(dims, shape)}
+  return DimArray(data, dims, coords)
+
+
+@settings(**_SETTINGS)
+@given(x=_dimarray(), y=_dimarray())
+def test_binary_op_broadcasts_by_name(x, y):
+  """x + y broadcasts by dim NAME, whatever the axis orders.
+
+  Shared dims must agree in size (unlike xarray there is no implicit
+  label alignment in arithmetic — it would not jit), so truncate."""
+  for d in set(x.dims) & set(y.dims):
+    m = min(x.sizes[d], y.sizes[d])
+    x = x.isel({d: slice(0, m)})
+    y = y.isel({d: slice(0, m)})
+  got = x + y
+  out_dims = got.dims
+  assert set(out_dims) == set(x.dims) | set(y.dims)
+  xe = np.asarray(x.transpose(*[d for d in out_dims if d in x.dims]).values)
+  ye = np.asarray(y.transpose(*[d for d in out_dims if d in y.dims]).values)
+  xe = xe.reshape([x.sizes[d] if d in x.dims else 1 for d in out_dims])
+  ye = ye.reshape([y.sizes[d] if d in y.dims else 1 for d in out_dims])
+  np.testing.assert_allclose(np.asarray(got.values), xe + ye, rtol=1e-6)
+
+
+@settings(**_SETTINGS)
+@given(x=_dimarray(), data=st.data())
+def test_reduce_then_transpose_matches_numpy(x, data):
+  dim = data.draw(st.sampled_from(x.dims))
+  got = x.mean(dim)
+  axis = x.dims.index(dim)
+  np.testing.assert_allclose(
+      np.asarray(got.values), np.asarray(x.values).mean(axis=axis),
+      rtol=1e-5)
+  assert dim not in got.dims
+
+
+@settings(**_SETTINGS)
+@given(x=_dimarray(), data=st.data())
+def test_isel_sel_agree_on_integer_coords(x, data):
+  dim = data.draw(st.sampled_from(x.dims))
+  n = x.sizes[dim]
+  idx = data.draw(st.lists(st.integers(0, n - 1), min_size=1, max_size=n))
+  via_isel = x.isel({dim: np.asarray(idx, np.intp)})
+  # integer coords equal positions here, so label-sel must agree
+  via_sel = x.sel({dim: np.asarray(idx)})
+  np.testing.assert_array_equal(
+      np.asarray(via_isel.values), np.asarray(via_sel.values))
+
+
+@settings(**_SETTINGS)
+@given(x=_dimarray(), y=_dimarray(), data=st.data())
+def test_dot_matches_manual_sum(x, y, data):
+  from weatherbenchx_tpu import darray
+  shared = sorted(set(x.dims) & set(y.dims))
+  if not shared:
+    return
+  # Align shared dims to equal sizes by truncating both to the min length.
+  for d in shared:
+    m = min(x.sizes[d], y.sizes[d])
+    x = x.isel({d: slice(0, m)})
+    y = y.isel({d: slice(0, m)})
+  dim = data.draw(st.sampled_from(shared))
+  got = darray.dot(x, y, dim=dim)
+  prod = x * y
+  expect = prod.sum(dim)
+  np.testing.assert_allclose(
+      np.asarray(got.transpose(*expect.dims).values),
+      np.asarray(expect.values), rtol=1e-4, atol=1e-5)
