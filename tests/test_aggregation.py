@@ -294,3 +294,79 @@ class TestBinning:
                   {'latitude': np.array([-45.0, 0.0, 45.0])})
     with pytest.raises(ValueError, match='unique'):
       agg.aggregate_statistics({'s': {'v': da}})
+
+
+class TestLongitudeBins:
+  def test_longitude_bins(self):
+    lons = np.array([0.0, 45.0, 90.0, 180.0, 270.0, 315.0])
+    da = DimArray(np.ones(6), ('longitude',),
+                  {'longitude': Coord(('longitude',), lons)})
+    mask = binning.LongitudeBins(degrees=90.0).create_bin_mask(da)
+    assert mask.dims == ('longitude_bins', 'longitude')
+    np.testing.assert_array_equal(
+        mask.coord_values('longitude_bins'), [0.0, 90.0, 180.0, 270.0])
+    m = np.asarray(mask.values)
+    # Reference parity: bands are CLOSED intervals [start, start+90], so
+    # boundary longitudes belong to both neighbours, and the last band's
+    # 360 wraps to 0 (reference binning.py:63-77).
+    np.testing.assert_array_equal(m[0], [1, 1, 1, 0, 0, 0])
+    np.testing.assert_array_equal(m[1], [0, 0, 1, 1, 0, 0])
+    np.testing.assert_array_equal(m[3], [1, 0, 0, 0, 1, 1])
+
+  def test_wraparound_range(self):
+    # A range crossing the dateline: (300, 60) covers 300..360 and 0..60.
+    lons = np.array([0.0, 30.0, 100.0, 310.0, 359.0])
+    da = DimArray(np.ones(5), ('longitude',),
+                  {'longitude': Coord(('longitude',), lons)})
+    mask = binning.LongitudeBins(
+        degrees=60.0, lon_range=(300, 60)).create_bin_mask(da)
+    np.testing.assert_array_equal(
+        mask.coord_values('longitude_bins'), [300.0, 0.0])
+    m = np.asarray(mask.values)
+    # [300, 360] wraps: 360 === 0, so lon 0 is inside (reference parity).
+    np.testing.assert_array_equal(m[0], [1, 0, 0, 1, 1])  # 300-360
+    np.testing.assert_array_equal(m[1], [1, 1, 0, 0, 0])  # 0-60
+
+
+class TestByTimeUnitSets:
+  def test_datetime_month_sets(self):
+    t = np.array(['2020-01-10', '2020-02-10', '2020-06-10', '2020-07-10'],
+                 dtype='datetime64[ns]')
+    da = DimArray(np.ones(4), ('valid_time',),
+                  {'valid_time': Coord(('valid_time',), t)})
+    b = binning.ByTimeUnitSets(
+        {'DJF': [12, 1, 2], 'JJA': [6, 7, 8]}, unit='month',
+        dim='valid_time', add_global_bin=True)
+    mask = b.create_bin_mask(da)
+    assert mask.dims == ('valid_time_month_sets', 'valid_time')
+    np.testing.assert_array_equal(
+        mask.coord_values('valid_time_month_sets'),
+        ['DJF', 'JJA', 'global'])
+    m = np.asarray(mask.values)
+    np.testing.assert_array_equal(m[0], [1, 1, 0, 0])
+    np.testing.assert_array_equal(m[1], [0, 0, 1, 1])
+    np.testing.assert_array_equal(m[2], [1, 1, 1, 1])
+
+  def test_timedelta_day_sets_scalar_member(self):
+    lead = np.array([0, 24, 48, 120], 'timedelta64[h]').astype(
+        'timedelta64[ns]')
+    da = DimArray(np.ones(4), ('lead_time',),
+                  {'lead_time': Coord(('lead_time',), lead)})
+    b = binning.ByTimeUnitSets({'day1': 1, 'later': [2, 5]}, unit='day',
+                               dim='lead_time')
+    m = np.asarray(b.create_bin_mask(da).values)
+    np.testing.assert_array_equal(m[0], [0, 1, 0, 0])
+    np.testing.assert_array_equal(m[1], [0, 0, 1, 1])
+
+  def test_aggregates_end_to_end(self):
+    t = np.array(['2020-01-01', '2020-06-01'], dtype='datetime64[ns]')
+    da = DimArray(np.array([2.0, 4.0]), ('valid_time',),
+                  {'valid_time': Coord(('valid_time',), t)})
+    agg = aggregation.Aggregator(
+        reduce_dims=['valid_time'],
+        bin_by=[binning.ByTimeUnitSets(
+            {'winter': [12, 1, 2], 'summer': [6, 7, 8]},
+            unit='month', dim='valid_time')])
+    state = agg.aggregate_statistics({'s': {'v': da}})
+    means = state.mean_statistics()['s']['v']
+    np.testing.assert_allclose(np.asarray(means.values), [2.0, 4.0])
