@@ -214,3 +214,67 @@ class TestIselKwargs:
     assert 'number' not in da.dims  # first member, dim dropped
     np.testing.assert_array_equal(
         da.values, ds['t2m'].isel(number=0).values)
+
+
+class TestRemainingPublics:
+  """Direct coverage for publics previously only exercised indirectly."""
+
+  def test_land_sea_binning(self):
+    from weatherbenchx_tpu import binning
+    frac = DimArray(np.array([[0.9, 0.1], [0.6, 0.4]]),
+                    ('latitude', 'longitude'),
+                    {'latitude': Coord(('latitude',), np.array([0.0, 10.0])),
+                     'longitude': Coord(('longitude',),
+                                        np.array([0.0, 10.0]))})
+    stat = frac.copy(data=np.ones((2, 2)))
+    mask = binning.LandSea(frac, include_global_mask=True
+                           ).create_bin_mask(stat)
+    np.testing.assert_array_equal(
+        mask.coord_values('land_sea'), ['land', 'sea', 'global'])
+    m = np.asarray(mask.values)
+    np.testing.assert_array_equal(m[0], [[1, 0], [1, 0]])
+    np.testing.assert_array_equal(m[1], [[0, 1], [0, 1]])
+    assert m[2].all()
+
+  def test_constant_weighting(self):
+    from weatherbenchx_tpu import aggregation, weighting
+    da = DimArray(np.array([2.0, 4.0]), ('x',),
+                  {'x': Coord(('x',), np.arange(2))})
+    for w in (1.0, 3.0):
+      agg = aggregation.Aggregator(
+          reduce_dims=['x'], weigh_by=[weighting.ConstantWeighting(w)])
+      state = agg.aggregate_statistics({'s': {'v': da}})
+      # Constant weights cancel in the mean.
+      np.testing.assert_allclose(
+          np.asarray(state.mean_statistics()['s']['v'].values), 3.0)
+
+  def test_multiple_interpolation_composes(self):
+    from weatherbenchx_tpu import interpolations
+    lats = np.linspace(-80, 80, 9)
+    lons = np.linspace(0, 360, 12, endpoint=False)
+    da = DimArray(
+        np.add.outer(lats, np.zeros(12)).astype(np.float32),
+        ('latitude', 'longitude'),
+        {'latitude': Coord(('latitude',), lats),
+         'longitude': Coord(('longitude',), lons)})
+    combo = interpolations.MultipleInterpolation(interpolations=[
+        interpolations.CropToBox(lat_min=-40, lat_max=40,
+                                 lon_min=0, lon_max=359),
+        interpolations.InterpolateToFixedCoords(
+            method='linear',
+            coords={'latitude': np.array([-10.0, 10.0]),
+                    'longitude': np.array([30.0, 90.0])}),
+    ])
+    out = combo.interpolate_data_array(da)
+    assert out.sizes['latitude'] == 2 and out.sizes['longitude'] == 2
+    np.testing.assert_allclose(
+        np.asarray(out.values)[:, 0], [-10.0, 10.0], atol=1e-5)
+
+  def test_fillna_notnull(self):
+    from weatherbenchx_tpu import darray
+    da = DimArray(np.array([1.0, np.nan, 3.0]), ('x',),
+                  {'x': Coord(('x',), np.arange(3))})
+    filled = da.fillna(0.0)
+    np.testing.assert_array_equal(np.asarray(filled.values), [1.0, 0.0, 3.0])
+    np.testing.assert_array_equal(
+        np.asarray(da.notnull().values), [True, False, True])
