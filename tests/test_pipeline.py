@@ -16,6 +16,7 @@ from weatherbenchx_tpu import time_chunks as time_chunks_lib
 from weatherbenchx_tpu.darray import DimArray
 from weatherbenchx_tpu.data import loaders
 from weatherbenchx_tpu.metrics import deterministic
+from weatherbenchx_tpu.parallel import evaluator as evaluator_lib
 from weatherbenchx_tpu.parallel import pipeline as pipeline_lib
 
 
@@ -709,3 +710,26 @@ class TestDistributedCheckpointCadence:
     manifests = sorted(f.name for f in tmp_path.iterdir()
                        if f.name.endswith('manifest.json'))
     assert manifests == ['ck.p0.manifest.json', 'ck.p1.manifest.json']
+
+
+def test_eval_chunks_matches_eval_chunk():
+  """ChunkEvaluator.eval_chunks (batched dispatch API) == per-chunk eval."""
+  pred_ds, tgt_ds, init_times, lead_times = _source_datasets(seed=9)
+  agg = aggregation.Aggregator(
+      reduce_dims=['init_time', 'lead_time', 'latitude', 'longitude'])
+  ev = evaluator_lib.ChunkEvaluator(metrics=METRICS, aggregator=agg)
+  pl_ = loaders.PredictionsFromDataset(ds=pred_ds, rename_dimensions=None)
+  tl_ = loaders.TargetsFromDataset(ds=tgt_ds, rename_dimensions=None)
+  pairs = []
+  for i in range(0, len(init_times) - 1, 2):
+    init = init_times[i:i + 2]
+    pairs.append((pl_.load_chunk(init, lead_times),
+                  tl_.load_chunk(init, lead_times)))
+  batched = ev.eval_chunks(pairs)
+  singles = [ev.eval_chunk(p, t) for p, t in pairs]
+  for b, s in zip(batched, singles):
+    vb = b.to_host().metric_values(METRICS)
+    vs = s.to_host().metric_values(METRICS)
+    for k in vb:
+      np.testing.assert_allclose(
+          np.asarray(vb[k].values), np.asarray(vs[k].values), atol=1e-6)
