@@ -538,3 +538,28 @@ class TestSinglePassStatsSink:
         str(tmp_path / 'batched.zarr'))['SquaredError.2m_temperature']
     assert da.sizes['init_time'] == len(init)
     assert np.isfinite(np.asarray(da.values)).all()
+
+
+def test_finalize_noop_on_chunkless_rerun(tmp_path):
+  """A rerun that wrote no chunks must not clobber a complete store's
+  consolidated metadata (checkpoint-resume of a finished run)."""
+  import json
+  from weatherbenchx_tpu import time_chunks as tclib
+
+  ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
+  metrics = {'rmse': deterministic.RMSE()}
+  times = tc.TimeChunks(init, lead, init_time_chunk_size=4,
+                        lead_time_chunk_size=2)
+  out = unaggregated.define_unaggregated_pipeline(
+      metrics,
+      loaders.PredictionsFromDataset(path=ppath,
+                                     variables=['2m_temperature']),
+      loaders.TargetsFromDataset(path=tpath, variables=['2m_temperature']),
+      times, out_path=str(tmp_path / 'fin.zarr'))
+  before = json.load(open(os.path.join(out, '.zmetadata')))
+  assert any('SquaredError' in k for k in before['metadata'])
+  # Chunkless rerun: a fresh store object finalizes without writes.
+  store = unaggregated.ZarrStatsStore(times, out)
+  assert store.finalize() == out
+  after = json.load(open(os.path.join(out, '.zmetadata')))
+  assert after == before

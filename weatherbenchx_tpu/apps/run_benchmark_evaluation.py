@@ -77,23 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _open_dataset(path: str) -> dict[str, DimArray]:
-  """Lazy open: .npz/.wbx/.zarr (local or fsspec URL) are self-contained
-  (io.open_dataset / zarr_io); netCDF goes through xarray when installed."""
-  import importlib.util
-
-  stripped = path.rstrip('/')
-  if stripped.endswith(('.npz', '.wbx')):
-    return io_lib.open_dataset(path)
-  if stripped.endswith('.zarr'):
-    if (importlib.util.find_spec('xarray') is not None
-        and importlib.util.find_spec('zarr') is not None):
-      import xarray as xr
-      return io_lib.open_xarray_dataset(xr.open_zarr(path))
-    from weatherbenchx_tpu import zarr_io
-    return zarr_io.open_dataset_zarr(stripped)
-  import xarray as xr  # optional, for netCDF stores
-  lazy_kwargs = {'chunks': {}} if importlib.util.find_spec('dask') else {}
-  return io_lib.open_xarray_dataset(xr.open_dataset(path, **lazy_kwargs))
+  """Lazy open by extension/protocol (one dispatch, io.open_dataset_auto:
+  self-contained npz/wbx/zarr incl. remote URLs; xarray for netCDF)."""
+  return io_lib.open_dataset_auto(path)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:

@@ -100,34 +100,12 @@ class DatasetBackedLoader(base.DataLoader):
       return
     if self._ds is None:
       assert self._path is not None
-      stripped = self._path.rstrip('/')
-      if stripped.endswith(('.npz', '.wbx')):
-        # Lazy open: coords eager, data as windowed views. Per-chunk
-        # selections read only their window from disk, so stores larger
-        # than RAM stream chunk-by-chunk (reference lazy-Zarr behavior,
-        # ``data_loaders/base.py:146-153``).
-        self._ds = io_lib.open_dataset(self._path)
-      elif stripped.endswith('.zarr'):
-        import importlib.util
-        # Gate on the packages xr.open_zarr actually needs (zarr + xarray):
-        # xarray installed without zarr must still take the self-contained
-        # reader, which handles local and fsspec stores alike.
-        if (importlib.util.find_spec('xarray') is not None
-            and importlib.util.find_spec('zarr') is not None):
-          import xarray as xr
-          self._ds = io_lib.open_xarray_dataset(xr.open_zarr(self._path))
-        else:
-          from weatherbenchx_tpu import zarr_io
-          self._ds = zarr_io.open_dataset_zarr(self._path)
-      else:
-        import importlib.util
-        import xarray as xr  # optional dependency
-        # chunks={} keeps the open lazy but requires dask; fall back to an
-        # eager open when dask is absent.
-        lazy_kwargs = ({'chunks': {}}
-                       if importlib.util.find_spec('dask') else {})
-        self._ds = io_lib.open_xarray_dataset(
-            xr.open_dataset(self._path, **lazy_kwargs))
+      # Lazy open: coords eager, data as windowed views. Per-chunk
+      # selections read only their window from disk, so stores larger
+      # than RAM stream chunk-by-chunk (reference lazy-Zarr behavior,
+      # ``data_loaders/base.py:146-153``). Dispatch by extension/protocol
+      # with optional-dependency gating lives in io.open_dataset_auto.
+      self._ds = io_lib.open_dataset_auto(self._path)
     if self._preprocessing_fn is not None:
       self._ds = self._preprocessing_fn(self._ds)
     self._ds = rename_dataset(

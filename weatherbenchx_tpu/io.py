@@ -253,6 +253,42 @@ def open_dataset(path: str) -> dict[str, DimArray]:
   return out
 
 
+def open_dataset_auto(path: str) -> dict[str, DimArray]:
+  """Lazy open by extension/protocol with optional-dependency gating.
+
+  THE single place that decides how a store path opens (used by the data
+  loaders and the CLIs — keep the dispatch rules here only):
+
+  * local ``.npz`` / ``.wbx`` → self-contained windowed views;
+  * ``.zarr`` (local or fsspec URL), or any remote URL that isn't a
+    netCDF/HDF file → ``xr.open_zarr`` when BOTH xarray and zarr are
+    installed, else the self-contained zarr reader (also fsspec-capable);
+  * remote ``.npz`` → eager fetch of the portable container;
+  * anything else (netCDF, GRIB, ...) → xarray, lazily when dask exists.
+  """
+  import importlib.util
+
+  from weatherbenchx_tpu import fileio  # function-local: fileio imports io
+
+  stripped = path.rstrip('/')
+  remote = fileio.is_remote(path)
+  if stripped.endswith(('.npz', '.wbx')):
+    if remote:
+      return fileio.load_dataset_any(path)
+    return open_dataset(path)
+  netcdf_like = stripped.endswith(('.nc', '.nc4', '.h5', '.grib', '.grib2'))
+  if stripped.endswith('.zarr') or (remote and not netcdf_like):
+    if (importlib.util.find_spec('xarray') is not None
+        and importlib.util.find_spec('zarr') is not None):
+      import xarray as xr
+      return open_xarray_dataset(xr.open_zarr(path))
+    from weatherbenchx_tpu import zarr_io
+    return zarr_io.open_dataset_zarr(stripped)
+  import xarray as xr  # optional, for netCDF/GRIB stores
+  lazy_kwargs = {'chunks': {}} if importlib.util.find_spec('dask') else {}
+  return open_xarray_dataset(xr.open_dataset(path, **lazy_kwargs))
+
+
 def open_xarray_dataset(xds) -> dict[str, DimArray]:
   """Wraps a (lazy, e.g. dask-backed) xarray Dataset without materializing.
 

@@ -145,7 +145,8 @@ _CODEC_IDS = {None: 0, 'zlib': 1, 'gzip': 2, 'zstd': 3, 'blosc': 4}
 
 _DECODE_ERRS = {1: 'open failed', 2: 'short read', 3: 'malformed chunk',
                 4: 'decode error', 5: 'size mismatch',
-                6: 'unsupported feature'}
+                6: 'unsupported feature', 7: 'write failed',
+                8: 'encode error'}
 
 
 def decode_cells(paths, codec, buffers, threads: int = 8) -> None:

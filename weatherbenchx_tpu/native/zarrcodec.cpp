@@ -40,6 +40,8 @@ enum Err {
   E_DECODE = 4,
   E_SIZE = 5,
   E_UNSUPPORTED = 6,
+  E_WRITE = 7,
+  E_ENCODE = 8,
 };
 
 int read_file(const char* path, std::vector<uint8_t>* out) {
@@ -315,7 +317,7 @@ int encode_one(const char* path, int codec, const uint8_t* src,
       out.resize(dst_n);
       if (compress2(out.data(), &dst_n, src, nbytes,
                     level > 0 ? level : 1) != Z_OK)
-        return E_DECODE;
+        return E_ENCODE;
       out.resize(dst_n);
       break;
     }
@@ -324,7 +326,7 @@ int encode_one(const char* path, int codec, const uint8_t* src,
       out.resize(bound);
       size_t n = ZSTD_compress(out.data(), bound, src, nbytes,
                                level > 0 ? level : 3);
-      if (ZSTD_isError(n)) return E_DECODE;
+      if (ZSTD_isError(n)) return E_ENCODE;
       out.resize(n);
       break;
     }
@@ -340,7 +342,7 @@ int encode_one(const char* path, int codec, const uint8_t* src,
   if (!f) return E_OPEN;
   size_t wrote = out.empty() ? 0 : std::fwrite(out.data(), 1, out.size(), f);
   int close_rc = std::fclose(f);
-  return (wrote == out.size() && close_rc == 0) ? OK : E_READ;
+  return (wrote == out.size() && close_rc == 0) ? OK : E_WRITE;
 }
 
 }  // namespace

@@ -123,11 +123,16 @@ class EvaluationPipeline:
     reduce_dims = set(self.aggregator.reduce_dims)
     self._bucket_dims = tuple(
         d for d in ('init_time', 'lead_time') if d not in reduce_dims)
-    self._raw_stats_fn = None
+    self._eval_and_stats_fn = None
     if self.chunk_stats_sink is not None:
-      self._raw_stats_fn = jax.jit(
-          lambda p, t: metrics_base.compute_unique_statistics_for_all_metrics(
-              self.metrics, p, t))
+      # ONE program returning (state, raw statistics): XLA computes each
+      # statistic once and feeds both the fused aggregation and the sink
+      # outputs — no second dispatch, no duplicate compute.
+      def eval_and_stats(p, t):
+        stats = metrics_base.compute_unique_statistics_for_all_metrics(
+            self.metrics, p, t)
+        return self.aggregator.aggregate_statistics(stats), stats
+      self._eval_and_stats_fn = jax.jit(eval_and_stats)
 
   # -- chunk loading ---------------------------------------------------------
 
@@ -343,11 +348,7 @@ class EvaluationPipeline:
           self._save_checkpoint(buckets, i + 1)
       logger.info('chunk %d/%d done', i + 1, n)
 
-    def emit_raw_stats(i, offsets, pair):
-      if self._raw_stats_fn is None:
-        return
-      p, t = pair
-      stats = self._raw_stats_fn(p, t)
+    def emit_stats(i, offsets, stats):
       flat = {
           f'{stat_name}.{var_name}':
               evaluator_lib.restore_time_coords(da)
@@ -370,7 +371,14 @@ class EvaluationPipeline:
       # more than the dispatch saves on per-array-round-trip transports
       # (measured slower in interleaved A/B on the tunnel) — opt-in.
       fused = os.environ.get('WBX_FUSED_ACCUM', '0') == '1'
-      if fused and key in buckets and bucket_sigs.get(key) == pair_sig:
+      if self._eval_and_stats_fn is not None:
+        state, stats = self._eval_and_stats_fn(pair[0], pair[1])
+        emit_stats(i, offsets, stats)
+        if key in buckets:
+          buckets[key] = _device_add(buckets[key], state)
+        else:
+          buckets[key] = state
+      elif fused and key in buckets and bucket_sigs.get(key) == pair_sig:
         buckets[key] = self._evaluator.eval_accum(pair, buckets[key])
       else:
         state = self._evaluator.eval_prepared([pair])[0]
@@ -379,7 +387,6 @@ class EvaluationPipeline:
         else:
           buckets[key] = state
       bucket_sigs[key] = pair_sig
-      emit_raw_stats(i, offsets, pair)
       bookkeeping(i, key, pair_bytes(pair))
 
     batch: list = []  # buffered (i, offsets, prepared_pair, sig)
@@ -395,7 +402,6 @@ class EvaluationPipeline:
           buckets[key] = _device_add(buckets[key], state)
         else:
           buckets[key] = state
-        emit_raw_stats(i, offsets, pair)
         bookkeeping(i, key, pair_bytes(pair))
       batch.clear()
 
@@ -403,7 +409,7 @@ class EvaluationPipeline:
     sig = None
     with observability.maybe_profile(self.profile_dir):
       for i, offsets, pair, this_sig in self._prepared_stream(start_chunk):
-        if group == 1:
+        if group == 1 or self._eval_and_stats_fn is not None:
           with self._obs.timed('eval_chunk_seconds'):
             absorb(i, offsets, pair, this_sig)
           continue

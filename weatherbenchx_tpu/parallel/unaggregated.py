@@ -135,6 +135,11 @@ class ZarrStatsStore:
       if jax.process_index() != 0:
         return self._path
     path = self._path
+    if not self._writers and fileio.exists(os.path.join(path, '.zmetadata')):
+      # A rerun that wrote no chunks (e.g. checkpoint-resume of a finished
+      # run): the store on disk is complete — rewriting .zmetadata from
+      # this process's empty template would destroy it.
+      return path
     metadata: dict = {'.zgroup': {'zarr_format': 2}, '.zattrs': {}}
     fileio.write_bytes(os.path.join(path, '.zgroup'),
                        json.dumps(metadata['.zgroup']).encode())

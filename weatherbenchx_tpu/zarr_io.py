@@ -158,14 +158,21 @@ class ZarrArrayWriter:
       return
     if (self._codec != 'gzip' and not fileio.is_remote(self._adir)
         and native.zarrcodec_available()):
-      blocks = [self._pad_to_cell(values[self._cell_window(c)])
-                for c in cells]
-      paths = [os.path.join(
-          self._adir, '.'.join(str(int(i)) for i in c) or '0')
-          for c in cells]
-      native.encode_cells(paths, self._codec, blocks,
-                          self.dtype.itemsize, self._level or 0,
-                          threads=_READ_THREADS)
+      # Encode in bounded batches: staging every padded cell at once would
+      # duplicate the whole array in host RAM (window slices copy).
+      cell_nbytes = int(np.prod(self.chunks, dtype=np.int64)
+                        ) * self.dtype.itemsize
+      batch = max(int((512 << 20) // max(cell_nbytes, 1)), 2 * _READ_THREADS)
+      for i in range(0, len(cells), batch):
+        group = cells[i:i + batch]
+        blocks = [self._pad_to_cell(values[self._cell_window(c)])
+                  for c in group]
+        paths = [os.path.join(
+            self._adir, '.'.join(str(int(j)) for j in c) or '0')
+            for c in group]
+        native.encode_cells(paths, self._codec, blocks,
+                            self.dtype.itemsize, self._level or 0,
+                            threads=_READ_THREADS)
       return
     list(_read_pool().map(
         lambda c: self.write_block(c, values[self._cell_window(c)]), cells))
