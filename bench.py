@@ -173,12 +173,16 @@ def main():
   gridpoints = n_lead * nlat * nlon
   value = gridpoints * n_stats / dt
 
-  # CRPS spread implementation: XLA sort. A fused Pallas bitonic-network
-  # skill+PWM kernel was built, measured on-chip, and removed: both paths
-  # are compute-bound (not HBM-bound) at this ensemble size, and the
-  # power-of-two network does 64/50 wasted compares — XLA sort won 1.15x
-  # isolated (43.6 vs 50.0 ms/step) and tied in the fused eval
-  # (271.9 vs 271.7 M stats/s). See BASELINE.md.
+  # CRPS spread implementation: on TPU this routes through the rank-native
+  # Pallas half-pairwise kernel (ops/crps_pairwise.py), which replaced the
+  # XLA-sort PWM form as the default after a measured 2.8-2.9x win on this
+  # workload (fused step 16.2 vs 45.9 ms; headline 780 vs 271 M stats/s).
+  # Set WBX_NO_PALLAS=1 for the sort path. History: a Pallas bitonic SORT
+  # kernel was tried in round 1 and removed (tied with XLA sort); the win
+  # comes from abandoning sorting altogether — the half-pairwise sum is
+  # pure elementwise VPU work at the f32 roofline, and the kernel blocks
+  # the native array rank because reshaping TPU tiled layouts costs more
+  # than the sort did. See BASELINE.md.
 
   # Numpy single-process baseline on a smaller slice, scaled.
   frac = 4  # evaluate 1/frac of the leads to keep the baseline quick

@@ -1,0 +1,97 @@
+"""Pairwise CRPS-spread Pallas kernel: interpreter-mode correctness.
+
+The compiled kernel runs only on a TPU backend; here the Pallas interpreter
+executes the identical kernel program on CPU and is checked against both a
+numpy brute-force pairwise sum and the sort/PWM form.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from weatherbenchx_tpu.ops import crps_pairwise
+
+
+def brute_force(x):
+  return np.abs(x[:, None, :] - x[None, :, :]).sum((0, 1))
+
+
+class TestPairwiseSpreadSum:
+
+  @pytest.mark.parametrize('m', [2, 3, 5, 8, 50])
+  def test_matches_brute_force(self, m):
+    rng = np.random.default_rng(m)
+    x = rng.normal(size=(m, 300)).astype(np.float32)
+    got = np.asarray(
+        crps_pairwise.pairwise_spread_sum(jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(got, brute_force(x), rtol=2e-5)
+
+  def test_block_padding_boundary(self):
+    # N spanning multiple blocks plus a ragged tail exercises the pad/slice.
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 2048 + 513)).astype(np.float32)
+    got = np.asarray(
+        crps_pairwise.pairwise_spread_sum(jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(got, brute_force(x), rtol=2e-5)
+
+  def test_nan_poisons_only_its_points(self):
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(6, 64)).astype(np.float32)
+    x[2, 10] = np.nan
+    got = np.asarray(
+        crps_pairwise.pairwise_spread_sum(jnp.asarray(x), interpret=True))
+    assert np.isnan(got[10])
+    keep = np.ones(64, bool)
+    keep[10] = False
+    np.testing.assert_allclose(got[keep], brute_force(x)[keep], rtol=2e-5)
+
+  def test_matches_sort_pwm_form(self):
+    rng = np.random.default_rng(2)
+    m = 9
+    x = rng.normal(size=(m, 500)).astype(np.float32)
+    s = np.sort(x, axis=0)
+    coeff = (2 * np.arange(1, m + 1) - m - 1)[:, None]
+    pwm_pair_sum = 2 * (coeff * s).sum(0)
+    got = np.asarray(
+        crps_pairwise.pairwise_spread_sum(jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(got, pwm_pair_sum, rtol=2e-5, atol=1e-4)
+
+  def test_eval_shaped_5d_input(self):
+    # (ensemble, init, lead, lat, lon) — the evaluator's native layout;
+    # middle dims ride the grid as unit blocks, no reshape/retiling.
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(6, 1, 2, 9, 13)).astype(np.float32)
+    got = np.asarray(
+        crps_pairwise.pairwise_spread_sum(jnp.asarray(x), interpret=True))
+    want = np.abs(x[:, None] - x[None, :]).sum((0, 1))
+    assert got.shape == (1, 2, 9, 13)
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+  def test_spread_sum_along_axis_restores_shape(self):
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(4, 6, 5)).astype(np.float32)
+    got = np.asarray(
+        crps_pairwise.spread_sum_along_axis(jnp.asarray(x), 1,
+                                            interpret=True))
+    want = np.abs(x[:, :, None, :] - x[:, None, :, :]).sum((1, 2))
+    assert got.shape == (4, 5)
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+class TestSupportGating:
+
+  def test_rejects_small_or_wide(self):
+    assert not crps_pairwise.supported(1, jnp.float32)
+    assert not crps_pairwise.supported(50, jnp.float64)
+    # implausibly large ensembles fall back to sort
+    assert not crps_pairwise.supported(1_000_000, jnp.float32)
+
+  def test_cpu_backend_not_selected(self):
+    # conftest pins the cpu platform, so the compiled path must decline.
+    assert not crps_pairwise.supported(50, jnp.float32)
+
+  def test_block_shrinks_with_members(self):
+    br50, bc50 = crps_pairwise._block_shape(50, 721, 1440)
+    br150, bc150 = crps_pairwise._block_shape(150, 721, 1440)
+    assert br50 * bc50 * 50 <= crps_pairwise._BLOCK_ELEMS
+    assert br150 * bc150 <= br50 * bc50

@@ -1,0 +1,143 @@
+"""Pallas TPU kernel for the pairwise CRPS spread term Σ_{i≠j}|x_i − x_j|.
+
+The reference offers two spread estimators (``probabilistic.py:148-247``):
+the O(M²) pairwise form and the O(M log M) Zamo & Naveau sort/PWM form, and
+uses the sort form in production because on CPU the pairwise form is
+hopeless. On TPU the trade inverts at production ensemble sizes: XLA's sort
+is a deep compare-exchange network (measured 43 ms/step at M=50 over
+4×721×1440 gridpoints on a v5e chip), while the half-pairwise sum is pure
+elementwise VPU work on a VMEM-resident member block (14 ms/step, at the
+f32 VPU roofline).
+
+Kernel shape: the ensemble axis is the leading (outermost) block axis; the
+trailing two data axes are tiled into (sublane, lane) VMEM blocks and any
+middle axes become unit-block grid dimensions. The kernel is rank-native on
+purpose — collapsing trailing axes with ``reshape`` forces a physical
+retiling of TPU tiled layouts (measured +35 ms/step on the 4D production
+array), so no caller-side flattening is allowed anywhere on this path.
+
+The inner loop exploits the circular-shift symmetry
+
+    Σ_i |x_i − x_{(i+k) mod M}|  ==  Σ_i |x_i − x_{(i+M−k) mod M}|
+
+so only ⌈(M−1)/2⌉ shifted absolute-difference passes are needed (half the
+naive M² work), each a roll along the untiled ensemble axis. NaNs propagate
+exactly like the reference's skipna=False semantics (any NaN member poisons
+its own gridpoint, and only that gridpoint).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Per-block element budget for the (M, …, sublane, lane) VMEM working set.
+# Empirical: at M=50 a (50, 4096)-element block compiles (~10 MB scoped
+# stack) and (50, 8192) exceeds the 16 MB VMEM stack limit, so cap the
+# block at ~205k elements and shrink lane/sublane extents to fit.
+_BLOCK_ELEMS = 204_800
+
+
+def supported(m: int, dtype) -> bool:
+  """Whether the kernel applies: TPU backend, ≥2 members, block fits VMEM."""
+  if m < 2:
+    return False
+  dt = jnp.dtype(dtype)
+  if dt not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+    return False
+  if m * 8 * 128 > _BLOCK_ELEMS:  # minimum one (8, 128) f32 tile
+    return False
+  try:
+    return jax.default_backend() == 'tpu'
+  except RuntimeError:
+    return False
+
+
+def _spread_kernel(x_ref, out_ref, *, m: int):
+  from jax.experimental.pallas import tpu as pltpu
+
+  x = x_ref[:]
+  acc = jnp.zeros_like(x)
+  for k in range(1, (m - 1) // 2 + 1):
+    acc = acc + jnp.abs(x - pltpu.roll(x, k, 0))
+  acc = acc * 2
+  if m % 2 == 0:
+    acc = acc + jnp.abs(x - pltpu.roll(x, m // 2, 0))
+  out_ref[:] = jnp.sum(acc, axis=0)
+
+
+def _block_shape(m: int, r: int, c: int) -> tuple[int, int]:
+  """(sublane, lane) block extents keeping m·br·bc within the VMEM budget."""
+  bc = min(-(-c // 128) * 128, 512)
+  while bc > 128 and m * 8 * bc > _BLOCK_ELEMS:
+    bc //= 2
+  br = max(_BLOCK_ELEMS // (m * bc), 1)
+  if br >= 8:
+    br = br // 8 * 8
+  return max(min(br, r), 1), bc
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def pairwise_spread_sum(x: jnp.ndarray, interpret: bool = False
+                        ) -> jnp.ndarray:
+  """Σ_{i≠j} |x[i] − x[j]| over axis 0, elementwise over the rest.
+
+  Args:
+    x: (M, *rest) array, M = ensemble members leading, rest untouched (the
+      kernel blocks the trailing two axes natively — no reshapes).
+    interpret: run the Pallas interpreter (for CPU-side tests).
+
+  Returns:
+    ``rest``-shaped array of pairwise absolute-difference sums (both
+    orderings counted, i.e. 2·Σ_{i<j}).
+  """
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  m, rest = x.shape[0], x.shape[1:]
+  if not rest:
+    # Scalar ensembles: the jnp pairwise form is already trivial.
+    return jnp.abs(x[:, None] - x[None, :]).sum((0, 1))
+  if len(rest) == 1:
+    (c,) = rest
+    bc = min(max(_BLOCK_ELEMS // m // 128 * 128, 128), 4096)
+    return pl.pallas_call(
+        functools.partial(_spread_kernel, m=m),
+        out_shape=jax.ShapeDtypeStruct((c,), x.dtype),
+        grid=(-(-c // bc),),
+        in_specs=[pl.BlockSpec((m, bc), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bc,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x)
+
+  mids, (r, c) = rest[:-2], rest[-2:]
+  br, bc = _block_shape(m, r, c)
+  n_mid = len(mids)
+
+  def in_index(*idx):
+    return (0,) + idx[:n_mid] + (idx[-2], idx[-1])
+
+  def out_index(*idx):
+    return idx[:n_mid] + (idx[-2], idx[-1])
+
+  return pl.pallas_call(
+      functools.partial(_spread_kernel, m=m),
+      out_shape=jax.ShapeDtypeStruct(rest, x.dtype),
+      grid=mids + (-(-r // br), -(-c // bc)),
+      in_specs=[pl.BlockSpec((m,) + (1,) * n_mid + (br, bc), in_index,
+                             memory_space=pltpu.VMEM)],
+      out_specs=pl.BlockSpec((1,) * n_mid + (br, bc), out_index,
+                             memory_space=pltpu.VMEM),
+      interpret=interpret,
+  )(x)
+
+
+def spread_sum_along_axis(data: jnp.ndarray, axis: int,
+                          interpret: bool = False) -> jnp.ndarray:
+  """Pairwise |diff| sum over ``axis``; result drops that axis."""
+  return pairwise_spread_sum(jnp.moveaxis(data, axis, 0),
+                             interpret=interpret)
