@@ -78,6 +78,31 @@ class TestPairwiseSpreadSum:
     np.testing.assert_allclose(got, want, rtol=2e-5)
 
 
+class TestShardedPartitioning:
+  """The kernel's GSPMD rule: data dims shard, the member axis replicates."""
+
+  @pytest.mark.parametrize('spec', [
+      (None, 'lead', 'space', None),   # evaluator layout: members together
+      ('lead', None, 'space', None),   # member axis sharded -> forced gather
+  ])
+  def test_sharded_jit_matches_unsharded(self, spec):
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ('lead', 'space'))
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 4, 16, 128)).astype(np.float32)
+    want = brute_force(x.reshape(8, -1)).reshape(4, 16, 128)
+    xd = jax.device_put(jnp.asarray(x),
+                        NamedSharding(mesh, PartitionSpec(*spec)))
+    f = jax.jit(lambda a: crps_pairwise.pairwise_spread_sum(a,
+                                                            interpret=True))
+    got = np.asarray(f(xd))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+    out_spec = tuple(f(xd).sharding.spec)
+    assert 'space' in out_spec  # data-dim sharding propagated, not replicated
+
+
 class TestSupportGating:
 
   def test_rejects_small_or_wide(self):

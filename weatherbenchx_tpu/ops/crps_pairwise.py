@@ -79,20 +79,8 @@ def _block_shape(m: int, r: int, c: int) -> tuple[int, int]:
   return max(min(br, r), 1), bc
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
-def pairwise_spread_sum(x: jnp.ndarray, interpret: bool = False
-                        ) -> jnp.ndarray:
-  """Σ_{i≠j} |x[i] − x[j]| over axis 0, elementwise over the rest.
-
-  Args:
-    x: (M, *rest) array, M = ensemble members leading, rest untouched (the
-      kernel blocks the trailing two axes natively — no reshapes).
-    interpret: run the Pallas interpreter (for CPU-side tests).
-
-  Returns:
-    ``rest``-shaped array of pairwise absolute-difference sums (both
-    orderings counted, i.e. 2·Σ_{i<j}).
-  """
+def _pairwise_spread_sum_impl(x: jnp.ndarray, interpret: bool
+                              ) -> jnp.ndarray:
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
 
@@ -134,6 +122,71 @@ def pairwise_spread_sum(x: jnp.ndarray, interpret: bool = False
                              memory_space=pltpu.VMEM),
       interpret=interpret,
   )(x)
+
+
+def _norm_spec(spec, ndim):
+  parts = tuple(spec) if spec is not None else ()
+  return parts + (None,) * (ndim - len(parts))
+
+
+def _make_partitioned(interpret: bool, ndim: int):
+  """GSPMD rule: shard freely over data dims, replicate the ensemble axis.
+
+  The kernel is embarrassingly parallel over every non-ensemble dim but
+  needs all members of a gridpoint together, so under a sharded jit the
+  partitioner runs the kernel per-shard with the member axis gathered —
+  the multi-chip layout the evaluator uses (``parallel/evaluator.py``)
+  already keeps members together unless the mesh maps the ensemble dim,
+  in which case GSPMD inserts the all-gather this rule demands.
+  """
+  from jax.experimental.custom_partitioning import custom_partitioning
+  from jax.sharding import NamedSharding, PartitionSpec
+
+  @custom_partitioning
+  def fn(x):
+    return _pairwise_spread_sum_impl(x, interpret)
+
+  def infer_sharding(mesh, arg_infos, result_infos):
+    del result_infos
+    spec = _norm_spec(arg_infos[0].sharding.spec, ndim)
+    return NamedSharding(mesh, PartitionSpec(*spec[1:]))
+
+  def partition(mesh, arg_infos, result_infos):
+    spec = _norm_spec(arg_infos[0].sharding.spec, ndim)
+    arg_sh = NamedSharding(mesh, PartitionSpec(None, *spec[1:]))
+    out_sh = NamedSharding(mesh, PartitionSpec(*spec[1:]))
+    def lower(x):
+      return _pairwise_spread_sum_impl(x, interpret)
+    return mesh, lower, out_sh, (arg_sh,)
+
+  # Shardy rule, einsum-style: the member axis 'm' exists only on the
+  # input (it is reduced); every data dim propagates through unchanged.
+  data_axes = ' '.join(f'd{i}' for i in range(ndim - 1))
+  fn.def_partition(infer_sharding_from_operands=infer_sharding,
+                   partition=partition,
+                   sharding_rule=f'm {data_axes} -> {data_axes}')
+  return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned(interpret: bool, ndim: int):
+  return jax.jit(_make_partitioned(interpret, ndim))
+
+
+def pairwise_spread_sum(x: jnp.ndarray, interpret: bool = False
+                        ) -> jnp.ndarray:
+  """Σ_{i≠j} |x[i] − x[j]| over axis 0, elementwise over the rest.
+
+  Args:
+    x: (M, *rest) array, M = ensemble members leading, rest untouched (the
+      kernel blocks the trailing two axes natively — no reshapes).
+    interpret: run the Pallas interpreter (for CPU-side tests).
+
+  Returns:
+    ``rest``-shaped array of pairwise absolute-difference sums (both
+    orderings counted, i.e. 2·Σ_{i<j}).
+  """
+  return _partitioned(bool(interpret), x.ndim)(x)
 
 
 def spread_sum_along_axis(data: jnp.ndarray, axis: int,
