@@ -78,6 +78,33 @@ class TestPairwiseSpreadSum:
     np.testing.assert_allclose(got, want, rtol=2e-5)
 
 
+class TestMetricIntegration:
+  """CRPSSpread's kernel selection path, driven on CPU via the interpreter."""
+
+  @pytest.mark.parametrize('fair', [True, False])
+  @pytest.mark.parametrize('which', ['predictions', 'targets'])
+  def test_spread_statistic_matches_sort(self, fair, which, monkeypatch):
+    from weatherbenchx_tpu.darray import DimArray
+    from weatherbenchx_tpu.metrics import probabilistic
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(7, 3, 8, 10)).astype(np.float32)
+    dims = ('number', 'lead_time', 'latitude', 'longitude')
+    pred = DimArray(x, dims, {'number': np.arange(7)})
+    tgt = DimArray(rng.normal(size=(7, 3, 8, 10)).astype(np.float32), dims,
+                   {'number': np.arange(7)})
+    stat = probabilistic.CRPSSpread(use_sort=True, fair=fair, which=which)
+
+    monkeypatch.setenv('WBX_NO_PALLAS', '1')
+    want = np.asarray(stat._compute_per_variable(pred, tgt).values)
+    monkeypatch.delenv('WBX_NO_PALLAS')
+    monkeypatch.setenv('WBX_PALLAS_INTERPRET', '1')
+    got_da = stat._compute_per_variable(pred, tgt)
+    got = np.asarray(got_da.values)
+    assert got_da.dims == ('lead_time', 'latitude', 'longitude')
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 class TestShardedPartitioning:
   """The kernel's GSPMD rule: data dims shard, the member axis replicates."""
 

@@ -163,9 +163,13 @@ class CRPSSpread(base.PerVariableStatistic):
       if n_ensemble < 2:
         raise ValueError('Cannot estimate CRPS spread with n_ensemble < 2.')
 
+    # WBX_PALLAS_INTERPRET=1 runs the kernel via the Pallas interpreter on
+    # any backend — CI exercises this exact selection path on CPU.
+    interpret = os.environ.get('WBX_PALLAS_INTERPRET', '0') == '1'
     if (not self._skipna_ensemble
         and os.environ.get('WBX_NO_PALLAS', '0') != '1'
-        and crps_pairwise.supported(int(n_ensemble), da.dtype)):
+        and (interpret
+             or crps_pairwise.supported(int(n_ensemble), da.dtype))):
       # TPU fast path: Pallas pairwise kernel, VMEM-resident ensemble
       # block, ~3× the sort/PWM form at M=50 (see ops/crps_pairwise.py).
       # Numerically the same estimator to fp tolerance, so both use_sort
@@ -175,7 +179,8 @@ class CRPSSpread(base.PerVariableStatistic):
           d for d in da.dims if d != self._ensemble_dim]
       da_t = da.transpose(*order)
       axis0_first = jnp.asarray(da_t.data)
-      pair_sum = crps_pairwise.spread_sum_along_axis(axis0_first, 0)
+      pair_sum = crps_pairwise.spread_sum_along_axis(
+          axis0_first, 0, interpret=interpret)
       out_dims = tuple(order[1:])
       coords = {k: c for k, c in da.coords.items()
                 if set(c.dims).issubset(out_dims)}
