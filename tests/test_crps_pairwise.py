@@ -78,6 +78,46 @@ class TestPairwiseSpreadSum:
     np.testing.assert_allclose(got, want, rtol=2e-5)
 
 
+class TestPairwiseCrossSum:
+
+  @pytest.mark.parametrize('mx,my', [(1, 1), (3, 5), (8, 2)])
+  def test_matches_brute_force(self, mx, my):
+    rng = np.random.default_rng(mx * 10 + my)
+    x = rng.normal(size=(mx, 2, 9, 140)).astype(np.float32)
+    y = rng.normal(size=(my, 2, 9, 140)).astype(np.float32)
+    got = np.asarray(crps_pairwise.pairwise_cross_sum(
+        jnp.asarray(x), jnp.asarray(y), interpret=True))
+    want = np.abs(x[:, None] - y[None, :]).sum((0, 1))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+  def test_trailing_shape_mismatch_raises(self):
+    x = jnp.zeros((2, 3, 4, 5), jnp.float32)
+    y = jnp.zeros((2, 3, 4, 6), jnp.float32)
+    with pytest.raises(ValueError, match='mismatch'):
+      crps_pairwise.pairwise_cross_sum(x, y, interpret=True)
+
+  def test_skill_statistic_matches_broadcast(self, monkeypatch):
+    from weatherbenchx_tpu.darray import DimArray
+    from weatherbenchx_tpu.metrics import probabilistic
+
+    rng = np.random.default_rng(0)
+    dims = ('number', 'lead_time', 'latitude', 'longitude')
+    pred = DimArray(rng.normal(size=(5, 3, 8, 10)).astype(np.float32), dims,
+                    {'number': np.arange(5)})
+    tgt = DimArray(rng.normal(size=(4, 3, 8, 10)).astype(np.float32), dims,
+                   {'number': np.arange(4)})
+    stat = probabilistic.CRPSSkill()
+
+    monkeypatch.setenv('WBX_NO_PALLAS', '1')
+    want = np.asarray(stat._compute_per_variable(pred, tgt).values)
+    monkeypatch.delenv('WBX_NO_PALLAS')
+    monkeypatch.setenv('WBX_PALLAS_INTERPRET', '1')
+    got_da = stat._compute_per_variable(pred, tgt)
+    assert got_da.dims == ('lead_time', 'latitude', 'longitude')
+    np.testing.assert_allclose(np.asarray(got_da.values), want,
+                               rtol=1e-5, atol=1e-6)
+
+
 class TestMetricIntegration:
   """CRPSSpread's kernel selection path, driven on CPU via the interpreter."""
 

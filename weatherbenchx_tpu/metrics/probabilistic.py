@@ -109,11 +109,42 @@ class CRPSSkill(base.PerVariableStatistic):
   def _compute_per_variable(self, predictions, targets):
     reduce_dims = [self._ensemble_dim]
     if self._ensemble_dim in targets.dims:
+      kernel_result = self._maybe_cross_kernel(predictions, targets)
+      if kernel_result is not None:
+        return kernel_result
       pseudo = f'{self._ensemble_dim}_PSEUDO_FOR_TARGETS'
       reduce_dims.append(pseudo)
       targets = targets.rename({self._ensemble_dim: pseudo})
     return abs(predictions - targets).mean(
         tuple(reduce_dims), skipna=self._skipna_ensemble)
+
+  def _maybe_cross_kernel(self, predictions, targets):
+    """Two-ensemble E|X−Y| via the Pallas cross kernel (TPU fast path).
+
+    The jnp fallback broadcasts an (Mx, My, *rest) intermediate; the
+    kernel accumulates it in VMEM instead. Requires identical non-ensemble
+    dims/sizes and skipna off (NaN propagation matches skipna=False).
+    """
+    ens = self._ensemble_dim
+    interpret = os.environ.get('WBX_PALLAS_INTERPRET', '0') == '1'
+    if self._skipna_ensemble or os.environ.get('WBX_NO_PALLAS', '0') == '1':
+      return None
+    mx, my = predictions.sizes[ens], targets.sizes[ens]
+    if not (interpret
+            or crps_pairwise.cross_supported(mx, my, predictions.dtype)):
+      return None
+    rest = [d for d in predictions.dims if d != ens]
+    if (sorted(d for d in targets.dims if d != ens) != sorted(rest)
+        or any(targets.sizes[d] != predictions.sizes[d] for d in rest)
+        or predictions.dtype != targets.dtype):
+      return None
+    p_t = predictions.transpose(ens, *rest)
+    t_t = targets.transpose(ens, *rest)
+    total = crps_pairwise.pairwise_cross_sum(
+        jnp.asarray(p_t.data), jnp.asarray(t_t.data), interpret=interpret)
+    coords = {k: c for k, c in predictions.coords.items()
+              if set(c.dims).issubset(rest)}
+    return DimArray(total / (mx * my), tuple(rest), coords)
 
 
 def rankdata(x, axis: int):

@@ -40,19 +40,26 @@ import jax.numpy as jnp
 _BLOCK_ELEMS = 204_800
 
 
-def supported(m: int, dtype) -> bool:
-  """Whether the kernel applies: TPU backend, ≥2 members, block fits VMEM."""
-  if m < 2:
-    return False
+def _tpu_and_fits(total_members: int, dtype) -> bool:
   dt = jnp.dtype(dtype)
   if dt not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
     return False
-  if m * 8 * 128 > _BLOCK_ELEMS:  # minimum one (8, 128) f32 tile
+  if total_members * 8 * 128 > _BLOCK_ELEMS:  # min one (8, 128) f32 tile
     return False
   try:
     return jax.default_backend() == 'tpu'
   except RuntimeError:
     return False
+
+
+def supported(m: int, dtype) -> bool:
+  """Whether the spread kernel applies: TPU, ≥2 members, fits VMEM."""
+  return m >= 2 and _tpu_and_fits(m, dtype)
+
+
+def cross_supported(mx: int, my: int, dtype) -> bool:
+  """Whether the two-ensemble cross kernel applies."""
+  return mx >= 1 and my >= 1 and _tpu_and_fits(mx + my, dtype)
 
 
 def _spread_kernel(x_ref, out_ref, *, m: int):
@@ -124,6 +131,51 @@ def _pairwise_spread_sum_impl(x: jnp.ndarray, interpret: bool
   )(x)
 
 
+def _cross_kernel(x_ref, y_ref, out_ref, *, my: int):
+  x = x_ref[:]
+  acc = jnp.zeros_like(x)
+  for j in range(my):
+    acc = acc + jnp.abs(x - y_ref[j:j + 1])
+  out_ref[:] = jnp.sum(acc, axis=0)
+
+
+def _pairwise_cross_sum_impl(x: jnp.ndarray, y: jnp.ndarray,
+                             interpret: bool) -> jnp.ndarray:
+  """Σ_{i,j} |x[i] − y[j]| over both leading axes, elementwise over rest."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  mx, my, rest = x.shape[0], y.shape[0], x.shape[1:]
+  if y.shape[1:] != rest:
+    raise ValueError(f'mismatched trailing shapes: {x.shape} vs {y.shape}')
+  if len(rest) < 2:
+    # Small/ragged shapes: the broadcast form is fine here.
+    return jnp.abs(x[:, None] - y[None, :]).sum((0, 1))
+
+  mids, (r, c) = rest[:-2], rest[-2:]
+  br, bc = _block_shape(mx + my, r, c)
+  n_mid = len(mids)
+
+  def in_index(*idx):
+    return (0,) + idx[:n_mid] + (idx[-2], idx[-1])
+
+  def out_index(*idx):
+    return idx[:n_mid] + (idx[-2], idx[-1])
+
+  block = (1,) * n_mid + (br, bc)
+  return pl.pallas_call(
+      functools.partial(_cross_kernel, my=my),
+      out_shape=jax.ShapeDtypeStruct(rest, x.dtype),
+      grid=mids + (-(-r // br), -(-c // bc)),
+      in_specs=[pl.BlockSpec((mx,) + block, in_index,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((my,) + block, in_index,
+                             memory_space=pltpu.VMEM)],
+      out_specs=pl.BlockSpec(block, out_index, memory_space=pltpu.VMEM),
+      interpret=interpret,
+  )(x, y)
+
+
 def _norm_spec(spec, ndim):
   parts = tuple(spec) if spec is not None else ()
   return parts + (None,) * (ndim - len(parts))
@@ -171,6 +223,54 @@ def _make_partitioned(interpret: bool, ndim: int):
 @functools.lru_cache(maxsize=None)
 def _partitioned(interpret: bool, ndim: int):
   return jax.jit(_make_partitioned(interpret, ndim))
+
+
+def _make_cross_partitioned(interpret: bool, ndim: int):
+  """Same GSPMD rule as the spread kernel, for the two-ensemble cross sum."""
+  from jax.experimental.custom_partitioning import custom_partitioning
+  from jax.sharding import NamedSharding, PartitionSpec
+
+  @custom_partitioning
+  def fn(x, y):
+    return _pairwise_cross_sum_impl(x, y, interpret)
+
+  def infer_sharding(mesh, arg_infos, result_infos):
+    del result_infos
+    spec = _norm_spec(arg_infos[0].sharding.spec, ndim)
+    return NamedSharding(mesh, PartitionSpec(*spec[1:]))
+
+  def partition(mesh, arg_infos, result_infos):
+    del result_infos
+    spec = _norm_spec(arg_infos[0].sharding.spec, ndim)
+    arg_sh = NamedSharding(mesh, PartitionSpec(None, *spec[1:]))
+    out_sh = NamedSharding(mesh, PartitionSpec(*spec[1:]))
+    def lower(x, y):
+      return _pairwise_cross_sum_impl(x, y, interpret)
+    return mesh, lower, out_sh, (arg_sh, arg_sh)
+
+  data_axes = ' '.join(f'd{i}' for i in range(ndim - 1))
+  fn.def_partition(
+      infer_sharding_from_operands=infer_sharding,
+      partition=partition,
+      sharding_rule=f'mx {data_axes}, my {data_axes} -> {data_axes}')
+  return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _cross_partitioned(interpret: bool, ndim: int):
+  return jax.jit(_make_cross_partitioned(interpret, ndim))
+
+
+def pairwise_cross_sum(x: jnp.ndarray, y: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+  """Σ_{i,j} |x[i] − y[j]| over both leading axes (two-ensemble CRPS skill).
+
+  x: (Mx, *rest), y: (My, *rest) with identical trailing shapes; returns a
+  ``rest``-shaped sum without materializing the (Mx, My, *rest) broadcast.
+  """
+  if x.ndim != y.ndim:
+    raise ValueError(f'rank mismatch: {x.shape} vs {y.shape}')
+  return _cross_partitioned(bool(interpret), x.ndim)(x, y)
 
 
 def pairwise_spread_sum(x: jnp.ndarray, interpret: bool = False
