@@ -118,6 +118,27 @@ class TestPairwiseCrossSum:
                                rtol=1e-5, atol=1e-6)
 
 
+class TestCrossCoordPropagation:
+
+  def test_target_mask_coord_survives_kernel_path(self, monkeypatch):
+    from weatherbenchx_tpu.darray import Coord, DimArray
+    from weatherbenchx_tpu.metrics import probabilistic
+
+    rng = np.random.default_rng(0)
+    dims = ('number', 'lead_time', 'latitude', 'longitude')
+    pred = DimArray(rng.normal(size=(3, 2, 4, 5)).astype(np.float32), dims,
+                    {'number': np.arange(3)})
+    mask = Coord(('latitude', 'longitude'),
+                 (rng.random((4, 5)) > 0.5))
+    tgt = DimArray(rng.normal(size=(2, 2, 4, 5)).astype(np.float32), dims,
+                   {'number': np.arange(2), 'mask': mask})
+    monkeypatch.setenv('WBX_PALLAS_INTERPRET', '1')
+    out = probabilistic.CRPSSkill()._compute_per_variable(pred, tgt)
+    assert 'mask' in out.coords
+    np.testing.assert_array_equal(np.asarray(out.coords['mask'].values),
+                                  np.asarray(mask.values))
+
+
 class TestMetricIntegration:
   """CRPSSpread's kernel selection path, driven on CPU via the interpreter."""
 

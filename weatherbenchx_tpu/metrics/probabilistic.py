@@ -142,8 +142,11 @@ class CRPSSkill(base.PerVariableStatistic):
     t_t = targets.transpose(ens, *rest)
     total = crps_pairwise.pairwise_cross_sum(
         jnp.asarray(p_t.data), jnp.asarray(t_t.data), interpret=interpret)
-    coords = {k: c for k, c in predictions.coords.items()
-              if set(c.dims).issubset(rest)}
+    # Merge coords from BOTH operands, like the broadcast fallback's
+    # arithmetic would (a targets-side ``mask`` coord must survive for
+    # masked aggregation).
+    coords = darray._merge_coords(tuple(rest), predictions.coords,
+                                  targets.coords)
     return DimArray(total / (mx * my), tuple(rest), coords)
 
 
