@@ -78,6 +78,36 @@ class TestPairwiseSpreadSum:
     np.testing.assert_allclose(got, want, rtol=2e-5)
 
 
+class TestShapeSweep:
+  """Property sweep: odd ranks/extents around the tile boundaries."""
+
+  @pytest.mark.parametrize('shape', [
+      (2, 1),            # rank-1 rest, single point
+      (3, 130),          # rank-1 rest crossing one lane tile
+      (5, 1, 7),         # r < sublane tile
+      (4, 9, 129),       # both trailing dims just past a tile edge
+      (2, 1, 1, 300),    # mids of size 1
+      (6, 3, 2, 8, 128), # two mids, exact tile
+  ])
+  def test_spread_arbitrary_shapes(self, shape):
+    rng = np.random.default_rng(sum(shape))
+    x = rng.normal(size=shape).astype(np.float32)
+    got = np.asarray(
+        crps_pairwise.pairwise_spread_sum(jnp.asarray(x), interpret=True))
+    m = shape[0]
+    flat = x.reshape(m, -1)
+    want = brute_force(flat).reshape(shape[1:])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+  def test_spread_bf16(self):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 9, 129)).astype(np.float32)
+    got = np.asarray(crps_pairwise.pairwise_spread_sum(
+        jnp.asarray(x, jnp.bfloat16), interpret=True)).astype(np.float32)
+    want = brute_force(x.reshape(4, -1)).reshape(9, 129)
+    np.testing.assert_allclose(got, want, rtol=0.1, atol=0.5)
+
+
 class TestPairwiseCrossSum:
 
   @pytest.mark.parametrize('mx,my', [(1, 1), (3, 5), (8, 2)])
