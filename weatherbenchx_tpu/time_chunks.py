@@ -12,13 +12,14 @@ mesh, replacing the reference's ``beam.Create`` fan-out
 (``beam_pipeline.py:436-451``).
 """
 
-from collections.abc import Iterable, Iterator
+from __future__ import annotations
+
 import dataclasses
-from typing import Optional, Union
+from collections.abc import Iterable, Iterator
 
 import numpy as np
 
-TimeChunk = tuple[np.ndarray, Union[np.ndarray, slice]]
+TimeChunk = tuple[np.ndarray, "np.ndarray | slice"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -29,12 +30,12 @@ class TimeChunkOffsets:
   lead_time: int
 
 
-def _check_chunk_size(name: str, size: Optional[int]) -> None:
+def _check_chunk_size(name: str, size: int | None) -> None:
   if size is not None and size < 0:
     raise ValueError(f'{name} must be a non-negative int or None; got {size}')
 
 
-def _split(values: np.ndarray, size: Optional[int]) -> tuple[list, int]:
+def _split(values: np.ndarray, size: int | None) -> tuple[list, int]:
   """Consecutive pieces of at most ``size`` elements (one piece if falsy)."""
   if not size:
     size = max(len(values), 1)
@@ -66,9 +67,9 @@ class TimeChunks(Iterable[TimeChunk]):
   def __init__(
       self,
       init_times: np.ndarray,
-      lead_times: Union[np.ndarray, slice],
-      init_time_chunk_size: Optional[int] = None,
-      lead_time_chunk_size: Optional[int] = None,
+      lead_times: "np.ndarray | slice",
+      init_time_chunk_size: int | None = None,
+      lead_time_chunk_size: int | None = None,
   ):
     _check_chunk_size('init_time_chunk_size', init_time_chunk_size)
     _check_chunk_size('lead_time_chunk_size', lead_time_chunk_size)
@@ -84,7 +85,7 @@ class TimeChunks(Iterable[TimeChunk]):
         raise ValueError(
             'lead_time_chunk_size cannot be combined with a lead_times '
             'interval (slice) — an interval is always a single chunk')
-      self._lead_times: Union[np.ndarray, slice] = _as_lead_interval(
+      self._lead_times: np.ndarray | slice = _as_lead_interval(
           lead_times)
       self._lead_chunks: list = [self._lead_times]
       self._lead_time_chunk_size = lead_time_chunk_size
@@ -102,7 +103,7 @@ class TimeChunks(Iterable[TimeChunk]):
     return self._init_times
 
   @property
-  def lead_times(self) -> Union[np.ndarray, slice]:
+  def lead_times(self) -> "np.ndarray | slice":
     return self._lead_times
 
   @property
@@ -110,7 +111,7 @@ class TimeChunks(Iterable[TimeChunk]):
     return self._init_time_chunk_size
 
   @property
-  def lead_time_chunk_size(self) -> Optional[int]:
+  def lead_time_chunk_size(self) -> int | None:
     return self._lead_time_chunk_size
 
   def __len__(self) -> int:
