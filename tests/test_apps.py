@@ -129,6 +129,35 @@ class TestBenchmarkCLI:
     global_rmse = da.sel(region='global')
     assert np.isfinite(np.asarray(global_rmse.values)).all()
 
+  def test_zarr_output_format(self, tmp_path):
+    """--output_format=zarr writes a standard store equal to the npz run."""
+    ppath, tpath, cpath, init, lead = _write_source_files(
+        tmp_path, with_extras=True)
+    common = [
+        '--prediction', 'hres', '--target', 'era5',
+        '--resolution', '64x32', '--year', '2020',
+        '--variables', '2m_temperature',
+        '--time_frequency', '12',
+        '--init_time_start', '2020-01-01',
+        '--init_time_stop', '2020-01-03',
+        '--lead_time_stop_days', '2', '--lead_time_frequency', '12',
+        '--init_time_chunk_size', '4', '--lead_time_chunk_size', '4',
+        '--prediction_path', ppath, '--target_path', tpath,
+        '--climatology_path', cpath,
+    ]
+    npz_dir, zarr_dir = str(tmp_path / 'npz'), str(tmp_path / 'zarr')
+    run_benchmark_evaluation.main(common + ['--output_dir', npz_dir])
+    run_benchmark_evaluation.main(
+        common + ['--output_dir', zarr_dir, '--output_format', 'zarr'])
+    base = 'hres_vs_era5_64x32_2020-init12h'
+    ref = io_lib.load_dataset(os.path.join(npz_dir, base + '.npz'))
+    got = io_lib.load_dataset(os.path.join(zarr_dir, base + '.zarr'))
+    assert set(got) == set(ref)
+    for k in ref:
+      assert got[k].dims == ref[k].dims
+      np.testing.assert_array_equal(
+          np.asarray(got[k].values), np.asarray(ref[k].values))
+
   def test_regions_registry(self):
     assert len(configs.REGIONS) == 17
     assert configs.REGIONS['tropics'] == ((-20, 20), (0, 360))

@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument('--temporal', action='store_true',
                  help='Do not reduce over init_time (per-init outputs)')
   p.add_argument('--output_dir', required=True)
+  p.add_argument('--output_format', default='npz',
+                 choices=['npz', 'zarr', 'wbx'],
+                 help='Metrics container: npz (portable single file), '
+                      'zarr (standard store, xarray-openable), or wbx '
+                      '(native block container)')
   p.add_argument('--prediction_path', default=None,
                  help='Override the registry path (e.g. a local .npz)')
   p.add_argument('--target_path', default=None)
@@ -215,7 +220,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
               f'{init_time_str}')
   if args.temporal:
     filename += '_temporal'
-  out_path = os.path.join(args.output_dir, filename + '.npz')
+  out_path = os.path.join(args.output_dir,
+                          f'{filename}.{args.output_format}')
   os.makedirs(args.output_dir, exist_ok=True)
   print(f'Save path: {out_path}')
 
