@@ -592,3 +592,39 @@ def test_finalize_noop_on_chunkless_rerun(tmp_path):
   assert store.finalize() == out
   after = json.load(open(os.path.join(out, '.zmetadata')))
   assert after == before
+
+
+def test_finalize_recovers_store_crashed_before_consolidation(tmp_path):
+  """All cells on disk but no .zmetadata (crash between writes and
+  finalize): a chunkless-rerun finalize must rebuild the consolidated
+  index from the per-array metadata, not hide the data arrays."""
+  import json
+  ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
+  metrics = {'rmse': deterministic.RMSE()}
+  times = tc.TimeChunks(init, lead, init_time_chunk_size=4,
+                        lead_time_chunk_size=2)
+  out = unaggregated.define_unaggregated_pipeline(
+      metrics,
+      loaders.PredictionsFromDataset(path=ppath,
+                                     variables=['2m_temperature']),
+      loaders.TargetsFromDataset(path=tpath, variables=['2m_temperature']),
+      times, out_path=str(tmp_path / 'crash.zarr'))
+  complete = io_lib.load_dataset(out)
+  os.remove(os.path.join(out, '.zmetadata'))  # simulate the crash
+  store = unaggregated.ZarrStatsStore(times, out)
+  assert store.finalize() == out
+  meta = json.load(open(os.path.join(out, '.zmetadata')))['metadata']
+  assert any('SquaredError' in k for k in meta)
+  recovered = io_lib.load_dataset(out)
+  assert set(recovered) == set(complete)
+  for k in complete:
+    np.testing.assert_array_equal(np.asarray(recovered[k].values),
+                                  np.asarray(complete[k].values))
+
+
+def test_load_dataset_rejects_non_zarr_directory(tmp_path):
+  d = tmp_path / 'not_a_store'
+  d.mkdir()
+  (d / 'manifest.json').write_text('{}')
+  with pytest.raises(ValueError, match='not a zarr'):
+    io_lib.load_dataset(str(d))

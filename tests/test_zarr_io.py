@@ -128,3 +128,17 @@ class TestZarrRoundTrip:
     np.testing.assert_array_equal(
         np.asarray(back['names'].data), ds['names'].values)
     assert np.asarray(back['names'].coords['one'].values).item() == 3.5
+
+  def test_fortran_order_store_rejected(self, tmp_path):
+    """order='F' chunks would decode scrambled; the reader must refuse."""
+    import json
+    path = tmp_path / 'f.zarr'
+    zarr_io.save_dataset_zarr(str(path), _dataset())
+    zarray_path = path / 'z500' / '.zarray'
+    meta = json.loads(zarray_path.read_text())
+    meta['order'] = 'F'
+    zarray_path.write_text(json.dumps(meta))
+    (path / '.zmetadata').unlink()  # force per-array metadata reads
+    with pytest.raises(ValueError, match='order'):
+      ds = zarr_io.open_dataset_zarr(str(path))
+      np.asarray(ds['z500'].data)

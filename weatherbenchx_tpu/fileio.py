@@ -144,8 +144,11 @@ def save_dataset_atomic(path: str, dataset: Dataset) -> None:
     # atomic enough for a fresh store), no single rename possible.
     io_lib.save_dataset(path, dataset)
     return
+  import uuid
   ext = '.wbx' if path.endswith('.wbx') else ''
-  tmp = f'{path}.tmp.{os.getpid()}{ext}'
+  # uuid, not pid: duplicate writers on different hosts over a shared
+  # filesystem can collide on pid (see write_bytes_atomic above).
+  tmp = f'{path}.tmp.{uuid.uuid4().hex[:12]}{ext}'
   io_lib.save_dataset(tmp, dataset)
   os.replace(tmp, path)
 

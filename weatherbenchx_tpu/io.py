@@ -92,9 +92,26 @@ def loads_dataset(data: bytes) -> dict[str, DimArray]:
     return _assemble(meta, lambda key: npz[key].copy())
 
 
+def _looks_like_zarr(path: str) -> bool:
+  """A directory is a zarr v2 store if it carries store/array metadata."""
+  if any(os.path.exists(os.path.join(path, f))
+         for f in ('.zmetadata', '.zgroup')):
+    return True
+  try:
+    entries = os.listdir(path)
+  except OSError:
+    return False
+  return any(os.path.exists(os.path.join(path, e, '.zarray'))
+             for e in entries)
+
+
 def load_dataset(path: str) -> dict[str, DimArray]:
   """Reads a dataset written by save_dataset (.npz, .wbx or .zarr)."""
   if path.rstrip('/').endswith('.zarr') or os.path.isdir(path):
+    if os.path.isdir(path) and not _looks_like_zarr(path):
+      raise ValueError(
+          f'{path!r} is a directory but not a zarr v2 store (no '
+          '.zmetadata/.zgroup or */.zarray inside)')
     from weatherbenchx_tpu import zarr_io
     ds = zarr_io.open_dataset_zarr(path.rstrip('/'))
     return {k: v.copy(data=np.asarray(v.data)) for k, v in ds.items()}

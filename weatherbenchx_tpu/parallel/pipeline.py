@@ -325,6 +325,13 @@ class EvaluationPipeline:
         token, nbytes = inflight.pop(0)
         inflight_bytes[0] -= nbytes
         np.asarray(jax.device_get(token))
+      # Under-budget runs never hit the fetch above; still bound the
+      # window so a long small-chunk run doesn't pin one historical state
+      # leaf per chunk. Dropping the reference frees the buffer (the live
+      # state chain no longer needs it) without a synchronizing fetch.
+      while len(inflight) > 64:
+        _, nbytes = inflight.pop(0)
+        inflight_bytes[0] -= nbytes
 
     def pair_bytes(pair) -> int:
       return sum(getattr(leaf, 'nbytes', 0)

@@ -154,6 +154,12 @@ class ZarrStatsStore:
            for d, s in zip(c.dims, np.shape(c.values))]))
     for key, w in self._writers.items():
       metadata.update(w.metadata)
+    # Arrays written by a previous (crashed or resumed) run exist on disk
+    # but not in self._writers; fold their per-array metadata in so the
+    # consolidated index covers the whole store, not just this process's
+    # writes.
+    for akey, ameta in zarr_io._read_store_metadata(path).items():
+      metadata.setdefault(akey, ameta)
     fileio.write_bytes_atomic(
         os.path.join(path, '.zmetadata'),
         json.dumps({'metadata': metadata, 'zarr_consolidated_format': 1},

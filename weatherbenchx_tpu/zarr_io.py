@@ -122,13 +122,7 @@ class ZarrArrayWriter:
   def write_block(self, cell: Sequence[int], block: np.ndarray) -> None:
     """Writes one chunk-grid cell. Ragged edge blocks are padded to full
     chunk extent with fill (the v2 storage contract)."""
-    block = np.asarray(block).astype(self.dtype, copy=False)
-    if block.shape != self.chunks:
-      full = np.full(self.chunks,
-                     np.nan if self.dtype.kind == 'f' else 0,
-                     dtype=self.dtype)
-      full[tuple(slice(0, s) for s in block.shape)] = block
-      block = full
+    block = self._pad_to_cell(block)
     key = '.'.join(str(int(i)) for i in cell) or '0'
     raw = np.ascontiguousarray(block).tobytes()
     raw = wbx_codecs.encode_cell(raw, self._codec, self.dtype.itemsize,
@@ -292,6 +286,10 @@ class ZarrChunkSource(lazy.ArraySource):
     if zarray.get('filters'):
       raise ValueError(f'{adir}: zarr filters are not supported by the '
                        'self-contained reader')
+    if zarray.get('order', 'C') != 'C':
+      raise ValueError(
+          f"{adir}: zarr chunk order {zarray.get('order')!r} is not "
+          "supported by the self-contained reader (C order only)")
     fv = zarray.get('fill_value')
     self._fill = np.array(
         np.nan if fv == 'NaN' else (fv if fv is not None else 0),
