@@ -158,6 +158,57 @@ class TestBenchmarkCLI:
       np.testing.assert_array_equal(
           np.asarray(got[k].values), np.asarray(ref[k].values))
 
+  def test_levels_subset_climatology(self, tmp_path):
+    """--levels must subset the climatology too: ACC/activity broadcast
+    against it, so an unsubset level axis silently widens their outputs
+    (and desyncs the level coord from the data)."""
+    rng = np.random.default_rng(0)
+    lats = np.linspace(-90, 90, 7)
+    lons = np.linspace(0, 300, 6)
+    levels = np.array([500, 700, 850])
+    valid = (np.datetime64('2020-01-01', 'ns')
+             + np.arange(6) * np.timedelta64(12, 'h'))
+    init, lead = valid[:4], (np.arange(2) * np.timedelta64(12, 'h')).astype(
+        'timedelta64[ns]')
+    space = {'level': levels, 'latitude': lats, 'longitude': lons}
+    tgt = {'geopotential': DimArray(
+        rng.standard_normal((6, 3, 7, 6)).astype(np.float32),
+        ('time', 'level', 'latitude', 'longitude'),
+        {'time': valid, **space})}
+    pred = {'geopotential': DimArray(
+        rng.standard_normal((4, 2, 3, 7, 6)).astype(np.float32),
+        ('time', 'prediction_timedelta', 'level', 'latitude', 'longitude'),
+        {'time': init, 'prediction_timedelta': lead, **space})}
+    clim = {'geopotential': DimArray(
+        rng.standard_normal((366, 2, 3, 7, 6)).astype(np.float32),
+        ('dayofyear', 'hour', 'level', 'latitude', 'longitude'),
+        {'dayofyear': np.arange(1, 367), 'hour': np.array([0, 12]),
+         **space})}
+    paths = {}
+    for name, ds in [('pred', pred), ('tgt', tgt), ('clim', clim)]:
+      paths[name] = str(tmp_path / f'{name}.npz')
+      io_lib.save_dataset(paths[name], ds)
+    outdir = str(tmp_path / 'results')
+    run_benchmark_evaluation.main([
+        '--prediction', 'hres', '--target', 'era5',
+        '--resolution', '64x32', '--year', '2020',
+        '--variables', 'geopotential', '--levels', '500',
+        '--time_frequency', '12',
+        '--init_time_start', '2020-01-01', '--init_time_stop', '2020-01-03',
+        '--lead_time_stop_days', '1', '--lead_time_frequency', '12',
+        '--init_time_chunk_size', '4', '--lead_time_chunk_size', '4',
+        '--output_dir', outdir,
+        '--prediction_path', paths['pred'], '--target_path', paths['tgt'],
+        '--climatology_path', paths['clim'],
+    ])
+    results = io_lib.load_dataset(
+        os.path.join(outdir, 'hres_vs_era5_64x32_2020-init12h.npz'))
+    for key in ('rmse.geopotential', 'acc.geopotential',
+                'prediction_activity.geopotential'):
+      assert results[key].sizes['level'] == 1, key
+      np.testing.assert_array_equal(
+          np.asarray(results[key].coords['level'].values), [500])
+
   def test_regions_registry(self):
     assert len(configs.REGIONS) == 17
     assert configs.REGIONS['tropics'] == ((-20, 20), (0, 360))

@@ -1,0 +1,217 @@
+"""netCDF interop tests: scipy-written v3, h5py-simulated v4, CLI, state.
+
+The v4 fixture reproduces the HDF5 layout netCDF4/xarray produce
+(dimension scales + DIMENSION_LIST + CF time attrs), standing in for
+reference-written files (``beam_pipeline.py:369-404`` writes metrics and
+AggregationState with ``to_netcdf``).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from weatherbenchx_tpu import fileio, io as io_lib, netcdf_io
+from weatherbenchx_tpu.darray import Coord, DimArray
+
+
+def _dataset():
+  nlat, nlon, nt = 5, 8, 3
+  coords = {
+      'init_time': np.array(['2020-01-01', '2020-01-02', '2020-01-03'],
+                            dtype='datetime64[ns]'),
+      'lead_time': (np.arange(nt) * np.timedelta64(6, 'h')
+                    ).astype('timedelta64[ns]'),
+      'latitude': np.linspace(-80, 80, nlat),
+      'longitude': np.linspace(0, 315, nlon),
+  }
+  rng = np.random.default_rng(0)
+  da = DimArray(
+      rng.standard_normal((nt, nt, nlat, nlon)).astype(np.float32),
+      ('init_time', 'lead_time', 'latitude', 'longitude'), coords)
+  regions = DimArray(
+      np.array([1.5, 2.5]), ('region',),
+      {'region': np.array(['global', 'tropics']),
+       'threshold': Coord((), np.float64(0.5))})
+  return {'rmse.z500': da, 'seeps.precip': regions}
+
+
+class TestNetcdf3RoundTrip:
+  def test_round_trip(self, tmp_path):
+    ds = _dataset()
+    path = str(tmp_path / 'metrics.nc')
+    io_lib.save_dataset(path, ds)
+    back = io_lib.load_dataset(path)
+    assert set(back) == set(ds)
+    for k, a in ds.items():
+      b = back[k]
+      assert b.dims == a.dims
+      np.testing.assert_array_equal(np.asarray(b.values),
+                                    np.asarray(a.values))
+      for cn, c in a.coords.items():
+        bc = b.coords[cn]
+        assert bc.dims == tuple(c.dims)
+        np.testing.assert_array_equal(np.asarray(bc.values),
+                                      np.asarray(c.values))
+
+  def test_detected_without_extension(self, tmp_path):
+    ds = _dataset()
+    nc = str(tmp_path / 'renamed.dat')
+    netcdf_io.save_dataset_netcdf(nc, ds)
+    back = io_lib.load_dataset(nc)  # magic-sniffed, not extension
+    assert set(back) == set(ds)
+
+  def test_cf_structure_for_xarray(self, tmp_path):
+    """The raw file carries the CF attrs xarray's decoder needs."""
+    from scipy.io import netcdf_file
+    path = str(tmp_path / 'cf.nc')
+    netcdf_io.save_dataset_netcdf(path, _dataset())
+    nc = netcdf_file(path, mode='r', mmap=False)
+    try:
+      t = nc.variables['init_time']
+      assert b'since' in t._attributes['units']
+      assert t.data.dtype.str.endswith('f8')  # classic has no int64
+      lt = nc.variables['lead_time']
+      assert lt._attributes['units'] == b'seconds'
+      # string coord as a char matrix over a strlen dim
+      region = nc.variables['region']
+      assert region.data.dtype.kind == 'S'
+      assert region.dimensions[-1].endswith('_strlen')
+      # aux (non-dim) coord referenced via the CF coordinates attr
+      assert b'threshold' in nc.variables['seeps.precip']._attributes[
+          'coordinates']
+    finally:
+      nc.close()
+
+  def test_bool_and_int64(self, tmp_path):
+    ds = {
+        'mask': DimArray(np.array([True, False, True]), ('x',),
+                         {'x': np.arange(3, dtype=np.int64)}),
+        'big': DimArray(np.array([2**40, -2**40]), ('y',),
+                        {'y': np.array([0, 1], dtype=np.int64)}),
+    }
+    path = str(tmp_path / 'b.nc')
+    io_lib.save_dataset(path, ds)
+    back = io_lib.load_dataset(path)
+    assert back['mask'].values.dtype == bool
+    np.testing.assert_array_equal(back['mask'].values, [True, False, True])
+    np.testing.assert_array_equal(back['big'].values, [2**40, -2**40])
+    assert back['mask'].coords['x'].values.dtype.kind == 'i'
+
+  def test_atomic_write_and_remote(self, tmp_path):
+    ds = _dataset()
+    local = str(tmp_path / 'a.nc')
+    fileio.save_dataset_atomic(local, ds)
+    assert not [f for f in os.listdir(tmp_path) if '.tmp.' in f]
+    remote = 'memory://nc_test/b.nc'
+    fileio.save_dataset_atomic(remote, ds)
+    back = fileio.load_dataset_any(remote)
+    np.testing.assert_array_equal(
+        np.asarray(back['rmse.z500'].values),
+        np.asarray(ds['rmse.z500'].values))
+
+
+def _write_netcdf4_style(path):
+  """An HDF5 file laid out the way netCDF4/xarray write it."""
+  import h5py
+  t = np.array([0., 6., 12.])  # hours since 2020-01-01
+  vals = np.arange(12, dtype=np.float32).reshape(3, 4)
+  with h5py.File(path, 'w') as f:
+    time = f.create_dataset('time', data=t)
+    time.attrs['CLASS'] = np.bytes_('DIMENSION_SCALE')
+    time.attrs['NAME'] = np.bytes_('time')
+    time.attrs['units'] = np.bytes_('hours since 2020-01-01')
+    time.attrs['calendar'] = np.bytes_('proleptic_gregorian')
+    # a bare dimension with no coordinate variable
+    st = f.create_dataset('station', data=np.zeros(4))
+    st.attrs['CLASS'] = np.bytes_('DIMENSION_SCALE')
+    st.attrs['NAME'] = np.bytes_(
+        'This is a netCDF dimension but not a netCDF variable.')
+    v = f.create_dataset('t2m', data=vals, fillvalue=-9999.0)
+    v.attrs['_FillValue'] = np.float32(-9999.0)
+    v.dims[0].attach_scale(time)
+    v.dims[1].attach_scale(st)
+  return t, vals
+
+
+class TestNetcdf4Read:
+  def test_h5_dimension_scales_and_cf_time(self, tmp_path):
+    path = str(tmp_path / 'ref.nc')
+    t, vals = _write_netcdf4_style(path)
+    ds = io_lib.load_dataset(path)
+    assert set(ds) == {'t2m'}
+    da = ds['t2m']
+    assert da.dims == ('time', 'station')
+    np.testing.assert_array_equal(np.asarray(da.values), vals)
+    times = np.asarray(da.coords['time'].values)
+    assert times.dtype.kind == 'M'
+    np.testing.assert_array_equal(
+        times,
+        np.datetime64('2020-01-01', 'ns') + (t * 3600e9).astype(
+            'timedelta64[ns]'))
+
+  def test_fill_value_to_nan(self, tmp_path):
+    import h5py
+    path = str(tmp_path / 'fill.nc')
+    with h5py.File(path, 'w') as f:
+      v = f.create_dataset('x', data=np.array([1.0, -9999.0, 3.0]))
+      v.attrs['_FillValue'] = np.float64(-9999.0)
+    ds = io_lib.load_dataset(path)
+    out = np.asarray(ds['x'].values)
+    assert np.isnan(out[1]) and out[0] == 1.0 and out[2] == 3.0
+
+
+class TestAggregationStateNetcdf:
+  def test_state_round_trip(self):
+    """AggregationState → .nc → AggregationState reproduces metrics,
+    mirroring the reference's save/load-for-inference flow
+    (``aggregation.py:227-258`` + ``WriteAggregationState``)."""
+    import tempfile
+
+    from weatherbenchx_tpu import aggregation, test_utils, weighting
+    from weatherbenchx_tpu.metrics import base as mbase, deterministic
+
+    preds, tgts = test_utils.canonical_forecast_pair(
+        n_init=2, n_lead=2, spatial_resolution_in_degrees=30.0, seed=1)
+    metrics = {'rmse': deterministic.RMSE()}
+    agg = aggregation.Aggregator(
+        reduce_dims=['init_time', 'latitude', 'longitude'],
+        weigh_by=[weighting.GridAreaWeighting()])
+    stats = mbase.compute_unique_statistics_for_all_metrics(
+        metrics, preds, tgts)
+    state = agg.aggregate_statistics(stats)
+    expected = state.metric_values(metrics)
+    with tempfile.TemporaryDirectory() as d:
+      path = os.path.join(d, 'state.nc')
+      io_lib.save_dataset(path, state.to_dataset())
+      restored = aggregation.AggregationState.from_dataset(
+          io_lib.load_dataset(path))
+    got = restored.metric_values(metrics)
+    for k in expected:
+      np.testing.assert_allclose(np.asarray(got[k].values),
+                                 np.asarray(expected[k].values), rtol=1e-6)
+
+
+def test_benchmark_cli_nc_output(tmp_path):
+  from tests.test_apps import _write_source_files
+  from weatherbenchx_tpu.apps import run_benchmark_evaluation
+
+  ppath, tpath, cpath, init, lead = _write_source_files(
+      tmp_path, with_extras=True)
+  outdir = str(tmp_path / 'results')
+  run_benchmark_evaluation.main([
+      '--prediction', 'hres', '--target', 'era5',
+      '--resolution', '64x32', '--year', '2020',
+      '--variables', '2m_temperature', '--time_frequency', '12',
+      '--init_time_start', '2020-01-01', '--init_time_stop', '2020-01-03',
+      '--lead_time_stop_days', '2', '--lead_time_frequency', '12',
+      '--init_time_chunk_size', '4', '--lead_time_chunk_size', '4',
+      '--output_dir', outdir, '--output_format', 'nc',
+      '--prediction_path', ppath, '--target_path', tpath,
+      '--climatology_path', cpath,
+  ])
+  out = os.path.join(outdir, 'hres_vs_era5_64x32_2020-init12h.nc')
+  results = io_lib.load_dataset(out)
+  da = results['rmse.2m_temperature']
+  assert da.sizes['region'] == 34
+  assert np.isfinite(np.asarray(da.sel(region='global').values)).all()

@@ -57,10 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                  help='Do not reduce over init_time (per-init outputs)')
   p.add_argument('--output_dir', required=True)
   p.add_argument('--output_format', default='npz',
-                 choices=['npz', 'zarr', 'wbx'],
+                 choices=['npz', 'zarr', 'wbx', 'nc'],
                  help='Metrics container: npz (portable single file), '
-                      'zarr (standard store, xarray-openable), or wbx '
-                      '(native block container)')
+                      'zarr (standard store, xarray-openable), wbx '
+                      '(native block container), or nc (netCDF3 classic, '
+                      'the reference output format)')
   p.add_argument('--prediction_path', default=None,
                  help='Override the registry path (e.g. a local .npz)')
   p.add_argument('--target_path', default=None)
@@ -162,6 +163,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     climatology = _open_dataset(clim_cfg['path'])
     climatology = {k: v.sortby('latitude') if 'latitude' in v.dims else v
                    for k, v in climatology.items()}
+    if levels:
+      # Subset to the evaluated levels: anomaly statistics broadcast
+      # against the climatology, so an unsubset level axis would silently
+      # widen ACC/activity outputs to the climatology's full level set.
+      climatology = {k: v.sel(level=levels) if 'level' in v.dims else v
+                     for k, v in climatology.items()}
   if is_probabilistic:
     all_metrics = {
         'crps': probabilistic.CRPSEnsemble(use_sort=True),

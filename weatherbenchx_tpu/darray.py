@@ -185,8 +185,17 @@ class DimArray:
     self.data = data
     self.dims = dims
     cdict: dict[str, Coord] = {}
+    shape = getattr(data, 'shape', ())
     for name, c in (coords or {}).items():
-      cdict[name] = _as_coord(name, c, dims)
+      coord = _as_coord(name, c, dims)
+      if coord.dims == (name,) and name in dims:
+        n = shape[dims.index(name)]
+        cn = np.shape(coord.values)[0] if np.ndim(coord.values) else 1
+        if cn != n:
+          raise ValueError(
+              f'coordinate {name!r} has {cn} labels but dim {name!r} has '
+              f'length {n}')
+      cdict[name] = coord
     self.coords = cdict
 
   # -- basic properties -----------------------------------------------------

@@ -137,6 +137,10 @@ def save_dataset_atomic(path: str, dataset: Dataset) -> None:
       from weatherbenchx_tpu import zarr_io
       zarr_io.save_dataset_zarr(path.rstrip('/'), dataset)
       return
+    if path.endswith('.nc'):
+      from weatherbenchx_tpu import netcdf_io
+      write_bytes_atomic(path, netcdf_io.dumps_dataset_netcdf(dataset))
+      return
     write_bytes_atomic(path, io_lib.dumps_dataset(dataset))
     return
   if path.rstrip('/').endswith('.zarr'):
@@ -145,7 +149,7 @@ def save_dataset_atomic(path: str, dataset: Dataset) -> None:
     io_lib.save_dataset(path, dataset)
     return
   import uuid
-  ext = '.wbx' if path.endswith('.wbx') else ''
+  ext = next((e for e in ('.wbx', '.nc') if path.endswith(e)), '')
   # uuid, not pid: duplicate writers on different hosts over a shared
   # filesystem can collide on pid (see write_bytes_atomic above).
   tmp = f'{path}.tmp.{uuid.uuid4().hex[:12]}{ext}'
@@ -159,7 +163,11 @@ def load_dataset_any(path: str) -> dict[str, DimArray]:
       from weatherbenchx_tpu import zarr_io
       ds = zarr_io.open_dataset_zarr(path.rstrip('/'))
       return {k: v.copy(data=np.asarray(v.data)) for k, v in ds.items()}
-    return io_lib.loads_dataset(read_bytes(path))
+    data = read_bytes(path)
+    if data[:3] == b'CDF' or data[:8] == b'\x89HDF\r\n\x1a\n':
+      from weatherbenchx_tpu import netcdf_io
+      return netcdf_io.loads_dataset_netcdf(data)
+    return io_lib.loads_dataset(data)
   return io_lib.load_dataset(path)
 
 

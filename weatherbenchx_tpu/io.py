@@ -66,6 +66,10 @@ def save_dataset(path: str, dataset: Dataset) -> None:
     from weatherbenchx_tpu import zarr_io
     zarr_io.save_dataset_zarr(path.rstrip('/'), dataset)
     return
+  if path.endswith('.nc'):
+    from weatherbenchx_tpu import netcdf_io
+    netcdf_io.save_dataset_netcdf(path, dataset)
+    return
   meta, arrays = _collect(dataset)
   arrays['__meta__'] = np.frombuffer(
       json.dumps(meta).encode(), dtype=np.uint8)
@@ -117,6 +121,9 @@ def load_dataset(path: str) -> dict[str, DimArray]:
     return {k: v.copy(data=np.asarray(v.data)) for k, v in ds.items()}
   if path.endswith('.wbx') or _is_wbx(path):
     return load_dataset_wbx(path)
+  if path.endswith('.nc') or _is_netcdf(path):
+    from weatherbenchx_tpu import netcdf_io
+    return netcdf_io.load_dataset_netcdf(path)
   with np.load(path, allow_pickle=False) as npz:
     meta = json.loads(bytes(npz['__meta__']).decode())
     return _assemble(meta, lambda key: npz[key])
@@ -143,6 +150,15 @@ def _is_wbx(path: str) -> bool:
       return f.read(8) == _WBX_MAGIC
   except OSError:
     return False
+
+
+def _is_netcdf(path: str) -> bool:
+  try:
+    with open(path, 'rb') as f:
+      magic = f.read(8)
+  except OSError:
+    return False
+  return magic.startswith(b'CDF') or magic == b'\x89HDF\r\n\x1a\n'
 
 
 def save_dataset_wbx(path: str, dataset: Dataset,
