@@ -215,3 +215,42 @@ def test_benchmark_cli_nc_output(tmp_path):
   da = results['rmse.2m_temperature']
   assert da.sizes['region'] == 34
   assert np.isfinite(np.asarray(da.sel(region='global').values)).all()
+
+
+def test_loader_reads_netcdf_source(tmp_path):
+  """PredictionsFromDataset/TargetsFromDataset accept a .nc path via the
+  self-contained reader (no xarray needed)."""
+  from weatherbenchx_tpu import time_chunks as tc
+  from weatherbenchx_tpu.data import loaders
+
+  rng = np.random.default_rng(0)
+  lats, lons = np.linspace(-60, 60, 4), np.linspace(0, 270, 4)
+  valid = (np.datetime64('2020-01-01', 'ns')
+           + np.arange(6) * np.timedelta64(12, 'h'))
+  init = valid[:4]
+  lead = (np.arange(2) * np.timedelta64(12, 'h')).astype('timedelta64[ns]')
+  tgt = {'2m_temperature': DimArray(
+      rng.standard_normal((6, 4, 4)).astype(np.float32),
+      ('time', 'latitude', 'longitude'),
+      {'time': valid, 'latitude': lats, 'longitude': lons})}
+  pred = {'2m_temperature': DimArray(
+      rng.standard_normal((4, 2, 4, 4)).astype(np.float32),
+      ('time', 'prediction_timedelta', 'latitude', 'longitude'),
+      {'time': init, 'prediction_timedelta': lead,
+       'latitude': lats, 'longitude': lons})}
+  ppath, tpath = str(tmp_path / 'p.nc'), str(tmp_path / 't.nc')
+  io_lib.save_dataset(ppath, pred)
+  io_lib.save_dataset(tpath, tgt)
+
+  ploader = loaders.PredictionsFromDataset(
+      path=ppath, variables=['2m_temperature'])
+  tloader = loaders.TargetsFromDataset(
+      path=tpath, variables=['2m_temperature'])
+  chunk_init, chunk_lead = next(iter(tc.TimeChunks(init, lead)))
+  t_chunk = tloader.load_chunk(chunk_init, chunk_lead)
+  p_chunk = ploader.load_chunk(chunk_init, chunk_lead, reference=t_chunk)
+  da = p_chunk['2m_temperature']
+  assert da.sizes['init_time'] == 4 and da.sizes['lead_time'] == 2
+  np.testing.assert_allclose(
+      np.asarray(da.values),
+      np.asarray(pred['2m_temperature'].values), rtol=1e-6)

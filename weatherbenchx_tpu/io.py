@@ -317,6 +317,16 @@ def open_dataset_auto(path: str) -> dict[str, DimArray]:
       return open_xarray_dataset(xr.open_zarr(path))
     from weatherbenchx_tpu import zarr_io
     return zarr_io.open_dataset_zarr(stripped)
+  if importlib.util.find_spec('xarray') is None:
+    if not remote and (stripped.endswith(('.nc', '.nc4', '.h5'))
+                       or _is_netcdf(path)):
+      # Self-contained netCDF fallback (eager — suits climatology/metrics
+      # scale files; use zarr for forecast-archive-scale stores).
+      from weatherbenchx_tpu import netcdf_io
+      return netcdf_io.load_dataset_netcdf(path)
+    raise ImportError(
+        f'opening {path!r} needs xarray (GRIB/remote netCDF), which is '
+        'not installed; .npz/.wbx/.zarr/.nc open self-contained')
   import xarray as xr  # optional, for netCDF/GRIB stores
   lazy_kwargs = {'chunks': {}} if importlib.util.find_spec('dask') else {}
   return open_xarray_dataset(xr.open_dataset(path, **lazy_kwargs))
