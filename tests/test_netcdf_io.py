@@ -254,3 +254,16 @@ def test_loader_reads_netcdf_source(tmp_path):
   np.testing.assert_allclose(
       np.asarray(da.values),
       np.asarray(pred['2m_temperature'].values), rtol=1e-6)
+
+
+def test_writer_guards(tmp_path):
+  """Ambiguous datasets fail loudly instead of writing corrupt files."""
+  with pytest.raises(ValueError, match='zero-length'):
+    netcdf_io.save_dataset_netcdf(
+        str(tmp_path / 'z.nc'),
+        {'x': DimArray(np.zeros((0, 0)), ('a', 'b'))})
+  with pytest.raises(ValueError, match='used twice'):
+    netcdf_io.save_dataset_netcdf(
+        str(tmp_path / 'c.nc'),
+        {'a': DimArray(np.arange(4.), ('b',), {'b': np.arange(4)}),
+         'c': DimArray(np.arange(2.), ('a',), {'a': np.arange(2)})})

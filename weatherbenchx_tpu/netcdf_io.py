@@ -87,6 +87,7 @@ def save_dataset_netcdf(path_or_file, dataset: Dataset) -> None:
   try:
     dims_written: dict[str, int] = {}
     coords_written: dict[str, tuple] = {}
+    vars_written: set[str] = set()
 
     def ensure_dim(d: str, n: int) -> None:
       if d in dims_written:
@@ -95,11 +96,29 @@ def save_dataset_netcdf(path_or_file, dataset: Dataset) -> None:
               f'dimension {d!r} has inconsistent lengths '
               f'{dims_written[d]} vs {n}')
         return
+      if n == 0 and 0 in dims_written.values():
+        # length-0 maps to the netCDF3 unlimited record dim, of which a
+        # file may have exactly one.
+        raise ValueError(
+            'netCDF3 allows at most one zero-length (record) dimension; '
+            f'{d!r} is the second — use .zarr/.npz for this dataset')
       dims_written[d] = n
       nc.createDimension(d, n)
 
     def put_var(name: str, values: np.ndarray, dims, extra_attrs=None):
+      if name in vars_written:
+        # e.g. a data variable named like another variable's dimension:
+        # scipy would silently replace the first definition.
+        raise ValueError(
+            f'variable name {name!r} is used twice (a data variable '
+            'colliding with a coordinate?); netCDF stores one variable '
+            'per name')
+      vars_written.add(name)
       data, strdim, attrs = _encode_values(name, values)
+      if data.nbytes > 2**32 - 4:
+        raise ValueError(
+            f'variable {name!r} is {data.nbytes} bytes; netCDF3 classic '
+            'caps variables at 4 GiB — use .zarr for arrays this large')
       dims = tuple(str(d) for d in dims)
       for d, n in zip(dims, data.shape):
         ensure_dim(d, n)
