@@ -267,3 +267,39 @@ def test_writer_guards(tmp_path):
         str(tmp_path / 'c.nc'),
         {'a': DimArray(np.arange(4.), ('b',), {'b': np.arange(4)}),
          'c': DimArray(np.arange(2.), ('a',), {'a': np.arange(2)})})
+
+
+def test_reference_written_state_loads(tmp_path):
+  """A netCDF4/HDF5 AggregationState laid out exactly as the reference
+  writes it ('<stat>#<var>#sum_weighted_statistics' keys,
+  ``aggregation.py:227-258`` + ``WriteAggregationState``) restores and
+  finalizes here."""
+  import h5py
+
+  from weatherbenchx_tpu import aggregation
+  from weatherbenchx_tpu.metrics import deterministic
+
+  path = str(tmp_path / 'state.nc')
+  lead_hours = np.array([6.0, 12.0])
+  sum_ws = np.array([8.0, 18.0])   # per-lead Σ w·(squared error)
+  sum_w = np.array([2.0, 2.0])     # per-lead Σ w  → RMSE [2, 3]
+  with h5py.File(path, 'w') as f:
+    lt = f.create_dataset('lead_time', data=lead_hours)
+    lt.attrs['CLASS'] = np.bytes_('DIMENSION_SCALE')
+    lt.attrs['NAME'] = np.bytes_('lead_time')
+    lt.attrs['units'] = np.bytes_('hours')
+    for key, vals in [
+        ('SquaredError#2m_temperature#sum_weighted_statistics', sum_ws),
+        ('SquaredError#2m_temperature#sum_weights', sum_w)]:
+      d = f.create_dataset(key, data=vals)
+      d.dims[0].attach_scale(lt)
+
+  ds = io_lib.load_dataset(path)
+  state = aggregation.AggregationState.from_dataset(ds)
+  values = state.metric_values({'rmse': deterministic.RMSE()})
+  da = values['rmse.2m_temperature']
+  assert da.dims == ('lead_time',)
+  np.testing.assert_allclose(np.asarray(da.values), [2.0, 3.0])
+  np.testing.assert_array_equal(
+      np.asarray(da.coords['lead_time'].values),
+      (lead_hours * 3600e9).astype('timedelta64[ns]'))
