@@ -72,7 +72,7 @@ class TestNetcdf3RoundTrip:
       assert b'since' in t._attributes['units']
       assert t.data.dtype.str.endswith('f8')  # classic has no int64
       lt = nc.variables['lead_time']
-      assert lt._attributes['units'] == b'seconds'
+      assert lt._attributes['units'] == b'microseconds'
       # string coord as a char matrix over a strlen dim
       region = nc.variables['region']
       assert region.data.dtype.kind == 'S'
@@ -303,3 +303,37 @@ def test_reference_written_state_loads(tmp_path):
   np.testing.assert_array_equal(
       np.asarray(da.coords['lead_time'].values),
       (lead_hours * 3600e9).astype('timedelta64[ns]'))
+
+
+class TestCfDecodeEdgeCases:
+  def test_packed_fill_masks_before_unpack(self):
+    """CF order: fill sentinels identified in packed ints, THEN scaled —
+    scaling first turns -32767 into a plausible-looking value."""
+    raw = np.array([10, -32767, 20], dtype=np.int16)
+    out, _ = netcdf_io._decode_var(
+        't', raw, ('x',),
+        {'_FillValue': np.int16(-32767), 'scale_factor': 0.5,
+         'add_offset': 100.0})
+    assert np.isnan(out[1])
+    np.testing.assert_array_equal(out[[0, 2]], [105.0, 110.0])
+
+  def test_microsecond_times_round_trip_exactly(self, tmp_path):
+    t = np.array(['2020-01-01T00:00:00.000001', '2020-06-01T12:34:56.789',
+                  'NaT'], dtype='datetime64[ns]')
+    ds = {'v': DimArray(np.zeros(3, np.float32), ('time',), {'time': t})}
+    path = str(tmp_path / 'us.nc')
+    netcdf_io.save_dataset_netcdf(path, ds)
+    back = np.asarray(
+        netcdf_io.load_dataset_netcdf(path)['v'].coords['time'].values)
+    assert np.isnat(back[2])
+    np.testing.assert_array_equal(back[:2], t[:2])
+
+  def test_unsigned_int_round_trip(self, tmp_path):
+    ds = {'u8': DimArray(np.array([0, 250], np.uint8), ('x',)),
+          'u16': DimArray(np.array([0, 65000], np.uint16), ('y',)),
+          'u32': DimArray(np.array([1, 2**31 + 7], np.uint32), ('z',))}
+    path = str(tmp_path / 'u.nc')
+    netcdf_io.save_dataset_netcdf(path, ds)
+    back = netcdf_io.load_dataset_netcdf(path)
+    for k, v in ds.items():
+      np.testing.assert_array_equal(np.asarray(back[k].values), v.values)

@@ -164,11 +164,15 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     climatology = {k: v.sortby('latitude') if 'latitude' in v.dims else v
                    for k, v in climatology.items()}
     if levels:
-      # Subset to the evaluated levels: anomaly statistics broadcast
-      # against the climatology, so an unsubset level axis would silently
-      # widen ACC/activity outputs to the climatology's full level set.
-      climatology = {k: v.sel(level=levels) if 'level' in v.dims else v
-                     for k, v in climatology.items()}
+      # Subset the EVALUATED variables to the evaluated levels: anomaly
+      # statistics broadcast against the climatology, so an unsubset
+      # level axis would silently widen ACC/activity outputs to the
+      # climatology's full level set. Unevaluated climatology variables
+      # are left alone — their level axes may legitimately differ.
+      climatology = {
+          k: (v.sel(level=levels) if k in variables and 'level' in v.dims
+              else v)
+          for k, v in climatology.items()}
   if is_probabilistic:
     all_metrics = {
         'crps': probabilistic.CRPSEnsemble(use_sort=True),

@@ -164,7 +164,7 @@ def load_dataset_any(path: str) -> dict[str, DimArray]:
       ds = zarr_io.open_dataset_zarr(path.rstrip('/'))
       return {k: v.copy(data=np.asarray(v.data)) for k, v in ds.items()}
     data = read_bytes(path)
-    if data[:3] == b'CDF' or data[:8] == b'\x89HDF\r\n\x1a\n':
+    if io_lib.is_netcdf_bytes(data):
       from weatherbenchx_tpu import netcdf_io
       return netcdf_io.loads_dataset_netcdf(data)
     return io_lib.loads_dataset(data)

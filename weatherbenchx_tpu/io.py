@@ -152,13 +152,18 @@ def _is_wbx(path: str) -> bool:
     return False
 
 
+def is_netcdf_bytes(data: bytes) -> bool:
+  """True for netCDF3 (CDF-1/2/5) or netCDF4/HDF5 leading bytes — THE
+  magic check; path- and bytes-level dispatchers both route through it."""
+  return data[:3] == b'CDF' or data[:8] == b'\x89HDF\r\n\x1a\n'
+
+
 def _is_netcdf(path: str) -> bool:
   try:
     with open(path, 'rb') as f:
-      magic = f.read(8)
+      return is_netcdf_bytes(f.read(8))
   except OSError:
     return False
-  return magic.startswith(b'CDF') or magic == b'\x89HDF\r\n\x1a\n'
 
 
 def save_dataset_wbx(path: str, dataset: Dataset,
@@ -317,9 +322,10 @@ def open_dataset_auto(path: str) -> dict[str, DimArray]:
       return open_xarray_dataset(xr.open_zarr(path))
     from weatherbenchx_tpu import zarr_io
     return zarr_io.open_dataset_zarr(stripped)
+  self_contained_netcdf = not remote and (
+      stripped.endswith(('.nc', '.nc4', '.h5')) or _is_netcdf(path))
   if importlib.util.find_spec('xarray') is None:
-    if not remote and (stripped.endswith(('.nc', '.nc4', '.h5'))
-                       or _is_netcdf(path)):
+    if self_contained_netcdf:
       # Self-contained netCDF fallback (eager — suits climatology/metrics
       # scale files; use zarr for forecast-archive-scale stores).
       from weatherbenchx_tpu import netcdf_io
@@ -329,7 +335,15 @@ def open_dataset_auto(path: str) -> dict[str, DimArray]:
         'not installed; .npz/.wbx/.zarr/.nc open self-contained')
   import xarray as xr  # optional, for netCDF/GRIB stores
   lazy_kwargs = {'chunks': {}} if importlib.util.find_spec('dask') else {}
-  return open_xarray_dataset(xr.open_dataset(path, **lazy_kwargs))
+  try:
+    return open_xarray_dataset(xr.open_dataset(path, **lazy_kwargs))
+  except (ImportError, ValueError):
+    # xarray present but without a netCDF engine (netCDF4/h5netcdf/scipy):
+    # fall back to the self-contained reader for local netCDF files.
+    if self_contained_netcdf:
+      from weatherbenchx_tpu import netcdf_io
+      return netcdf_io.load_dataset_netcdf(path)
+    raise
 
 
 def open_xarray_dataset(xds) -> dict[str, DimArray]:

@@ -29,16 +29,19 @@ from typing import Any, Mapping, Optional
 
 import numpy as np
 
+from weatherbenchx_tpu import io as io_lib
 from weatherbenchx_tpu.darray import Coord, DimArray
 from weatherbenchx_tpu.zarr_io import _decode_cf_time
 
 Dataset = Mapping[str, DimArray]
 
-_EPOCH_NS = np.datetime64('1970-01-01T00:00:00', 'ns')
+_EPOCH_US = np.datetime64('1970-01-01T00:00:00', 'us')
 # netCDF3 has no 64-bit integer type, so nanoseconds-since-epoch cannot be
-# stored exactly. Microseconds in float64 are exact out to ~285 years
-# (2^53 us) — lossless for any weather timestamp at >=microsecond
-# resolution; the reader rounds, matching xarray's float-time decoding.
+# stored exactly. Integer MICROSECONDS held in float64 are exact out to
+# ~285 years (2^53 us), so times are truncated to us resolution and stored
+# as exact integer-valued floats; the decoder scales the integer part in
+# int64 (see ``zarr_io._decode_cf_time``), so >=us-resolution timestamps
+# round-trip bit-exactly.
 _TIME_UNITS = 'microseconds since 1970-01-01'
 _STRLEN_SUFFIX = '_strlen'
 
@@ -48,12 +51,13 @@ def _encode_values(name: str, values: np.ndarray):
   attrs: dict[str, Any] = {}
   v = np.asarray(values)
   if v.dtype.kind == 'M':
-    us = (v.astype('datetime64[ns]') - _EPOCH_NS).astype(np.int64) / 1e3
+    us = (v.astype('datetime64[us]') - _EPOCH_US).astype(np.int64)
     attrs.update(units=_TIME_UNITS, calendar='proleptic_gregorian')
     return us.astype(np.float64), None, attrs
   if v.dtype.kind == 'm':
-    attrs['units'] = 'seconds'
-    return v.astype('timedelta64[ns]').astype(np.int64) / 1e9, None, attrs
+    attrs['units'] = 'microseconds'
+    return v.astype('timedelta64[us]').astype(np.int64).astype(
+        np.float64), None, attrs
   if v.dtype.kind == 'b':
     attrs['dtype'] = 'bool'
     return v.astype(np.int8), None, attrs
@@ -63,11 +67,16 @@ def _encode_values(name: str, values: np.ndarray):
     b = b.astype(f'S{n}')
     chars = np.ascontiguousarray(b)[..., None].view('S1')
     return chars, (f'{name}{_STRLEN_SUFFIX}', n), attrs
-  if v.dtype.kind in 'iu' and v.dtype.itemsize > 4:
-    if v.size and (v.max(initial=0) > np.iinfo(np.int32).max
-                   or v.min(initial=0) < np.iinfo(np.int32).min):
+  if v.dtype.kind == 'u' and v.dtype.itemsize <= 2:
+    # classic has no unsigned types: widen to the next signed type
+    return v.astype(np.int16 if v.dtype.itemsize == 1 else np.int32
+                    ), None, attrs
+  if v.dtype.kind in 'iu' and v.dtype.itemsize > 2:
+    if v.size and (int(v.max(initial=0)) > np.iinfo(np.int32).max
+                   or int(v.min(initial=0)) < np.iinfo(np.int32).min):
       return v.astype(np.float64), None, attrs  # classic has no int64
-    return v.astype(np.int32), None, attrs
+    if v.dtype != np.int32:
+      return v.astype(np.int32), None, attrs
   if v.dtype == np.float16:
     return v.astype(np.float32), None, attrs
   return v, None, attrs
@@ -199,12 +208,17 @@ def _decode_var(name: str, data: np.ndarray, dims: tuple,
   out = data
   fill = attrs.get('_FillValue', attrs.get('missing_value'))
   scale, offset = attrs.get('scale_factor'), attrs.get('add_offset')
+  # CF order: identify fill sentinels in the PACKED values, then unpack —
+  # unpacking first would turn the sentinel into a plausible-looking
+  # number (e.g. int16 -32767 × scale + offset).
+  fill_mask = None
+  if fill is not None and not np.isnan(np.asarray(fill, np.float64)).all():
+    fill_mask = out == np.asarray(fill, out.dtype)
   if scale is not None or offset is not None:
     out = out * (scale if scale is not None else 1.0) + (
         offset if offset is not None else 0.0)
-  elif fill is not None and out.dtype.kind == 'f' and not np.isnan(
-      np.asarray(fill)).all():
-    out = np.where(out == np.asarray(fill, out.dtype), np.nan, out)
+  if fill_mask is not None and out.dtype.kind == 'f':
+    out = np.where(fill_mask, np.nan, out)
   if attrs.get('dtype') == 'bool':
     return out.astype(bool), dims
   decoded = _decode_cf_time(out, attrs)
@@ -289,16 +303,13 @@ def _load_netcdf4(path_or_file) -> dict[str, DimArray]:
   return _assemble(raw)
 
 
-_HDF5_MAGIC = b'\x89HDF\r\n\x1a\n'
-
-
 def load_dataset_netcdf(path: str) -> dict[str, DimArray]:
   """Reads a netCDF file (v3 classic via scipy, v4/HDF5 via h5py)."""
   with open(path, 'rb') as f:
     magic = f.read(8)
-  if magic.startswith(b'CDF'):
+  if magic[:3] == b'CDF':
     return _load_netcdf3(path)
-  if magic == _HDF5_MAGIC:
+  if io_lib.is_netcdf_bytes(magic):
     return _load_netcdf4(path)
   raise ValueError(f'{path!r} is not a netCDF file (magic {magic!r})')
 
@@ -306,6 +317,6 @@ def load_dataset_netcdf(path: str) -> dict[str, DimArray]:
 def loads_dataset_netcdf(data: bytes) -> dict[str, DimArray]:
   if data[:3] == b'CDF':
     return _load_netcdf3(pyio.BytesIO(data))
-  if data[:8] == _HDF5_MAGIC:
+  if io_lib.is_netcdf_bytes(data):
     return _load_netcdf4(pyio.BytesIO(data))
   raise ValueError('bytes are not a netCDF file')

@@ -398,10 +398,17 @@ def _decode_cf_time(values: np.ndarray, attrs: dict) -> np.ndarray:
 
   def to_ns(vals, unit):
     # Float-encoded CF time (xarray frequently writes e.g. float64 'days
-    # since ...'): scale in float, then round — truncation would shift
-    # 0.25 days to 0.
+    # since ...'). Scale the integer part in int64 — multiplying e.g.
+    # microseconds-since-epoch by 1000 in float64 exceeds 2^53 and
+    # perturbs timestamps by hundreds of ns — and the fractional part
+    # (0.25 days etc.) in float with rounding.
     if vals.dtype.kind == 'f':
-      return np.rint(vals * float(scale[unit])).astype(np.int64)
+      whole = np.floor(vals)
+      frac_ns = np.rint((vals - whole) * float(scale[unit]))
+      out = (whole.astype(np.int64) * scale[unit]
+             + frac_ns.astype(np.int64))
+      nat = np.int64(np.iinfo(np.int64).min)  # NaT encodes as min-int64
+      return np.where(whole == np.float64(nat), nat, out)
     return vals.astype(np.int64) * scale[unit]
 
   if ' since ' in units:
