@@ -337,3 +337,38 @@ class TestCfDecodeEdgeCases:
     back = netcdf_io.load_dataset_netcdf(path)
     for k, v in ds.items():
       np.testing.assert_array_equal(np.asarray(back[k].values), v.values)
+
+
+def test_xarray_scipy_backend_conventions(tmp_path):
+  """A netCDF3 file written the way xarray's scipy backend encodes things
+  (int 'days since' times, char arrays over a 'stringN' dim, int8 bools
+  with a dtype attr) decodes to the expected DimArrays."""
+  from scipy.io import netcdf_file
+
+  path = str(tmp_path / 'xr_style.nc')
+  nc = netcdf_file(path, mode='w', version=2)
+  nc.createDimension('time', 3)
+  nc.createDimension('station', 2)
+  nc.createDimension('string5', 5)
+  t = nc.createVariable('time', np.int32, ('time',))
+  t[:] = np.array([0, 1, 2], np.int32)
+  t.units = 'days since 2020-01-01'
+  t.calendar = 'proleptic_gregorian'
+  names = nc.createVariable('station', 'S1', ('station', 'string5'))
+  names[:] = np.array([[b'K', b'J', b'F', b'K', b''],
+                       [b'K', b'L', b'A', b'X', b'']])
+  ok = nc.createVariable('qc_pass', np.int8, ('time', 'station'))
+  ok[:] = np.array([[1, 0], [0, 1], [1, 1]], np.int8)
+  ok.dtype = 'bool'
+  nc.close()
+
+  from weatherbenchx_tpu import io as io_mod
+  ds = io_mod.load_dataset(path)
+  da = ds['qc_pass']
+  assert da.values.dtype == bool
+  np.testing.assert_array_equal(
+      np.asarray(da.coords['time'].values),
+      np.array(['2020-01-01', '2020-01-02', '2020-01-03'],
+               dtype='datetime64[ns]'))
+  np.testing.assert_array_equal(
+      np.asarray(da.coords['station'].values), ['KJFK', 'KLAX'])
