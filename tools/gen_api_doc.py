@@ -19,6 +19,11 @@ MODULES = [
     'weatherbenchx_tpu.time_chunks',
     'weatherbenchx_tpu.tree',
     'weatherbenchx_tpu.io',
+    'weatherbenchx_tpu.lazy',
+    'weatherbenchx_tpu.zarr_io',
+    'weatherbenchx_tpu.codecs',
+    'weatherbenchx_tpu.netcdf_io',
+    'weatherbenchx_tpu.fileio',
     'weatherbenchx_tpu.aggregation',
     'weatherbenchx_tpu.weighting',
     'weatherbenchx_tpu.binning',
@@ -44,6 +49,7 @@ MODULES = [
     'weatherbenchx_tpu.inference.baseline_comparison',
     'weatherbenchx_tpu.ops.conv',
     'weatherbenchx_tpu.ops.interp',
+    'weatherbenchx_tpu.ops.crps_pairwise',
     'weatherbenchx_tpu.native',
     'weatherbenchx_tpu.observability',
     'weatherbenchx_tpu.test_utils',
