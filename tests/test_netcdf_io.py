@@ -113,7 +113,7 @@ class TestNetcdf3RoundTrip:
 
 def _write_netcdf4_style(path):
   """An HDF5 file laid out the way netCDF4/xarray write it."""
-  import h5py
+  h5py = pytest.importorskip('h5py')
   t = np.array([0., 6., 12.])  # hours since 2020-01-01
   vals = np.arange(12, dtype=np.float32).reshape(3, 4)
   with h5py.File(path, 'w') as f:
@@ -151,7 +151,7 @@ class TestNetcdf4Read:
             'timedelta64[ns]'))
 
   def test_fill_value_to_nan(self, tmp_path):
-    import h5py
+    h5py = pytest.importorskip('h5py')
     path = str(tmp_path / 'fill.nc')
     with h5py.File(path, 'w') as f:
       v = f.create_dataset('x', data=np.array([1.0, -9999.0, 3.0]))
@@ -274,7 +274,7 @@ def test_reference_written_state_loads(tmp_path):
   writes it ('<stat>#<var>#sum_weighted_statistics' keys,
   ``aggregation.py:227-258`` + ``WriteAggregationState``) restores and
   finalizes here."""
-  import h5py
+  h5py = pytest.importorskip('h5py')
 
   from weatherbenchx_tpu import aggregation
   from weatherbenchx_tpu.metrics import deterministic
