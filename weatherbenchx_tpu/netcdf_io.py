@@ -283,7 +283,12 @@ def _h5_dims(h5file, ds, name: str) -> tuple:
 
 
 def _load_netcdf4(path_or_file) -> dict[str, DimArray]:
-  import h5py
+  try:
+    import h5py
+  except ImportError as e:
+    raise ImportError(
+        'reading netCDF4/HDF5 files needs h5py (netCDF3 reads via scipy '
+        'without it)') from e
 
   raw = {}
   with h5py.File(path_or_file, 'r') as f:
