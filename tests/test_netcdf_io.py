@@ -328,6 +328,35 @@ class TestCfDecodeEdgeCases:
     assert np.isnat(back[2])
     np.testing.assert_array_equal(back[:2], t[:2])
 
+  def test_integer_fill_without_scale_promotes_to_nan(self):
+    """Unpacked int data with a fill sentinel must not keep e.g. -9999 as a
+    real value: promote to float64 + NaN like xarray's mask_and_scale."""
+    raw = np.array([10, -9999, 20], dtype=np.int32)
+    out, _ = netcdf_io._decode_var('t', raw, ('x',),
+                                   {'_FillValue': np.int32(-9999)})
+    assert out.dtype == np.float64
+    assert np.isnan(out[1])
+    np.testing.assert_array_equal(out[[0, 2]], [10.0, 20.0])
+
+  def test_int_time_with_fill_decodes_to_nat(self):
+    raw = np.array([0, -9999, 86400], dtype=np.int32)
+    out, _ = netcdf_io._decode_var(
+        'time', raw, ('time',),
+        {'_FillValue': np.int32(-9999), 'units': 'seconds since 2020-01-01'})
+    assert out.dtype.kind == 'M'
+    assert np.isnat(out[1])
+    assert out[2] == np.datetime64('2020-01-02', 'ns')
+
+  def test_int64_beyond_2_53_raises(self, tmp_path):
+    ds = {'big': DimArray(np.array([2**53 + 1, 0], np.int64), ('x',))}
+    with pytest.raises(ValueError, match='2\\^53'):
+      netcdf_io.save_dataset_netcdf(str(tmp_path / 'big.nc'), ds)
+
+  def test_int64_beyond_int32_warns_of_float64(self, tmp_path):
+    ds = {'big': DimArray(np.array([2**40, -2**40], np.int64), ('x',))}
+    with pytest.warns(UserWarning, match='float64'):
+      netcdf_io.save_dataset_netcdf(str(tmp_path / 'w.nc'), ds)
+
   def test_unsigned_int_round_trip(self, tmp_path):
     ds = {'u8': DimArray(np.array([0, 250], np.uint8), ('x',)),
           'u16': DimArray(np.array([0, 65000], np.uint16), ('y',)),

@@ -733,3 +733,47 @@ def test_eval_chunks_matches_eval_chunk():
     for k in vb:
       np.testing.assert_allclose(
           np.asarray(vb[k].values), np.asarray(vs[k].values), atol=1e-6)
+
+
+class TestInflightWindow:
+  """Backpressure accounting invariants (advisor round-2 medium finding)."""
+
+  def _window(self, max_bytes, fetched):
+    return pipeline_lib._InflightWindow(
+        max_bytes, fetch=lambda token: fetched.append(token))
+
+  def test_over_budget_synchronizes_oldest(self):
+    fetched = []
+    w = self._window(100, fetched)
+    for i in range(3):
+      w.push(f't{i}', 40)  # 120 > 100 after the third push
+    assert fetched == ['t0']
+    assert w.total_bytes == 80
+
+  def test_token_cap_keeps_byte_accounting(self):
+    """Entries past the 64-token cap lose their buffer but NOT their bytes,
+
+    so backpressure still fires once cumulative staged bytes exceed the
+    budget — the failure mode was 64 small chunks under-budget plateauing
+    the byte count while dispatch ran unboundedly ahead.
+    """
+    fetched = []
+    w = self._window(100 * 5, fetched)  # budget = 500 bytes, chunks of 5
+    for i in range(120):  # 120 * 5 = 600 bytes staged, far past 64 entries
+      w.push(f't{i}', 5)
+    # Byte accounting never plateaued: the over-budget fetch fired.
+    assert fetched, 'backpressure never fired despite exceeding the budget'
+    assert w.total_bytes <= 100 * 5
+    # Token-less trimmed entries synchronize nothing (can't fetch None).
+    assert all(t is not None for t in fetched)
+
+  def test_at_most_max_tokens_live_buffers(self):
+    fetched = []
+    w = self._window(1 << 40, fetched)  # never over budget
+    for i in range(200):
+      w.push(f't{i}', 5)
+    live = [t for t, _ in w.entries if t is not None]
+    assert len(live) == 64
+    assert live[0] == 't136' and live[-1] == 't199'
+    assert w.total_bytes == 200 * 5  # trimmed tokens keep their bytes
+    assert fetched == []

@@ -142,3 +142,18 @@ class TestZarrRoundTrip:
     with pytest.raises(ValueError, match='order'):
       ds = zarr_io.open_dataset_zarr(str(path))
       np.asarray(ds['z500'].data)
+
+
+def test_float_cf_time_nan_decodes_to_nat():
+  """NaN in float 'units since' time coords (xarray's NaT encoding) must
+  decode to NaT, not fall through floor(NaN).astype(int64)."""
+  from weatherbenchx_tpu.zarr_io import _decode_cf_time
+  import warnings as _warnings
+  for unit in ('nanoseconds', 'days'):
+    vals = np.array([0.0, np.nan, 1.5])
+    with _warnings.catch_warnings():
+      _warnings.simplefilter('error')  # the raw NaN cast emits RuntimeWarning
+      out = _decode_cf_time(vals, {'units': f'{unit} since 2020-01-01'})
+    assert out.dtype.kind == 'M'
+    assert out[0] == np.datetime64('2020-01-01', 'ns')
+    assert np.isnat(out[1])

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import io as pyio
 import os
+import warnings
 from typing import Any, Mapping, Optional
 
 import numpy as np
@@ -74,7 +75,19 @@ def _encode_values(name: str, values: np.ndarray):
   if v.dtype.kind in 'iu' and v.dtype.itemsize > 2:
     if v.size and (int(v.max(initial=0)) > np.iinfo(np.int32).max
                    or int(v.min(initial=0)) < np.iinfo(np.int32).min):
-      return v.astype(np.float64), None, attrs  # classic has no int64
+      # classic has no int64: store as float64 (reads back as float64).
+      # Exact only out to 2^53 — beyond that the round-trip silently
+      # loses precision, so refuse, like the 4 GiB / record-dim limits.
+      if (int(v.max(initial=0)) > 2**53 or int(v.min(initial=0)) < -2**53):
+        raise ValueError(
+            f'variable {name!r}: int64 values beyond ±2^53 cannot be '
+            'stored exactly in netCDF3 classic (no 64-bit integer type; '
+            'float64 fallback would lose precision) — use .zarr/.npz')
+      warnings.warn(
+          f'variable {name!r}: int64 values outside int32 range are '
+          'stored as float64 in netCDF3 classic and read back as float64',
+          stacklevel=2)
+      return v.astype(np.float64), None, attrs
     if v.dtype != np.int32:
       return v.astype(np.int32), None, attrs
   if v.dtype == np.float16:
@@ -219,6 +232,12 @@ def _decode_var(name: str, data: np.ndarray, dims: tuple,
         offset if offset is not None else 0.0)
   if fill_mask is not None and out.dtype.kind == 'f':
     out = np.where(fill_mask, np.nan, out)
+  elif fill_mask is not None and out.dtype.kind in 'iu':
+    # Integer data carrying a fill sentinel but no scale/offset: promote to
+    # float64 and mask to NaN, matching xarray's mask_and_scale — keeping
+    # the raw dtype would let sentinels like -9999 flow into metrics as
+    # real values.
+    out = np.where(fill_mask, np.nan, out.astype(np.float64))
   if attrs.get('dtype') == 'bool':
     return out.astype(bool), dims
   decoded = _decode_cf_time(out, attrs)

@@ -58,6 +58,61 @@ def atomic_write_dataset(path: str, dataset: Mapping[str, DimArray]) -> None:
   fileio.save_dataset_atomic(path, dataset)
 
 
+class _InflightWindow:
+  """Backpressure window over asynchronously-dispatched chunks.
+
+  Async accelerator queues (and especially remote-attached ones, where
+  ``block_until_ready`` returns before execution) would otherwise accept the
+  ENTIRE dataset: every staged host->device transfer stays referenced until
+  its step runs, so host RSS grows with the store, defeating streaming.
+  Bound the STAGED BYTES in flight: when the window exceeds
+  ``max_bytes``, fetch one tiny state leaf (weights) of the oldest windowed
+  chunk — state is a dependency chain, so the fetch synchronizes everything
+  up to that chunk. The byte gate keeps small-chunk workloads free of the
+  per-fetch round-trip (~25 ms on a remote-attached chip) while still
+  capping memory for year-scale chunks.
+
+  The per-chunk state-leaf tokens are additionally capped at
+  ``max_tokens`` so a long run doesn't pin one historical device buffer per
+  chunk: entries past the cap drop the buffer reference (the live state
+  chain no longer needs it) but KEEP their staged-bytes accounting — those
+  host->device transfers are still pending, and forgetting them would let
+  the byte total plateau below the budget so the synchronizing fetch never
+  fires (unbounded dispatch). Only the newest ``max_tokens`` entries ever
+  hold tokens: each push nulls the one entry crossing the boundary, and
+  front-pops preserve the invariant.
+  """
+
+  def __init__(self, max_bytes: int, max_tokens: int = 64,
+               fetch=lambda token: np.asarray(jax.device_get(token))):
+    self.max_bytes = max_bytes
+    self.max_tokens = max_tokens
+    self._fetch = fetch
+    self.entries: list = []  # (state leaf token | None, staged bytes)
+    self.total_bytes = 0
+
+  def push(self, token, staged_bytes: int) -> None:
+    self.entries.append((token, staged_bytes))
+    self.total_bytes += staged_bytes
+    if len(self.entries) > self.max_tokens:
+      j = len(self.entries) - self.max_tokens - 1
+      self.entries[j] = (None, self.entries[j][1])
+    while self.total_bytes > self.max_bytes and len(self.entries) > 1:
+      # Bytes may only leave the accounting once a fetch PROVES the device
+      # consumed them: advance to the first tokened entry (trimmed,
+      # token-less entries can't synchronize on their own, but fetching a
+      # later token synchronizes everything before it in the state chain)
+      # and drop it together with its token-less prefix.
+      j = next(i for i, (t, _) in enumerate(self.entries) if t is not None)
+      if j >= len(self.entries) - 1:
+        break  # only the newest entry holds a token; keep pipeline depth 1
+      token = self.entries[j][0]
+      for _ in range(j + 1):
+        _, nbytes = self.entries.pop(0)
+        self.total_bytes -= nbytes
+      self._fetch(token)
+
+
 @dataclasses.dataclass
 class EvaluationPipeline:
   """Chunked, sharded, restartable evaluation.
@@ -297,41 +352,14 @@ class EvaluationPipeline:
           getattr(offsets, d) if d in self._bucket_dims else -1
           for d in ('init_time', 'lead_time'))
 
-    inflight: list = []  # (state leaf token, staged bytes) per chunk
-    inflight_bytes = [0]
+    window = _InflightWindow(self.max_in_flight_bytes)
 
     def throttle(state, staged_bytes: int):
-      """Backpressure on asynchronously-dispatched chunks.
-
-      Async accelerator queues (and especially remote-attached ones, where
-      block_until_ready returns before execution) would otherwise accept
-      the ENTIRE dataset: every staged host->device transfer stays
-      referenced until its step runs, so host RSS grows with the store,
-      defeating streaming. Bound the STAGED BYTES in flight: when the
-      window exceeds max_in_flight_bytes, fetch one tiny state leaf
-      (weights) of the oldest windowed chunk — state is a dependency
-      chain, so the fetch synchronizes everything up to that chunk. The
-      byte gate keeps small-chunk workloads free of the per-fetch
-      round-trip (~25 ms on a remote-attached chip) while still capping
-      memory for year-scale chunks.
-      """
       if self.max_in_flight_bytes <= 0:
         return
       for leaf in tree.flatten_with_paths(state.sum_weights).values():
-        inflight.append((leaf.data, staged_bytes))
-        inflight_bytes[0] += staged_bytes
+        window.push(leaf.data, staged_bytes)
         break
-      while inflight_bytes[0] > self.max_in_flight_bytes and len(inflight) > 1:
-        token, nbytes = inflight.pop(0)
-        inflight_bytes[0] -= nbytes
-        np.asarray(jax.device_get(token))
-      # Under-budget runs never hit the fetch above; still bound the
-      # window so a long small-chunk run doesn't pin one historical state
-      # leaf per chunk. Dropping the reference frees the buffer (the live
-      # state chain no longer needs it) without a synchronizing fetch.
-      while len(inflight) > 64:
-        _, nbytes = inflight.pop(0)
-        inflight_bytes[0] -= nbytes
 
     def pair_bytes(pair) -> int:
       return sum(getattr(leaf, 'nbytes', 0)

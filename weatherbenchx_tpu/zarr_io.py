@@ -403,12 +403,17 @@ def _decode_cf_time(values: np.ndarray, attrs: dict) -> np.ndarray:
     # perturbs timestamps by hundreds of ns — and the fractional part
     # (0.25 days etc.) in float with rounding.
     if vals.dtype.kind == 'f':
-      whole = np.floor(vals)
-      frac_ns = np.rint((vals - whole) * float(scale[unit]))
+      nat = np.int64(np.iinfo(np.int64).min)  # NaT encodes as min-int64
+      # NaN is how xarray encodes NaT in float 'units since' coords; mask
+      # it out explicitly — floor(NaN).astype(int64) is a platform-defined
+      # cast (RuntimeWarnings, wrong epoch for scale-1 'nanoseconds').
+      nan_mask = np.isnan(vals)
+      finite = np.where(nan_mask, 0.0, vals)
+      whole = np.floor(finite)
+      frac_ns = np.rint((finite - whole) * float(scale[unit]))
       out = (whole.astype(np.int64) * scale[unit]
              + frac_ns.astype(np.int64))
-      nat = np.int64(np.iinfo(np.int64).min)  # NaT encodes as min-int64
-      return np.where(whole == np.float64(nat), nat, out)
+      return np.where(nan_mask | (whole == np.float64(nat)), nat, out)
     return vals.astype(np.int64) * scale[unit]
 
   if ' since ' in units:
