@@ -1,0 +1,701 @@
+"""Golden parity harness: the ACTUAL upstream reference vs this framework.
+
+Runs the unmodified reference code (/root/reference, via the numpy/pandas
+xarray shim in tools/refshim) and this repo's independent TPU-native
+implementation on IDENTICAL fixture arrays, through the reference's own
+ground-truth path ``compute_metric_values_for_single_chunk``
+(reference ``aggregation.py:404-428``), and asserts metric values agree to
+the reference's own cross-chunking tolerance (atol=1e-5,
+``beam_pipeline_test.py:149-153``).
+
+Covers every metric family (deterministic, CRPS both forms, unbiased
+ensemble family, rank histogram, REV incl. optimal thresholds, SEEPS with
+climatology, FSS, wrapper compositions) and every aggregator mode
+(weighted, binned incl. land bins, masked, skipna, NaN propagation), plus
+AggregationState schema interop in both directions including a netCDF
+round trip through this repo's writer/reader.
+
+Skipped when the reference tree is not present.
+"""
+
+import os
+import pathlib
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from weatherbenchx_tpu import aggregation as t_aggregation
+from weatherbenchx_tpu import binning as t_binning
+from weatherbenchx_tpu import io as t_io
+from weatherbenchx_tpu import weighting as t_weighting
+from weatherbenchx_tpu.darray import Coord, DimArray
+from weatherbenchx_tpu.metrics import base as t_base
+from weatherbenchx_tpu.metrics import categorical as t_categorical
+from weatherbenchx_tpu.metrics import deterministic as t_deterministic
+from weatherbenchx_tpu.metrics import probabilistic as t_probabilistic
+from weatherbenchx_tpu.metrics import spatial as t_spatial
+from weatherbenchx_tpu.metrics import wrappers as t_wrappers
+
+REFERENCE_ROOT = os.environ.get('WBX_REFERENCE_ROOT', '/root/reference')
+SHIM_ROOT = str(pathlib.Path(__file__).resolve().parent.parent
+                / 'tools' / 'refshim')
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE_ROOT, 'weatherbenchX')),
+    reason='upstream reference tree not available')
+
+_REF_CACHE = []
+
+
+def _import_reference():
+  """Import the reference with the xarray shim, leaving sys.modules clean.
+
+  The shim is registered as ``xarray`` only while the reference modules are
+  being imported; afterwards it is removed again so the rest of the test
+  suite still sees ``import xarray`` fail (several tests gate on that).
+  The reference modules keep working through the references they captured.
+  """
+  if _REF_CACHE:
+    return _REF_CACHE[0]
+  saved = {k: v for k, v in sys.modules.items()
+           if k == 'xarray' or k.startswith('xarray.')}
+  sys.path.insert(0, SHIM_ROOT)
+  sys.path.insert(0, REFERENCE_ROOT)
+  try:
+    import xarray as shim_xr  # resolves to tools/refshim
+    assert 'wbx-refshim' in shim_xr.__version__
+    from weatherbenchX import aggregation
+    from weatherbenchX import binning
+    from weatherbenchX import weighting
+    from weatherbenchX import xarray_tree
+    from weatherbenchX.metrics import base
+    from weatherbenchX.metrics import categorical
+    from weatherbenchX.metrics import deterministic
+    from weatherbenchX.metrics import probabilistic
+    from weatherbenchX.metrics import spatial
+    from weatherbenchX.metrics import wrappers
+    ns = types.SimpleNamespace(
+        xr=shim_xr, aggregation=aggregation, binning=binning,
+        weighting=weighting, xarray_tree=xarray_tree, base=base,
+        categorical=categorical, deterministic=deterministic,
+        probabilistic=probabilistic, spatial=spatial, wrappers=wrappers)
+    _REF_CACHE.append(ns)
+    return ns
+  finally:
+    for k in list(sys.modules):
+      if k == 'xarray' or k.startswith('xarray.'):
+        del sys.modules[k]
+    sys.modules.update(saved)
+    sys.path.remove(SHIM_ROOT)
+    sys.path.remove(REFERENCE_ROOT)
+
+
+@pytest.fixture(scope='module')
+def ref():
+  return _import_reference()
+
+
+# -- fixtures -----------------------------------------------------------------
+
+N_INIT, N_LEAD, N_ENS, N_LEVEL = 4, 3, 7, 3
+INIT_TIMES = (np.datetime64('2020-01-03T00', 'ns')
+              + np.arange(N_INIT) * np.timedelta64(12, 'h'))
+LEAD_TIMES = np.arange(N_LEAD) * np.timedelta64(6, 'h')
+LEAD_TIMES = LEAD_TIMES.astype('timedelta64[ns]')
+LEVELS = np.array([500, 700, 850])
+LATS = np.linspace(-90, 90, 19)
+LONS = np.linspace(0, 360, 36, endpoint=False)
+CLIM_HOURS = np.array([0, 6, 12, 18])
+CLIM_DOYS = np.arange(1, 21)
+
+
+def _rng(seed):
+  return np.random.default_rng(seed)
+
+
+class Var:
+  """One fixture variable: raw array + named dims + coords, for both sides."""
+
+  def __init__(self, arr, dims):
+    self.arr = np.asarray(arr)
+    self.dims = tuple(dims)
+
+  def _coord_values(self, d):
+    return {
+        'init_time': INIT_TIMES, 'lead_time': LEAD_TIMES, 'level': LEVELS,
+        'latitude': LATS, 'longitude': LONS,
+        'number': np.arange(N_ENS), 'number2': np.arange(5),
+        'hour': CLIM_HOURS, 'dayofyear': CLIM_DOYS,
+    }[d]
+
+  def to_ref(self, ns):
+    coords = {d: self._coord_values(d) for d in self.dims}
+    if 'number2' in coords:
+      coords['number'] = coords.pop('number2')
+    dims = tuple('number' if d == 'number2' else d for d in self.dims)
+    return ns.xr.DataArray(self.arr, dims=dims, coords=coords)
+
+  def to_tpu(self):
+    coords = {d: self._coord_values(d) for d in self.dims}
+    if 'number2' in coords:
+      coords['number'] = coords.pop('number2')
+    dims = tuple('number' if d == 'number2' else d for d in self.dims)
+    return DimArray(self.arr, dims, coords)
+
+
+def grid_var(seed, *, ens=False, level=False, positive=False, scale=1.0,
+             nan_at=()):
+  dims = ['init_time', 'lead_time']
+  shape = [N_INIT, N_LEAD]
+  if ens:
+    dims.append('number')
+    shape.append(N_ENS)
+  if level:
+    dims.append('level')
+    shape.append(N_LEVEL)
+  dims += ['latitude', 'longitude']
+  shape += [len(LATS), len(LONS)]
+  r = _rng(seed)
+  arr = r.random(tuple(shape), dtype=np.float32)
+  if positive:
+    arr = (-np.log(arr + 1e-6)).astype(np.float32)  # exp-ish, positive
+  arr = (arr * scale).astype(np.float32)
+  for idx in nan_at:
+    arr[idx] = np.nan
+  return Var(arr, dims)
+
+
+def clim_var(seed, *, level=False, lo=0.0, hi=1.0):
+  dims = ['hour', 'dayofyear']
+  shape = [len(CLIM_HOURS), len(CLIM_DOYS)]
+  if level:
+    dims.append('level')
+    shape.append(N_LEVEL)
+  dims += ['latitude', 'longitude']
+  shape += [len(LATS), len(LONS)]
+  arr = _rng(seed).uniform(lo, hi, tuple(shape)).astype(np.float32)
+  return Var(arr, dims)
+
+
+def both(ns, variables):
+  """dict[var, Var] → (reference mapping, tpu mapping)."""
+  ref_side = {k: v.to_ref(ns) for k, v in variables.items()}
+  tpu_side = {k: v.to_tpu() for k, v in variables.items()}
+  return ref_side, tpu_side
+
+
+# -- comparison ---------------------------------------------------------------
+
+
+def compare_results(ref_values, tpu_values, atol=1e-5, rtol=1e-5, keys=None):
+  """Compare reference metric_values Dataset with tpu dict[str, DimArray]."""
+  ref_keys = set(ref_values.keys())
+  tpu_keys = set(tpu_values.keys())
+  if keys is None:
+    assert ref_keys == tpu_keys, (
+        f'metric keys differ:\n ref only: {sorted(ref_keys - tpu_keys)}\n'
+        f' tpu only: {sorted(tpu_keys - ref_keys)}')
+    keys = sorted(ref_keys)
+  for k in keys:
+    r = ref_values[k]
+    t = tpu_values[k]
+    assert set(r.dims) == set(t.dims), (k, r.dims, t.dims)
+    rv = np.asarray(r.transpose(*t.dims).values, dtype=np.float64)
+    tv = np.asarray(t.data, dtype=np.float64)
+    # Shared label coords must agree (ordering parity).
+    for d in t.dims:
+      if d in dict(r.coords) and t.has_coord(d):
+        rc = np.asarray(r.coords[d].values)
+        tc = np.asarray(t.coords[d].values)
+        if rc.dtype.kind in 'UO' or tc.dtype.kind in 'UO':
+          assert [str(x) for x in rc] == [str(x) for x in tc], (k, d)
+        else:
+          np.testing.assert_array_equal(rc, tc, err_msg=f'{k}:{d}')
+    np.testing.assert_allclose(tv, rv, atol=atol, rtol=rtol, equal_nan=True,
+                               err_msg=k)
+
+
+def run_ref(ns, metrics, agg, preds, targs):
+  return ns.aggregation.compute_metric_values_for_single_chunk(
+      metrics, agg, dict(preds), dict(targs))
+
+
+def run_tpu(metrics, agg, preds, targs):
+  out = t_aggregation.compute_metric_values_for_single_chunk(
+      metrics, agg, dict(preds), dict(targs))
+  return {k: v for k, v in out.items()}
+
+
+REDUCE = ('init_time', 'latitude', 'longitude')
+
+
+def ref_agg(ns, **kw):
+  kw.setdefault('reduce_dims', list(REDUCE))
+  kw.setdefault('weigh_by', [ns.weighting.GridAreaWeighting()])
+  return ns.aggregation.Aggregator(**kw)
+
+
+def tpu_agg(**kw):
+  kw.setdefault('reduce_dims', list(REDUCE))
+  kw.setdefault('weigh_by', [t_weighting.GridAreaWeighting()])
+  return t_aggregation.Aggregator(**kw)
+
+
+# -- metric families ----------------------------------------------------------
+
+
+class TestDeterministicParity:
+
+  def test_core_suite(self, ref):
+    variables = {
+        'geopotential': grid_var(10, level=True),
+        '2m_temperature': grid_var(11),
+        'u_wind': grid_var(12),
+        'v_wind': grid_var(13),
+    }
+    tvars = {
+        'geopotential': grid_var(20, level=True),
+        '2m_temperature': grid_var(21),
+        'u_wind': grid_var(22),
+        'v_wind': grid_var(23),
+    }
+    rp, tp = both(ref, variables)
+    rt, tt = both(ref, tvars)
+    r_metrics = {
+        'rmse': ref.deterministic.RMSE(),
+        'mse': ref.deterministic.MSE(),
+        'bias': ref.deterministic.Bias(),
+        'mae': ref.deterministic.MAE(),
+        'vector_rmse': ref.deterministic.WindVectorRMSE(
+            u_name='u_wind', v_name='v_wind', vector_name='wind'),
+    }
+    t_metrics = {
+        'rmse': t_deterministic.RMSE(),
+        'mse': t_deterministic.MSE(),
+        'bias': t_deterministic.Bias(),
+        'mae': t_deterministic.MAE(),
+        'vector_rmse': t_deterministic.WindVectorRMSE(
+            u_name='u_wind', v_name='v_wind', vector_name='wind'),
+    }
+    r = run_ref(ref, r_metrics, ref_agg(ref), rp, rt)
+    t = run_tpu(t_metrics, tpu_agg(), tp, tt)
+    compare_results(r, t)
+
+  def test_acc_activity_with_climatology(self, ref):
+    variables = {'geopotential': grid_var(30, level=True),
+                 '2m_temperature': grid_var(31)}
+    tvars = {'geopotential': grid_var(32, level=True),
+             '2m_temperature': grid_var(33)}
+    clim = {'geopotential': clim_var(34, level=True),
+            '2m_temperature': clim_var(35)}
+    rp, tp = both(ref, variables)
+    rt, tt = both(ref, tvars)
+    r_clim_ds = ref.xr.Dataset(
+        {k: v.to_ref(ref) for k, v in clim.items()})
+    t_clim = {k: v.to_tpu() for k, v in clim.items()}
+    r_metrics = {'acc': ref.deterministic.ACC(climatology=r_clim_ds),
+                 'activity': ref.deterministic.PredictionActivity(
+                     climatology=r_clim_ds)}
+    t_metrics = {'acc': t_deterministic.ACC(climatology=t_clim),
+                 'activity': t_deterministic.PredictionActivity(
+                     climatology=t_clim)}
+    r = run_ref(ref, r_metrics, ref_agg(ref), rp, rt)
+    t = run_tpu(t_metrics, tpu_agg(), tp, tt)
+    compare_results(r, t)
+
+
+class TestProbabilisticParity:
+
+  def _pair(self, ref):
+    variables = {'geopotential': grid_var(40, ens=True, level=True),
+                 '2m_temperature': grid_var(41, ens=True)}
+    tvars = {'geopotential': grid_var(42, level=True),
+             '2m_temperature': grid_var(43)}
+    rp, tp = both(ref, variables)
+    rt, tt = both(ref, tvars)
+    return rp, tp, rt, tt
+
+  def test_crps_and_unbiased_family(self, ref):
+    rp, tp, rt, tt = self._pair(ref)
+    r_metrics = {
+        'crps_sort': ref.probabilistic.CRPSEnsemble(use_sort=True),
+        'crps_pair': ref.probabilistic.CRPSEnsemble(use_sort=False),
+        'unbiased_mean_rmse': ref.probabilistic.UnbiasedEnsembleMeanRMSE(),
+        'spread_skill': ref.probabilistic.UnbiasedSpreadSkillRatio(),
+        'root_mean_var': ref.probabilistic.EnsembleRootMeanVariance(),
+    }
+    t_metrics = {
+        'crps_sort': t_probabilistic.CRPSEnsemble(use_sort=True),
+        'crps_pair': t_probabilistic.CRPSEnsemble(use_sort=False),
+        'unbiased_mean_rmse': t_probabilistic.UnbiasedEnsembleMeanRMSE(),
+        'spread_skill': t_probabilistic.UnbiasedSpreadSkillRatio(),
+        'root_mean_var': t_probabilistic.EnsembleRootMeanVariance(),
+    }
+    r = run_ref(ref, r_metrics, ref_agg(ref), rp, rt)
+    t = run_tpu(t_metrics, tpu_agg(), tp, tt)
+    compare_results(r, t)
+
+  def test_rank_histogram(self, ref):
+    rp, tp, rt, tt = self._pair(ref)
+    r = run_ref(ref, {'rank_histogram': ref.probabilistic.RankHistogram()},
+                ref_agg(ref), rp, rt)
+    t = run_tpu({'rank_histogram': t_probabilistic.RankHistogram()},
+                tpu_agg(), tp, tt)
+    compare_results(r, t)
+
+  def test_ensemble_targets_distance_and_wasserstein(self, ref):
+    variables = {'2m_temperature': grid_var(44, ens=True)}
+    tvars = {'2m_temperature': Var(
+        _rng(45).random((N_INIT, N_LEAD, 5, len(LATS), len(LONS)),
+                        dtype=np.float32),
+        ('init_time', 'lead_time', 'number2', 'latitude', 'longitude'))}
+    rp, tp = both(ref, variables)
+    rt, tt = both(ref, tvars)
+    r_metrics = {'crps_distance': ref.probabilistic.CRPSEnsembleDistance(),
+                 'wasserstein': ref.probabilistic.WassersteinDistance()}
+    t_metrics = {'crps_distance': t_probabilistic.CRPSEnsembleDistance(),
+                 'wasserstein': t_probabilistic.WassersteinDistance()}
+    r = run_ref(ref, r_metrics, ref_agg(ref), rp, rt)
+    t = run_tpu(t_metrics, tpu_agg(), tp, tt)
+    compare_results(r, t)
+
+  def test_rev_all_thresholds_and_optimal(self, ref):
+    # Probability predictions (ensemble exceedance fraction), bool targets.
+    base_p = grid_var(46, ens=True)
+    prob = (base_p.arr > 0.5).mean(axis=base_p.dims.index('number'))
+    pdims = tuple(d for d in base_p.dims if d != 'number')
+    tv = grid_var(47)
+    variables = {'2m_temperature': Var(prob.astype(np.float32), pdims)}
+    tvars = {'2m_temperature': Var(tv.arr > 0.5, tv.dims)}
+    rp, tp = both(ref, variables)
+    rt, tt = both(ref, tvars)
+    clr = np.array([0.1, 0.3, 0.5, 0.7])
+    r_metrics = {'rev': ref.probabilistic.RelativeEconomicValue(
+        ensemble_size=N_ENS, cost_loss_ratios=clr)}
+    t_metrics = {'rev': t_probabilistic.RelativeEconomicValue(
+        ensemble_size=N_ENS, cost_loss_ratios=clr)}
+    r = run_ref(ref, r_metrics, ref_agg(ref), rp, rt)
+    t = run_tpu(t_metrics, tpu_agg(), tp, tt)
+    compare_results(r, t)
+
+    # Optimal-threshold selection (reference probabilistic.py:883-936).
+    r_opt = {'2m_temperature': r['rev.2m_temperature'].idxmax('threshold')}
+    t_rev = t['rev.2m_temperature']
+    rank = np.argmax(np.asarray(t_rev.data), axis=t_rev.dims.index(
+        'threshold'))
+    thr_labels = np.asarray(t_rev.coords['threshold'].values)
+    t_opt_dims = tuple(d for d in t_rev.dims if d != 'threshold')
+    t_opt = {'2m_temperature': DimArray(
+        thr_labels[rank], t_opt_dims,
+        {d: t_rev.coords[d] for d in t_opt_dims if t_rev.has_coord(d)})}
+    r_metrics = {'rev': ref.probabilistic.RelativeEconomicValue(
+        ensemble_size=N_ENS, cost_loss_ratios=clr,
+        optimal_thresholds=r_opt)}
+    t_metrics = {'rev': t_probabilistic.RelativeEconomicValue(
+        ensemble_size=N_ENS, cost_loss_ratios=clr,
+        optimal_thresholds=t_opt)}
+    r = run_ref(ref, r_metrics, ref_agg(ref), rp, rt)
+    t = run_tpu(t_metrics, tpu_agg(), tp, tt)
+    compare_results(r, t)
+
+
+class TestCategoricalAndSpatialParity:
+
+  def test_seeps_masked(self, ref):
+    variables = {'total_precipitation_24hr':
+                 grid_var(50, positive=True, scale=0.002)}
+    tvars = {'total_precipitation_24hr':
+             grid_var(51, positive=True, scale=0.002)}
+    rp, tp = both(ref, variables)
+    rt, tt = both(ref, tvars)
+    thr = clim_var(52, lo=0.001, hi=0.003)
+    dfr = clim_var(53, lo=0.05, hi=0.95)
+    r_clim = ref.xr.Dataset({
+        'total_precipitation_24hr_seeps_threshold': thr.to_ref(ref),
+        'total_precipitation_24hr_seeps_dry_fraction': dfr.to_ref(ref)})
+    t_clim = {
+        'total_precipitation_24hr_seeps_threshold': thr.to_tpu(),
+        'total_precipitation_24hr_seeps_dry_fraction': dfr.to_tpu()}
+    r_metrics = {'seeps': ref.categorical.SEEPS(
+        variables=['total_precipitation_24hr'], climatology=r_clim)}
+    t_metrics = {'seeps': t_categorical.SEEPS(
+        variables=['total_precipitation_24hr'], climatology=t_clim)}
+    r = run_ref(ref, r_metrics, ref_agg(ref, masked=True), rp, rt)
+    t = run_tpu(t_metrics, tpu_agg(masked=True), tp, tt)
+    compare_results(r, t)
+
+  def test_confusion_suite_via_binary_wrapper(self, ref):
+    variables = {'2m_temperature': grid_var(54)}
+    tvars = {'2m_temperature': grid_var(55)}
+    rp, tp = both(ref, variables)
+    rt, tt = both(ref, tvars)
+
+    def wrap_all(wrappers_mod, categorical_mod, binary):
+      mk = lambda m: wrappers_mod.WrappedMetric(m, [binary])
+      return {
+          'csi': mk(categorical_mod.CSI()),
+          'accuracy': mk(categorical_mod.Accuracy()),
+          'recall': mk(categorical_mod.Recall()),
+          'far': mk(categorical_mod.FalseAlarmRate()),
+          'precision': mk(categorical_mod.Precision()),
+          'f1': mk(categorical_mod.F1Score()),
+          'freq_bias': mk(categorical_mod.FrequencyBias()),
+          'hss': mk(categorical_mod.HSS()),
+          'ets': mk(categorical_mod.ETS()),
+          'sedi': mk(categorical_mod.SEDI()),
+      }
+
+    r_metrics = wrap_all(ref.wrappers, ref.categorical,
+                         ref.wrappers.ContinuousToBinary(
+                             which='both', threshold_value=[0.25, 0.75],
+                             threshold_dim='threshold'))
+    t_metrics = wrap_all(t_wrappers, t_categorical,
+                         t_wrappers.ContinuousToBinary(
+                             which='both', threshold_value=[0.25, 0.75],
+                             threshold_dim='threshold'))
+    r = run_ref(ref, r_metrics, ref_agg(ref), rp, rt)
+    t = run_tpu(t_metrics, tpu_agg(), tp, tt)
+    compare_results(r, t)
+
+  def test_fss(self, ref):
+    variables = {'precip': grid_var(56)}
+    tvars = {'precip': grid_var(57)}
+    rp, tp = both(ref, {k: Var(v.arr > 0.6, v.dims)
+                        for k, v in variables.items()})
+    rt, tt = both(ref, {k: Var(v.arr > 0.6, v.dims)
+                        for k, v in tvars.items()})
+    for wrap in (False, True):
+      r_metrics = {'fss': ref.spatial.FSS(
+          neighborhood_size_in_pixels=[1, 3, 5], wrap_longitude=wrap)}
+      t_metrics = {'fss': t_spatial.FSS(
+          neighborhood_size_in_pixels=[1, 3, 5], wrap_longitude=wrap)}
+      r = run_ref(ref, r_metrics, ref_agg(ref), rp, rt)
+      t = run_tpu(t_metrics, tpu_agg(), tp, tt)
+      compare_results(r, t)
+
+
+class TestWrapperParity:
+
+  def test_ensemble_mean_quantiles_weibull_rps(self, ref):
+    variables = {'2m_temperature': grid_var(60, ens=True)}
+    tvars = {'2m_temperature': grid_var(61)}
+    rp, tp = both(ref, variables)
+    rt, tt = both(ref, tvars)
+    q = [0.25, 0.5, 0.75]
+    bins = np.array([0.2, 0.4, 0.6, 0.8])
+
+    r_metrics = {
+        'mean_rmse': ref.wrappers.WrappedMetric(
+            ref.deterministic.RMSE(), [ref.wrappers.EnsembleMean(
+                which='predictions', ensemble_dim='number')]),
+        'quantile_mae': ref.wrappers.WrappedMetric(
+            ref.deterministic.MAE(), [ref.wrappers.EnsembleQuantiles(
+                which='predictions', quantiles=q, ensemble_dim='number')]),
+        'weibull_bs': ref.wrappers.WrappedMetric(
+            ref.deterministic.MSE(), [
+                ref.wrappers.WeibullEnsembleToProbabilistic(
+                    which='predictions', ensemble_dim='number'),
+                ref.wrappers.ContinuousToBinary(
+                    which='both', threshold_value=[0.5],
+                    threshold_dim='threshold'),
+            ]),
+        'rps': ref.probabilistic.EnsembleRankedProbabilityScore(
+            prediction_bin_thresholds=bins, target_bin_thresholds=bins,
+            bin_dim='rps_bin', unique_name_suffix='parity'),
+    }
+    t_metrics = {
+        'mean_rmse': t_wrappers.WrappedMetric(
+            t_deterministic.RMSE(), [t_wrappers.EnsembleMean(
+                which='predictions', ensemble_dim='number')]),
+        'quantile_mae': t_wrappers.WrappedMetric(
+            t_deterministic.MAE(), [t_wrappers.EnsembleQuantiles(
+                which='predictions', quantiles=q, ensemble_dim='number')]),
+        'weibull_bs': t_wrappers.WrappedMetric(
+            t_deterministic.MSE(), [
+                t_wrappers.WeibullEnsembleToProbabilistic(
+                    which='predictions', ensemble_dim='number'),
+                t_wrappers.ContinuousToBinary(
+                    which='both', threshold_value=[0.5],
+                    threshold_dim='threshold'),
+            ]),
+        'rps': t_probabilistic.EnsembleRankedProbabilityScore(
+            prediction_bin_thresholds=bins, target_bin_thresholds=bins,
+            bin_dim='rps_bin', unique_name_suffix='parity'),
+    }
+    r = run_ref(ref, r_metrics, ref_agg(ref), rp, rt)
+    t = run_tpu(t_metrics, tpu_agg(), tp, tt)
+    compare_results(r, t)
+
+
+class TestAggregatorModeParity:
+
+  def _metrics(self, ref):
+    return ({'rmse': ref.deterministic.RMSE(),
+             'bias': ref.deterministic.Bias()},
+            {'rmse': t_deterministic.RMSE(),
+             'bias': t_deterministic.Bias()})
+
+  def _pair(self, ref, **kw):
+    variables = {'2m_temperature': grid_var(70, **kw),
+                 'geopotential': grid_var(71, level=True)}
+    tvars = {'2m_temperature': grid_var(72, **kw),
+             'geopotential': grid_var(73, level=True)}
+    rp, tp = both(ref, variables)
+    rt, tt = both(ref, tvars)
+    return rp, tp, rt, tt
+
+  def test_region_land_and_latitude_bins(self, ref):
+    rp, tp, rt, tt = self._pair(ref)
+    rm, tm = self._metrics(ref)
+    regions = {
+        'global': ((-90, 90), (0, 360)),
+        'tropics': ((-20, 20), (0, 360)),
+        'europe': ((35, 75), (-12.5, 42.5)),
+        'north-pacific': ((25, 60), (145, 360 - 130)),
+    }
+    land = (np.arange(len(LATS) * len(LONS)).reshape(
+        len(LATS), len(LONS)) % 3 == 0)
+    r_land = ref.xr.DataArray(land, dims=('latitude', 'longitude'),
+                              coords={'latitude': LATS, 'longitude': LONS})
+    t_land = DimArray(land, ('latitude', 'longitude'),
+                      {'latitude': LATS, 'longitude': LONS})
+    r_agg = ref_agg(ref, bin_by=[
+        ref.binning.Regions(regions=regions, land_sea_mask=r_land,
+                            bin_dim_name='region'),
+        ref.binning.LatitudeBins(degrees=45,
+                                 bin_dim_name='lat_band')])
+    t_agg_ = tpu_agg(bin_by=[
+        t_binning.Regions(regions=regions, land_sea_mask=t_land,
+                          bin_dim_name='region'),
+        t_binning.LatitudeBins(degrees=45,
+                               bin_dim_name='lat_band')])
+    r = run_ref(ref, rm, r_agg, rp, rt)
+    t = run_tpu(tm, t_agg_, tp, tt)
+    compare_results(r, t)
+
+  def test_skipna_and_nan_propagation(self, ref):
+    nan_at = ((0, 0, 3, 4), (2, 1, 7, 11))
+    rp, tp, rt, tt = self._pair(ref, nan_at=nan_at)
+    rm, tm = self._metrics(ref)
+    # skipna=True: NaNs dropped from both numerator and weights.
+    r = run_ref(ref, rm, ref_agg(ref, skipna=True), rp, rt)
+    t = run_tpu(tm, tpu_agg(skipna=True), tp, tt)
+    compare_results(r, t)
+    # skipna=False: NaN propagates (both frameworks must agree on WHERE).
+    r = run_ref(ref, rm, ref_agg(ref), rp, rt)
+    t = run_tpu(tm, tpu_agg(), tp, tt)
+    compare_results(r, t)
+    assert np.isnan(np.asarray(t['rmse.2m_temperature'].data)).any()
+
+  def test_partial_reduce_keeps_dims(self, ref):
+    rp, tp, rt, tt = self._pair(ref)
+    rm, tm = self._metrics(ref)
+    r = run_ref(ref, rm, ref_agg(ref, reduce_dims=['latitude', 'longitude']),
+                rp, rt)
+    t = run_tpu(tm, tpu_agg(reduce_dims=['latitude', 'longitude']), tp, tt)
+    compare_results(r, t)
+
+
+class TestStateInterop:
+  """AggregationState schema parity, both directions + netCDF round trip."""
+
+  def _setup(self, ref):
+    variables = {'geopotential': grid_var(80, ens=True, level=True),
+                 '2m_temperature': grid_var(81, ens=True)}
+    tvars = {'geopotential': grid_var(82, level=True),
+             '2m_temperature': grid_var(83)}
+    rp, tp = both(ref, variables)
+    rt, tt = both(ref, tvars)
+    r_metrics = {
+        'crps': ref.probabilistic.CRPSEnsemble(use_sort=True),
+        'mean_rmse': ref.wrappers.WrappedMetric(
+            ref.deterministic.RMSE(), [ref.wrappers.EnsembleMean(
+                which='predictions', ensemble_dim='number')]),
+    }
+    t_metrics = {
+        'crps': t_probabilistic.CRPSEnsemble(use_sort=True),
+        'mean_rmse': t_wrappers.WrappedMetric(
+            t_deterministic.RMSE(), [t_wrappers.EnsembleMean(
+                which='predictions', ensemble_dim='number')]),
+    }
+    return rp, tp, rt, tt, r_metrics, t_metrics
+
+  def _ref_state(self, ref, r_metrics, rp, rt):
+    stats = ref.base.compute_unique_statistics_for_all_metrics(
+        r_metrics, dict(rp), dict(rt))
+    return ref_agg(ref, reduce_dims=['latitude', 'longitude']
+                   ).aggregate_statistics(stats)
+
+  def _tpu_state(self, t_metrics, tp, tt):
+    stats = t_base.compute_unique_statistics_for_all_metrics(
+        t_metrics, dict(tp), dict(tt))
+    return tpu_agg(reduce_dims=['latitude', 'longitude']
+                   ).aggregate_statistics(stats)
+
+  def test_reference_state_restored_by_tpu(self, ref, tmp_path):
+    rp, tp, rt, tt, r_metrics, t_metrics = self._setup(ref)
+    r_state = self._ref_state(ref, r_metrics, rp, rt)
+    r_values = r_state.metric_values(r_metrics)
+
+    # Serialize with the ACTUAL reference writer (to_dataset '#' schema),
+    # convert the resulting arrays verbatim, restore on the tpu side.
+    r_ds = r_state.to_dataset()
+    as_dim = {}
+    for key in r_ds.keys():
+      da = r_ds[key]
+      coords = {}
+      for cname in da.coords.keys():
+        cda = da.coords[cname]
+        coords[cname] = Coord(tuple(cda.dims), np.asarray(cda.values))
+      as_dim[str(key)] = DimArray(np.asarray(da.values), tuple(da.dims),
+                                  coords)
+    t_state = t_aggregation.AggregationState.from_dataset(as_dim)
+    t_values = t_state.metric_values(t_metrics)
+    compare_results(r_values, t_values, atol=1e-6)
+
+    # And through this repo's netCDF writer/reader.
+    path = str(tmp_path / 'ref_state.nc')
+    t_io.save_dataset(path, as_dim)
+    loaded = t_aggregation.AggregationState.from_dataset(
+        t_io.load_dataset(path))
+    t_values2 = loaded.metric_values(t_metrics)
+    compare_results(r_values, t_values2, atol=1e-6)
+
+  def test_tpu_state_restored_by_reference(self, ref):
+    rp, tp, rt, tt, r_metrics, t_metrics = self._setup(ref)
+    t_state = self._tpu_state(t_metrics, tp, tt).to_host()
+    t_values = t_state.metric_values(t_metrics)
+
+    t_ds = t_state.to_dataset()
+    r_vars = {}
+    for key, da in t_ds.items():
+      coords = {}
+      for cname, c in da.coords.items():
+        coords[cname] = (tuple(c.dims), np.asarray(c.values))
+      r_vars[key] = ref.xr.DataArray(np.asarray(da.data), dims=da.dims,
+                                     coords=coords)
+    r_state = ref.aggregation.AggregationState.from_dataset(
+        ref.xr.Dataset(r_vars))
+    r_values = r_state.metric_values(r_metrics)
+    compare_results(r_values, t_values, atol=1e-6)
+
+  def test_chunked_sum_matches_across_frameworks(self, ref):
+    """Chunk on the tpu side, sum states, compare against UNchunked ref."""
+    rp, tp, rt, tt, r_metrics, t_metrics = self._setup(ref)
+    r_state = self._ref_state(ref, r_metrics, rp, rt)
+    r_values = r_state.metric_values(r_metrics)
+
+    def isel_init(m, sl):
+      return {k: v.isel({'init_time': sl}) for k, v in m.items()}
+
+    parts = []
+    for sl in (slice(0, 1), slice(1, 3), slice(3, None)):
+      stats = t_base.compute_unique_statistics_for_all_metrics(
+          t_metrics, isel_init(tp, sl), isel_init(tt, sl))
+      parts.append(tpu_agg(reduce_dims=['latitude', 'longitude']
+                           ).aggregate_statistics(stats))
+    summed = t_aggregation.AggregationState.sum(parts)
+    t_values = summed.metric_values(t_metrics)
+    compare_results(r_values, t_values, atol=1e-5)

@@ -758,11 +758,17 @@ def full_like(x: DimArray, fill, dtype=None) -> DimArray:
 
 
 def concat(arrays: Sequence[DimArray], dim: str) -> DimArray:
-  """Concatenate along a (possibly new) named dimension."""
+  """Concatenate along a (possibly new) named dimension.
+
+  Parts are matched by dim NAME (transposed to the first part's order when
+  their dim sets agree), mirroring xr.concat semantics.
+  """
   arrays = list(arrays)
   first = arrays[0]
   if dim not in first.dims:
     arrays = [a.expand_dims(dim) for a in arrays]
+  order = arrays[0].dims
+  arrays = [a if a.dims == order else a.transpose(*order) for a in arrays]
   ax = arrays[0].dims.index(dim)
   if all(_is_host_value(a.data) for a in arrays):
     # Host fast path: keep result-combination workflows off the device.
