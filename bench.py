@@ -16,6 +16,7 @@ reference's execution model).
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -64,6 +65,12 @@ def _numpy_baseline_time(pred, tgt, w, ens, iters=3):
 
 def main():
   import jax
+  # Persistent compile cache: repeat bench invocations skip remote compiles.
+  try:
+    jax.config.update('jax_compilation_cache_dir', '/tmp/wbx_xla_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+  except Exception:
+    pass
   from weatherbenchx_tpu import aggregation, weighting
   from weatherbenchx_tpu.darray import DimArray
   from weatherbenchx_tpu.metrics import deterministic
@@ -115,7 +122,13 @@ def main():
   import jax.numpy as jnp
   from jax import lax
 
-  def scan_eval(p, t, ks):
+  # Aggregation operands (weights/bins) and statistic resources
+  # (climatologies) enter the program as ARGUMENTS, as in the pipeline —
+  # baking them in as constants oversizes remote-compile payloads.
+  bench_ops = ev.operands_for(p, t)
+  bench_res = ev.resources()
+
+  def scan_eval(p, t, ks, ops, res):
     """K evaluation steps in ONE dispatch (device-side loop).
 
     Each step perturbs the predictions by a tiny per-step offset — this
@@ -125,11 +138,11 @@ def main():
     """
     def step(carry, k):
       p_k = {name: da.copy(data=da.data + 1e-6 * k) for name, da in p.items()}
-      state = ev._eval_fn(p_k, t)
+      state = ev._eval_fn(p_k, t, ops, res)
       new = jax.tree_util.tree_map(
           lambda a, b: a + b if a.dtype == b.dtype else a, carry, state)
       return new, ()
-    init = ev._eval_fn(p, t)
+    init = ev._eval_fn(p, t, ops, res)
     out, _ = lax.scan(step, init, ks)
     return out
 
@@ -154,11 +167,12 @@ def main():
 
   def run_scan(k_iters):
     ks = jnp.arange(1.0, k_iters + 1.0)
-    fetch(scan_jit(p, t, ks))  # warmup/compile (remote compile can be slow)
+    args = (p, t, ks, bench_ops, bench_res)
+    fetch(scan_jit(*args))  # warmup/compile (remote compile can be slow)
     best = float('inf')
     for _ in range(3):
       t0 = time.perf_counter()
-      fetch(scan_jit(p, t, ks))
+      fetch(scan_jit(*args))
       best = min(best, time.perf_counter() - t0)
     return best
 
@@ -192,13 +206,234 @@ def main():
       np.cos(np.deg2rad(lats))[:, None].astype(np.float32), ens)
   base_value = (gridpoints // frac) * base_nstats / base_dt
 
-  print(json.dumps({
+  result = {
       'metric': ('crps+rmse_0.25deg_50ens' if has_prob
                  else 'rmse_mae_bias_0.25deg'),
       'value': round(value / 1e6, 3),
       'unit': 'M_gridpoint_stats_per_sec',
       'vs_baseline': round(value / base_value, 2),
-  }))
+  }
+  if os.environ.get('WBX_BENCH_FULL', '1') != '0':
+    try:
+      result['full_suite'] = full_suite(latency)
+    except Exception as e:  # never lose the headline to a full-suite failure
+      result['full_suite_error'] = f'{type(e).__name__}: {e}'
+  print(json.dumps(result))
+
+
+def full_suite(latency, time_budget_s=240.0):
+  """Per-family ms/step at 0.25° with the PRODUCTION aggregation shape.
+
+  Every family runs with the benchmark CLI's aggregator
+  (``apps/run_benchmark_evaluation.py:213-226``): 17 ECMWF regions
+  land-augmented to 34 bins, exact sin-bounds area weighting, masked
+  aggregation. Families cover the surfaces the headline bench misses:
+  SEEPS climatology gathers, FSS convolutions, REV threshold fan-out,
+  rank histogram, vector RMSE (VERDICT r2 weak item 2).
+
+  Returns {family: {'ms_per_step': x, 'stats_per_step': n}} plus meta.
+  Families past ``time_budget_s`` are reported as 'skipped' so a slow
+  tunnel day degrades coverage, not the whole bench.
+  """
+  import gc
+
+  import jax
+  import jax.numpy as jnp
+  from jax import lax
+
+  from weatherbenchx_tpu import aggregation, binning, weighting
+  from weatherbenchx_tpu.apps import configs as configs_lib
+  from weatherbenchx_tpu.darray import DimArray
+  from weatherbenchx_tpu.metrics import (categorical, deterministic,
+                                         probabilistic, spatial, wrappers)
+  from weatherbenchx_tpu.parallel import evaluator as evaluator_lib
+
+  t_start = time.perf_counter()
+  n_lead, nlat, nlon = 4, 721, 1440
+  if os.environ.get('WBX_BENCH_GRID') == 'small':  # CI/CPU smoke only
+    nlat, nlon = 73, 144
+  lats = np.linspace(-90, 90, nlat)
+  lons = np.linspace(0, 360, nlon, endpoint=False)
+  init = np.array(['2020-01-03'], dtype='datetime64[ns]')
+  leads = (np.arange(n_lead) * np.timedelta64(6, 'h')
+           ).astype('timedelta64[ns]')
+  base_coords = {'init_time': init, 'lead_time': leads,
+                 'latitude': lats, 'longitude': lons}
+  gdims = ('init_time', 'lead_time', 'latitude', 'longitude')
+  gshape = (1, n_lead, nlat, nlon)
+  rng = np.random.default_rng(0)
+
+  # Production aggregator: 17 regions + land bins = 34, masked, weighted.
+  yy, xx = np.meshgrid(np.deg2rad(lats), np.deg2rad(lons), indexing='ij')
+  land = (np.sin(3 * yy) * np.cos(4 * xx) > 0.1)
+  land_da = DimArray(land, ('latitude', 'longitude'),
+                     {'latitude': lats, 'longitude': lons})
+  agg = aggregation.Aggregator(
+      reduce_dims=['init_time', 'latitude', 'longitude'],
+      bin_by=[binning.Regions(configs_lib.REGIONS, land_sea_mask=land_da)],
+      weigh_by=[weighting.GridAreaWeighting()],
+      masked=True)
+
+  def grid(seed, ens=None, positive=False, scale=1.0, boolean=False):
+    r = np.random.default_rng(seed)
+    shape = ((ens,) + gshape) if ens else gshape
+    a = r.random(shape, dtype=np.float32)
+    if positive:
+      a = (-np.log(a + 1e-6) * scale).astype(np.float32)
+    elif boolean:
+      return a > 0.5
+    coords = dict(base_coords)
+    dims = gdims
+    if ens:
+      coords['number'] = np.arange(ens)
+      dims = ('number',) + gdims
+    return DimArray(a, dims, coords)
+
+  clim_hours = np.array([0, 6, 12, 18])
+  clim_doys = np.arange(1, 11)
+
+  def clim(seed, lo=0.0, hi=1.0):
+    r = np.random.default_rng(seed)
+    a = r.uniform(lo, hi, (len(clim_hours), len(clim_doys), nlat, nlon)
+                  ).astype(np.float32)
+    return DimArray(a, ('hour', 'dayofyear', 'latitude', 'longitude'),
+                    {'hour': clim_hours, 'dayofyear': clim_doys,
+                     'latitude': lats, 'longitude': lons})
+
+  def measure(metrics, preds, tgts, k_iters, n_stats):
+    ev = evaluator_lib.ChunkEvaluator(metrics=metrics, aggregator=agg)
+    p = jax.device_put(
+        evaluator_lib.prepare_chunk(preds, ev._clim_stats,
+                                    is_predictions=True))
+    t = jax.device_put(evaluator_lib.prepare_chunk(tgts))
+
+    ops = ev.operands_for(p, t)
+    res = ev.resources()
+
+    def scan_eval(p, t, ks, ops, res):
+      def step(carry, k):
+        p_k = {name: da.copy(data=da.data + 1e-6 * k)
+               for name, da in p.items()}
+        state = ev._eval_fn(p_k, t, ops, res)
+        new = jax.tree_util.tree_map(
+            lambda a, b: a + b if a.dtype == b.dtype else a, carry, state)
+        return new, ()
+      out, _ = lax.scan(step, ev._eval_fn(p, t, ops, res), ks)
+      return out
+
+    fn = jax.jit(scan_eval)
+    ks = jnp.arange(1.0, k_iters + 1.0)
+
+    def fetch(state):
+      leaf = jax.tree_util.tree_leaves(state.sum_weights)[0]
+      return float(jnp.asarray(leaf).sum())
+
+    fetch(fn(p, t, ks, ops, res))  # compile + warm
+    t0 = time.perf_counter()
+    fetch(fn(p, t, ks, ops, res))
+    best = time.perf_counter() - t0
+    dt = (best - latency) / (k_iters + 1)
+    gridpoints = n_lead * nlat * nlon
+    if dt * (k_iters + 1) < 0.25 * latency:
+      # The whole scan is inside the latency noise floor: report the
+      # resolution bound instead of a garbage throughput.
+      return {'ms_per_step': f'<{latency * 1e3 / (k_iters + 1):.2f}',
+              'below_timing_resolution': True}
+    dt = max(dt, 1e-9)
+    return {'ms_per_step': round(dt * 1e3, 2),
+            'gridpoint_stats_per_sec_M': round(
+                gridpoints * n_stats / dt / 1e6, 1)}
+
+  def fam_det():
+    preds = {'geopotential': grid(1), '2m_temperature': grid(2)}
+    tgts = {'geopotential': grid(3), '2m_temperature': grid(4)}
+    c = {'geopotential': clim(5), '2m_temperature': clim(6)}
+    metrics = {
+        'rmse': deterministic.RMSE(), 'mse': deterministic.MSE(),
+        'bias': deterministic.Bias(),
+        'acc': deterministic.ACC(climatology=c),
+        'activity': deterministic.PredictionActivity(climatology=c),
+    }
+    # unique stats: Error, SquaredError, SqPredAnom, SqTgtAnom, AnomCov ×2var
+    return measure(metrics, preds, tgts, k_iters=8, n_stats=10)
+
+  def fam_vector():
+    preds = {'u': grid(7), 'v': grid(8)}
+    tgts = {'u': grid(9), 'v': grid(10)}
+    metrics = {'vector_rmse': deterministic.WindVectorRMSE(
+        u_name='u', v_name='v', vector_name='wind')}
+    return measure(metrics, preds, tgts, k_iters=8, n_stats=1)
+
+  def fam_seeps():
+    preds = {'total_precipitation_24hr': grid(11, positive=True,
+                                              scale=0.002)}
+    tgts = {'total_precipitation_24hr': grid(12, positive=True,
+                                             scale=0.002)}
+    c = {'total_precipitation_24hr_seeps_threshold': clim(13, 0.001, 0.003),
+         'total_precipitation_24hr_seeps_dry_fraction': clim(14, 0.05, 0.95)}
+    metrics = {'seeps': categorical.SEEPS(
+        variables=['total_precipitation_24hr'], climatology=c)}
+    return measure(metrics, preds, tgts, k_iters=8, n_stats=1)
+
+  def fam_fss():
+    preds = {'precip': DimArray(grid(15, boolean=True), gdims, base_coords)}
+    tgts = {'precip': DimArray(grid(16, boolean=True), gdims, base_coords)}
+    metrics = {'fss': spatial.FSS(neighborhood_size_in_pixels=[3],
+                                  wrap_longitude=True)}
+    return measure(metrics, preds, tgts, k_iters=4, n_stats=3)
+
+  def fam_prob():
+    preds = {'2m_temperature': grid(17, ens=50)}
+    tgts = {'2m_temperature': grid(18)}
+    metrics = {
+        'crps': probabilistic.CRPSEnsemble(use_sort=True),
+        'spread_skill': probabilistic.UnbiasedSpreadSkillRatio(),
+        'unbiased_mean_rmse': probabilistic.UnbiasedEnsembleMeanRMSE(),
+    }
+    return measure(metrics, preds, tgts, k_iters=4, n_stats=4)
+
+  def fam_rank_histogram():
+    preds = {'2m_temperature': grid(19, ens=50)}
+    tgts = {'2m_temperature': grid(20)}
+    metrics = {'rank_histogram': probabilistic.RankHistogram()}
+    return measure(metrics, preds, tgts, k_iters=4, n_stats=51)
+
+  def fam_rev():
+    ens_frac = np.random.default_rng(21).random(
+        (8,) + gshape, dtype=np.float32)
+    prob = (ens_frac > 0.5).mean(axis=0).astype(np.float32)
+    preds = {'2m_temperature': DimArray(prob, gdims, base_coords)}
+    tgts = {'2m_temperature': DimArray(grid(22, boolean=True), gdims,
+                                       base_coords)}
+    metrics = {'rev': probabilistic.RelativeEconomicValue(
+        probability_thresholds=(np.arange(8) + 0.5) / 8,
+        statistic_suffix='bench8',
+        cost_loss_ratios=np.geomspace(0.01, 1, 9)[:-1])}
+    return measure(metrics, preds, tgts, k_iters=4, n_stats=24)
+
+  families = [
+      ('deterministic_acc_activity', fam_det),
+      ('probabilistic_crps_spread', fam_prob),
+      ('seeps', fam_seeps),
+      ('fss', fam_fss),
+      ('rank_histogram', fam_rank_histogram),
+      ('rev', fam_rev),
+      ('vector_rmse', fam_vector),
+  ]
+  out = {'bins': 34, 'grid': '0.25deg', 'n_lead': n_lead, 'masked': True}
+  for name, fn in families:
+    if time.perf_counter() - t_start > time_budget_s:
+      out[name] = 'skipped_time_budget'
+      continue
+    t_fam = time.perf_counter()
+    try:
+      out[name] = fn()
+    except Exception as e:
+      out[name] = f'error: {type(e).__name__}: {e}'
+    print(f'# full_suite {name}: {time.perf_counter() - t_fam:.1f}s '
+          f'-> {out[name]}', file=sys.stderr, flush=True)
+    gc.collect()
+  return out
 
 
 if __name__ == '__main__':

@@ -370,3 +370,41 @@ class TestByTimeUnitSets:
     state = agg.aggregate_statistics({'s': {'v': da}})
     means = state.mean_statistics()['s']['v']
     np.testing.assert_allclose(np.asarray(means.values), [2.0, 4.0])
+
+
+class TestBatchedDeviceSum:
+  """AggregationState.sum over many states: O(N/64) dispatches, not O(N)."""
+
+  def _states(self, n):
+    import jax.numpy as jnp
+    out = []
+    for i in range(n):
+      da = DimArray(jnp.full((3,), float(i + 1)), ('lead_time',),
+                    {'lead_time': np.arange(3)})
+      out.append(AggregationState(
+          {'s': {'v': da}}, {'s': {'v': da.copy(data=jnp.ones(3))}}))
+    return out
+
+  def test_sum_correct(self):
+    n = 130
+    total = AggregationState.sum(self._states(n))
+    np.testing.assert_allclose(
+        np.asarray(total.sum_weighted_statistics['s']['v'].data),
+        np.full(3, n * (n + 1) / 2))
+    np.testing.assert_allclose(
+        np.asarray(total.sum_weights['s']['v'].data), np.full(3, n))
+
+  @pytest.mark.parametrize('n,expected_stacks', [(8, 1), (256, 4)])
+  def test_dispatch_count_scales_by_batch(self, n, expected_stacks,
+                                          monkeypatch):
+    calls = {'stack': 0}
+    orig_stack = aggregation.jnp.stack
+
+    def counting_stack(xs, *a, **kw):
+      calls['stack'] += 1
+      return orig_stack(xs, *a, **kw)
+
+    monkeypatch.setattr(aggregation.jnp, 'stack', counting_stack)
+    AggregationState.sum(self._states(n))
+    # Two leaf trees (stats + weights) -> 2 * ceil(n/64) stack+sum programs.
+    assert calls['stack'] == 2 * expected_stacks

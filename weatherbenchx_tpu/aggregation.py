@@ -74,11 +74,37 @@ def combining_sum(data_arrays: Sequence[DimArray]) -> DimArray:
     return data_arrays[0]
   if _fast_path_compatible(data_arrays):
     out = data_arrays[0]
-    acc = jnp.asarray(out.data)
-    for a in data_arrays[1:]:
-      acc = acc + jnp.asarray(a.data)
-    return out.copy(data=acc)
+    return out.copy(data=_batched_device_sum(
+        [jnp.asarray(a.data) for a in data_arrays]))
   return _outer_join_sum(data_arrays)
+
+
+_DEVICE_SUM_BATCH = 64
+
+
+def _batched_device_sum(leaves):
+  """Sum of same-shape arrays in O(N/64) dispatches, not O(N).
+
+  The inference workflow sums many saved AggregationStates
+  (``AggregationState.sum`` over per-month files); a sequential
+  ``acc + a`` loop dispatches once per state per leaf, which on a
+  remote-attached device costs a round trip each. Stack + one reduction
+  per batch of 64 bounds both the dispatch count and the transient
+  stacked-buffer memory.
+  """
+  if len(leaves) == 2:  # the running-pipeline case: one fused add
+    return leaves[0] + leaves[1]
+  partials = []
+  for i in range(0, len(leaves), _DEVICE_SUM_BATCH):
+    batch = leaves[i:i + _DEVICE_SUM_BATCH]
+    if len(batch) == 1:
+      partials.append(batch[0])
+    else:
+      partials.append(jnp.sum(jnp.stack(batch), axis=0))
+  acc = partials[0]
+  for p in partials[1:]:
+    acc = acc + p
+  return acc
 
 
 def _outer_join_sum(arrays: Sequence[DimArray]) -> DimArray:
@@ -314,8 +340,20 @@ class Aggregator:
   masked: bool = False
   skipna: bool = False
 
-  def aggregation_fn(self, stat: DimArray) -> DimArray | None:
-    """The fused contraction: einsum(stat, *weights, *bin_masks)."""
+  def aggregation_operands(self, stat: DimArray) -> list[DimArray] | None:
+    """Weights + bin masks for a statistic's LAYOUT (host computation).
+
+    Depends only on the stat's dims/dtype and host coords, so it can be
+    computed from an abstract stat (``jax.eval_shape`` output) and reused
+    across chunks: the evaluator prepares these ONCE per chunk layout and
+    passes them into the jitted step as device arguments — baking the
+    0.25°x34-bin region masks (~140 MB) into the program as HLO constants
+    bloats compile payloads (a remote-compile 413 in practice) and
+    duplicates them per program.
+
+    Returns None when this variable must be dropped (missing reduce dims
+    or bin-input dims), mirroring reference ``aggregation.py:290-327``.
+    """
     reduce_dims_set = set(self.reduce_dims)
     eval_unit_dims = set(stat.dims)
     if not reduce_dims_set.issubset(eval_unit_dims):
@@ -339,10 +377,25 @@ class Aggregator:
     operands = [w.astype(stat.dtype) if w.dtype != stat.dtype else w
                 for w in weights]
     operands += [m.astype(stat.dtype) for m in bin_masks]
+    return operands
+
+  _UNSET = object()
+
+  def aggregation_fn(self, stat: DimArray,
+                     operands=_UNSET) -> DimArray | None:
+    """The fused contraction: einsum(stat, *weights, *bin_masks)."""
+    if operands is Aggregator._UNSET:
+      operands = self.aggregation_operands(stat)
+    if operands is None:
+      return None
+    reduce_dims_set = set(self.reduce_dims)
+    if not reduce_dims_set.issubset(set(stat.dims)):
+      return None
     return darray.dot(stat, *operands, dim=tuple(
         d for d in stat.dims if d in reduce_dims_set))
 
-  def aggregate_stat_var(self, stat: DimArray) -> AggregationState | None:
+  def aggregate_stat_var(self, stat: DimArray,
+                         operands=_UNSET) -> AggregationState | None:
     """Aggregate one statistic DimArray for one variable."""
     if stat.dtype == np.bool_:
       # XLA reduces booleans with logical OR, so a bool statistic (Covered,
@@ -366,16 +419,20 @@ class Aggregator:
 
     assert mask.sizes == stat.sizes
 
-    sum_weighted_statistics = self.aggregation_fn(stat)
-    sum_weights = self.aggregation_fn(mask.astype(stat.dtype))
+    sum_weighted_statistics = self.aggregation_fn(stat, operands)
+    sum_weights = self.aggregation_fn(mask.astype(stat.dtype), operands)
     if sum_weighted_statistics is None or sum_weights is None:
       return None
     return AggregationState(sum_weighted_statistics, sum_weights)
 
   def aggregate_stat_vars(
-      self, stats: Mapping[Hashable, DimArray]) -> AggregationState:
+      self, stats: Mapping[Hashable, DimArray],
+      operands=None) -> AggregationState:
     per_var = {
-        var: self.aggregate_stat_var(stat)
+        var: self.aggregate_stat_var(
+            stat,
+            (operands or {}).get(var, Aggregator._UNSET)
+            if operands is not None else Aggregator._UNSET)
         for var, stat in stats.items() if stat is not None}
     return AggregationState(
         sum_weighted_statistics={
@@ -388,16 +445,47 @@ class Aggregator:
   def aggregate_statistics(
       self,
       statistics: Mapping[str, Mapping[Hashable, DimArray]],
+      operands=None,
   ) -> AggregationState:
-    """Aggregate all (statistic, variable) arrays of a chunk."""
-    per_stat = {name: self.aggregate_stat_vars(stats)
-                for name, stats in statistics.items()}
+    """Aggregate all (statistic, variable) arrays of a chunk.
+
+    ``operands``: optional pre-built {stat_name: {var: [DimArray...]|None}}
+    from :meth:`prepare_operands` — device-resident weights/bin masks
+    passed into the jitted step instead of being re-derived (and baked as
+    HLO constants) at trace time.
+    """
+    per_stat = {name: self.aggregate_stat_vars(
+        stats, operands.get(name) if operands is not None else None)
+        for name, stats in statistics.items()}
     return AggregationState(
         sum_weighted_statistics={
             n: s.sum_weighted_statistics for n, s in per_stat.items()},
         sum_weights={
             n: s.sum_weights for n, s in per_stat.items()},
     )
+
+  def prepare_operands(
+      self,
+      abstract_statistics: Mapping[str, Mapping[Hashable, DimArray]],
+  ) -> dict:
+    """Host-side operand build from ABSTRACT statistics (eval_shape output).
+
+    Applies the same bool→float32 promotion as :meth:`aggregate_stat_var`
+    so operand dtypes match what the traced step contracts with.
+    """
+    out: dict = {}
+    for name, stats in abstract_statistics.items():
+      per_var: dict = {}
+      for var, stat in stats.items():
+        if stat is None:
+          continue
+        if stat.dtype == np.bool_:
+          stat = DimArray(
+              jax.ShapeDtypeStruct(stat.shape, np.float32), stat.dims,
+              stat.coords)
+        per_var[var] = self.aggregation_operands(stat)
+      out[name] = per_var
+    return out
 
 
 def compute_metric_values_for_single_chunk(

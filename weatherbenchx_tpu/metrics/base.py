@@ -18,11 +18,49 @@ materializes per-point statistics in HBM unless asked to).
 """
 
 import abc
+import contextlib
+import threading
 from typing import Any, Hashable, Iterator, Mapping, final
 
 import numpy as np
 
 from weatherbenchx_tpu.darray import Coord, DimArray
+
+# -- device resources ---------------------------------------------------------
+# Large arrays a statistic holds for its whole lifetime (climatologies) must
+# not be embedded into jitted programs as trace-time constants: at 0.25° a
+# dayofyear×hour climatology is >100 MB per variable, which bloats every
+# compiled program (and oversizes remote-compile payloads). Instead the
+# evaluator uploads them ONCE and passes them into the jitted step as
+# arguments; while tracing, this registry maps the statistic's host array
+# (by object identity) to the traced argument.
+
+_ACTIVE_RESOURCES = threading.local()
+
+
+def resource_id(da: DimArray) -> str:
+  return f'r{id(da)}'
+
+
+@contextlib.contextmanager
+def device_resources(mapping: Mapping[str, Any] | None):
+  """Activates a {resource_id: traced array} mapping for the current trace."""
+  prev = getattr(_ACTIVE_RESOURCES, 'mapping', None)
+  _ACTIVE_RESOURCES.mapping = mapping
+  try:
+    yield
+  finally:
+    _ACTIVE_RESOURCES.mapping = prev
+
+
+def resolve_resource(da: DimArray) -> DimArray:
+  """The traced-argument view of a long-lived host array, if active."""
+  m = getattr(_ACTIVE_RESOURCES, 'mapping', None)
+  if m:
+    hit = m.get(resource_id(da))
+    if hit is not None:
+      return DimArray(hit, da.dims, da.coords)
+  return da
 
 
 class Metric(abc.ABC):
@@ -403,6 +441,15 @@ class StatisticWithClimatology(Statistic):
   def climatology(self) -> Mapping[Hashable, DimArray]:
     return self._climatology
 
+  def clim(self, key: Hashable) -> DimArray:
+    """Climatology variable, resolved to its device-resource argument when
+    tracing under the evaluator (see ``device_resources``)."""
+    return resolve_resource(self._climatology[key])
+
+  def device_resource_arrays(self) -> dict[str, Any]:
+    """{resource_id: host array} for the evaluator to upload once."""
+    return {resource_id(da): da.data for da in self._climatology.values()}
+
   def prepare_chunk(self, predictions, targets):
     return attach_climatology_indices(
         dict(predictions), self._climatology), targets
@@ -426,7 +473,7 @@ class PerVariableStatisticWithClimatology(StatisticWithClimatology):
     for var_name in predictions.keys():
       if var_name not in targets:
         continue
-      clim = self._climatology[var_name]
+      clim = self.clim(var_name)
       pred = predictions[var_name]
       aligned = aligned_climatology_for(clim, pred)
       result[var_name] = self._compute_per_variable_with_aligned_climatology(

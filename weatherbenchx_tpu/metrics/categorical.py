@@ -118,7 +118,7 @@ class SEEPS(base.StatisticWithClimatology):
   def _compute_seeps_per_variable(
       self, predictions: DimArray, targets: DimArray, variable: str,
       dry_threshold_mm: float, min_p1: float, max_p1: float) -> DimArray:
-    wet_threshold = self._climatology[f'{variable}_seeps_threshold']
+    wet_threshold = self.clim(f'{variable}_seeps_threshold')
     wet_threshold_for_valid_time = base.aligned_climatology_for(
         wet_threshold, predictions)
 
@@ -131,7 +131,7 @@ class SEEPS(base.StatisticWithClimatology):
     contingency = (predictions_cat.rename({'seeps_cat': 'forecast_cat'})
                    * targets_cat.rename({'seeps_cat': 'truth_cat'}))
 
-    dry_fraction = self._climatology[f'{variable}_seeps_dry_fraction']
+    dry_fraction = self.clim(f'{variable}_seeps_dry_fraction')
     p1 = dry_fraction.mean(tuple(
         d for d in ('hour', 'dayofyear', 'time') if d in dry_fraction.dims))
 

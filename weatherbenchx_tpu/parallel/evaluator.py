@@ -96,6 +96,15 @@ def _convert_chunk(data, stats, is_predictions, targets, keep_host_coords):
         pending.append(v)
         slots.append((var, name, c.dims))
         new_coords[name] = c
+      elif (name == 'mask' and isinstance(v, np.ndarray)
+            and v.dtype == np.bool_):
+        # Validity masks vary per chunk in VALUE (NaN patterns, sparse
+        # padding). As a host coord they'd be static pytree aux — a
+        # retrace per chunk AND an HLO constant; as a device leaf the
+        # step traces once.
+        pending.append(v)
+        slots.append((var, name, c.dims))
+        new_coords[name] = c
       else:
         new_coords[name] = c
     return DimArray(da.data, da.dims, new_coords)
@@ -156,43 +165,166 @@ class ChunkEvaluator:
     self._host_coords = tuple(sorted({
         name for b in (self.aggregator.bin_by or [])
         for name in b.host_coords}))
+    self._operand_cache: dict = {}
+    self._resource_cache = None
+    # Number of times the evaluation step was (re)traced — one trace per
+    # distinct chunk layout. The pad-to-bucket policy keeps this bounded
+    # over ragged sparse runs; tests and the sparse scale demo assert on
+    # it (jit's _cache_size is not reliable for custom-pytree args).
+    self.trace_count = 0
     self._jitted = jax.jit(self._eval_fn)
     self._jitted_many = jax.jit(self._eval_many)
     self._jitted_accum = jax.jit(self._eval_accum_fn)
 
-  def _eval_fn(self, predictions, targets) -> aggregation_lib.AggregationState:
-    statistics = metrics_base.compute_unique_statistics_for_all_metrics(
-        self.metrics, predictions, targets)
-    return self.aggregator.aggregate_statistics(statistics)
+  def _eval_fn(self, predictions, targets, operands=None,
+               resources=None) -> aggregation_lib.AggregationState:
+    self.trace_count += 1  # runs at trace time only, not per dispatch
+    with metrics_base.device_resources(resources):
+      statistics = metrics_base.compute_unique_statistics_for_all_metrics(
+          self.metrics, predictions, targets)
+      return self.aggregator.aggregate_statistics(statistics, operands)
 
-  def _eval_accum_fn(self, predictions, targets, prev_state):
+  def resources(self):
+    """Long-lived statistic arrays (climatologies), uploaded ONCE.
+
+    Passed into the jitted step as arguments and resolved by object
+    identity while tracing (metrics_base.device_resources) — embedding
+    them as trace-time constants puts >100 MB of climatology into every
+    compiled program at 0.25°.
+    """
+    if self._resource_cache is None:
+      host: dict = {}
+      for stat in self._clim_stats:
+        getter = getattr(stat, 'device_resource_arrays', None)
+        if getter is not None:
+          host.update(getter())
+      if not host:
+        self._resource_cache = {}
+      else:
+        keys = list(host)
+        arrays = [np.asarray(host[k]) for k in keys]
+        if self.mesh is not None:
+          replicated = jax.sharding.NamedSharding(
+              self.mesh, jax.sharding.PartitionSpec())
+          moved = jax.device_put(arrays, [replicated] * len(arrays))
+        else:
+          moved = jax.device_put(arrays)
+        self._resource_cache = dict(zip(keys, moved))
+    return self._resource_cache
+
+  def lean_pair(self, predictions, targets):
+    """Drops host coords that live entirely on reduced dims.
+
+    Such coords (station names, per-row index labels, per-row kept-host
+    time coords) cannot appear in any aggregated output, but as static
+    pytree aux they force a retrace whenever their VALUES change — i.e.
+    every sparse chunk. Operand preparation (which does need them) runs
+    on the full pair BEFORE this strip.
+    """
+    rd = set(self.aggregator.reduce_dims)
+
+    def strip(da: DimArray) -> DimArray:
+      coords = {n: c for n, c in da.coords.items()
+                if not (c.is_host and c.dims and set(c.dims) <= rd)}
+      return DimArray(da.data, da.dims, coords) if len(coords) != len(
+          da.coords) else da
+
+    return ({v: strip(da) for v, da in predictions.items()},
+            {v: strip(da) for v, da in targets.items()})
+
+  def operands_for(self, predictions, targets):
+    """Device-resident weights/bin masks for this chunk LAYOUT (cached).
+
+    Statistic layouts (dims, dtypes, host coords) are derived without any
+    compute via ``jax.eval_shape`` — host coords are static pytree aux, so
+    they flow through abstractly-traced statistics intact. Operands are
+    then built on host, cast, placed on the mesh ONCE, and passed into the
+    jitted step as arguments. Deriving them at trace time instead would
+    bake them into the program as HLO constants — at 0.25° with 34 region
+    bins that is ~140 MB of constants per program: oversized compile
+    payloads (a remote-compile HTTP 413 in practice) and a copy per
+    program in HBM.
+    """
+    key = batchable_signature(predictions, targets)
+    hit = self._operand_cache.get(key)
+    if hit is not None:
+      return hit
+    abstract = jax.eval_shape(
+        lambda p, t: metrics_base.compute_unique_statistics_for_all_metrics(
+            self.metrics, p, t), predictions, targets)
+    host_ops = self.aggregator.prepare_operands(abstract)
+    rd = set(self.aggregator.reduce_dims)
+    arrays, slots = [], []
+    for sname, per_var in host_ops.items():
+      for var, ops in per_var.items():
+        if ops is None:
+          continue
+        for i, op in enumerate(ops):
+          # Reduced-dim coords on operands (latitude labels, per-row
+          # station/time coords of bin masks) are contracted away and, as
+          # static aux, would retrace the step per chunk — keep only the
+          # surviving (bin-dim) coords.
+          coords = {n: c for n, c in op.coords.items()
+                    if not (c.dims and set(c.dims) <= rd)}
+          op = DimArray(op.data, op.dims, coords)
+          arrays.append(np.asarray(op.data))
+          slots.append((sname, var, i, op))
+    if not arrays:
+      moved = []
+    elif self.mesh is not None:
+      # Replicated across the mesh: a sharded mask would make the einsum's
+      # contracting-dim sharding ambiguous (jax sharding-in-types rejects
+      # it); with the statistic sharded and the mask replicated, GSPMD
+      # partitions the contraction and inserts the psum exactly as before.
+      replicated = jax.sharding.NamedSharding(
+          self.mesh, jax.sharding.PartitionSpec())
+      moved = jax.device_put(arrays, [replicated] * len(arrays))
+    else:
+      moved = jax.device_put(arrays)
+    out = {s: {v: (None if ops is None else list(ops))
+               for v, ops in per_var.items()}
+           for s, per_var in host_ops.items()}
+    for (sname, var, i, op), dev in zip(slots, moved):
+      out[sname][var][i] = DimArray(dev, op.dims, op.coords)
+    if len(self._operand_cache) >= 32:  # bound: ragged runs rebuild per key
+      self._operand_cache.pop(next(iter(self._operand_cache)))
+    self._operand_cache[key] = out
+    return out
+
+  def _eval_accum_fn(self, predictions, targets, prev_state, operands=None,
+                     resources=None):
     """Chunk evaluation fused with the running-bucket add: one dispatch.
 
     Adds DimArray data only — device coords (e.g. int64-seconds time
     coords) are pytree leaves and must not be summed across chunks.
     """
-    state = self._eval_fn(predictions, targets)
+    state = self._eval_fn(predictions, targets, operands, resources)
     return jax.tree_util.tree_map(
         lambda x, y: x.copy(data=x.data + y.data), state, prev_state,
         is_leaf=lambda n: isinstance(n, DimArray))
 
   def eval_accum(self, pair, prev_state):
     """Evaluates a prepared pair and adds it to ``prev_state`` (fused)."""
-    return self._jitted_accum(pair[0], pair[1], prev_state)
+    ops = self.operands_for(*pair)
+    lean = self.lean_pair(*pair)
+    return self._jitted_accum(lean[0], lean[1], prev_state, ops,
+                              self.resources())
 
-  def _eval_many(self, chunks):
+  def _eval_many(self, chunks, operands=None, resources=None):
     """Evaluates N structurally-identical chunks in ONE XLA program.
 
     ``chunks`` is a tuple of (predictions, targets) pairs. Inputs are
     stacked along a new leading axis inside the program and the single-chunk
     step is vmapped over it — one dispatch (and one host↔device round trip)
     instead of N. Returns a state pytree whose leaves carry the leading
-    chunk axis; ``_split_states`` peels it back apart.
+    chunk axis; ``_split_states`` peels it back apart. Aggregation
+    operands are shared (not batched) across the chunks.
     """
     stacked = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *chunks)
     return jax.vmap(
-        lambda pair: self._eval_fn(pair[0], pair[1]))(stacked)
+        lambda pair, ops, res: self._eval_fn(pair[0], pair[1], ops, res),
+        in_axes=(0, None, None))(stacked, operands, resources)
 
   def _axis_for(self, dim: str, size: int) -> Optional[str]:
     """Mesh axis for a dim, or None (replicate) if unmapped/indivisible."""
@@ -253,7 +385,9 @@ class ChunkEvaluator:
       targets: Mapping[Hashable, DimArray],
   ) -> aggregation_lib.AggregationState:
     """Prepares, shards, and evaluates one chunk on the mesh."""
-    return self._jitted(*self.prepare_pair(predictions, targets))
+    pair = self.prepare_pair(predictions, targets)
+    ops = self.operands_for(*pair)
+    return self._jitted(*self.lean_pair(*pair), ops, self.resources())
 
   def prepare_pair(self, predictions, targets):
     """Host-side chunk preparation + ONE batched device placement.
@@ -298,14 +432,20 @@ class ChunkEvaluator:
       self, prepared: Sequence[tuple],
   ) -> list[aggregation_lib.AggregationState]:
     """Evaluates already-prepared (predictions, targets) pairs."""
+    res = self.resources()
     if len(prepared) == 1:
-      return [self._jitted(*prepared[0])]
+      ops = self.operands_for(*prepared[0])
+      return [self._jitted(*self.lean_pair(*prepared[0]), ops, res)]
     sigs = {batchable_signature(*pair) for pair in prepared}
     if len(sigs) > 1:
       # Shapes/structure diverged after preparation (e.g. a ragged tail
       # chunk): evaluate one-by-one rather than failing the stack.
-      return [self._jitted(*pair) for pair in prepared]
-    stacked_state = self._jitted_many(tuple(prepared))
+      return [self._jitted(*self.lean_pair(*pair), self.operands_for(*pair),
+                           res)
+              for pair in prepared]
+    ops = self.operands_for(*prepared[0])
+    stacked_state = self._jitted_many(
+        tuple(self.lean_pair(*pair) for pair in prepared), ops, res)
     return _split_states(stacked_state, len(prepared))
 
 

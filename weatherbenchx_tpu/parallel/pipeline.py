@@ -183,10 +183,11 @@ class EvaluationPipeline:
       # ONE program returning (state, raw statistics): XLA computes each
       # statistic once and feeds both the fused aggregation and the sink
       # outputs — no second dispatch, no duplicate compute.
-      def eval_and_stats(p, t):
-        stats = metrics_base.compute_unique_statistics_for_all_metrics(
-            self.metrics, p, t)
-        return self.aggregator.aggregate_statistics(stats), stats
+      def eval_and_stats(p, t, operands=None, resources=None):
+        with metrics_base.device_resources(resources):
+          stats = metrics_base.compute_unique_statistics_for_all_metrics(
+              self.metrics, p, t)
+          return self.aggregator.aggregate_statistics(stats, operands), stats
       self._eval_and_stats_fn = jax.jit(eval_and_stats)
 
   # -- chunk loading ---------------------------------------------------------
@@ -407,7 +408,10 @@ class EvaluationPipeline:
       # (measured slower in interleaved A/B on the tunnel) — opt-in.
       fused = os.environ.get('WBX_FUSED_ACCUM', '0') == '1'
       if self._eval_and_stats_fn is not None:
-        state, stats = self._eval_and_stats_fn(pair[0], pair[1])
+        ops = self._evaluator.operands_for(*pair)
+        lean = self._evaluator.lean_pair(*pair)
+        state, stats = self._eval_and_stats_fn(
+            lean[0], lean[1], ops, self._evaluator.resources())
         emit_stats(i, offsets, stats)
         if key in buckets:
           buckets[key] = _device_add(buckets[key], state)
