@@ -119,12 +119,14 @@ class DataLoader(abc.ABC):
       process_chunk_fn: Optional[Callable[
           [Mapping[Hashable, DimArray]], Mapping[Hashable, DimArray]]] = None,
       add_values_to_coords: bool = False,
+      pad_index_multiple: Optional[int] = None,
   ):
     self._interpolation = interpolation
     self._compute = compute
     self._add_nan_mask = add_nan_mask
     self._process_chunk_fn = process_chunk_fn
     self._add_values_to_coords = add_values_to_coords
+    self._pad_index_multiple = pad_index_multiple
 
   @abc.abstractmethod
   def _load_chunk_from_source(
@@ -164,6 +166,13 @@ class DataLoader(abc.ABC):
 
     if self._add_nan_mask:
       chunk = add_nan_mask_to_data(chunk)
+
+    if self._pad_index_multiple:
+      # Bucket the ragged 'index' dim so the jitted evaluation step sees a
+      # bounded set of shapes across a long run (each distinct padded
+      # length is one XLA compile). Padded rows carry NaN data and
+      # mask=False; requires masked=True aggregation.
+      chunk = pad_dim_to_multiple(chunk, 'index', self._pad_index_multiple)
 
     if self._add_values_to_coords:
       chunk = tree.map_structure(
