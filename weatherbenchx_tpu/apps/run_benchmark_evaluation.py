@@ -43,7 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument('--levels', default=None,
                  help='Comma-delimited pressure levels '
                       f'(default {configs_lib.DEFAULT_LEVELS})')
-  p.add_argument('--time_frequency', type=int, default=12)
+  p.add_argument('--time_frequency', type=int, default=None,
+                 help='Init frequency in hours (default 12; 24 for excarta '
+                      'per the reference quirks)')
   p.add_argument('--init_time_start', default=None,
                  help='Override init start (default: Jan 1 of --year)')
   p.add_argument('--init_time_stop', default=None,
@@ -92,9 +94,24 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
   args = build_parser().parse_args(argv)
 
   # 1. Config lookup (registry or explicit path overrides).
+  # Special prediction kinds resolve against the era5 target/climatology
+  # entries with dedicated loaders (reference
+  # ``run_benchmark_evaluation.py:151-201``).
   pred_key = f'{args.prediction}_{args.resolution}_{args.year}'
   is_probabilistic = pred_key in configs_lib.probabilistic_prediction_configs
-  if args.prediction_path:
+  if args.prediction in ('persistence', 'probabilistic_climatology',
+                         'climatology'):
+    if args.prediction == 'climatology':
+      clim_key0 = f'era5_{args.resolution}_{args.year}'
+      if clim_key0 not in configs_lib.climatology_configs:
+        clim_key0 = f'era5_{args.resolution}'
+      registry_cfg = configs_lib.climatology_configs[clim_key0]
+    else:
+      registry_cfg = configs_lib.target_configs[f'era5_{args.resolution}']
+    pred_cfg = (dict(registry_cfg, path=args.prediction_path)
+                if args.prediction_path else registry_cfg)
+    is_probabilistic = args.prediction == 'probabilistic_climatology'
+  elif args.prediction_path:
     pred_cfg = {'path': args.prediction_path, 'data_loader_kwargs': {}}
   elif is_probabilistic:
     pred_cfg = configs_lib.probabilistic_prediction_configs[pred_key]
@@ -132,11 +149,29 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
   precip_variables = [
       v for v in variables if v in configs_lib.SEEPS_DRY_THRESHOLDS_MM]
 
-  # 2. Times.
+  # 2. Times. Default init range carries the reference's per-model data
+  # quirks (``run_benchmark_evaluation.py:219-248``): 2022 targets and
+  # fuxi/excarta predictions end mid-December; aurora is missing the first
+  # init; baguan the last day; excarta is daily.
+  init_start = args.init_time_start
+  init_stop = args.init_time_stop
+  if init_start is None and init_stop is None:
+    init_start = f'{args.year}-01-01'
+    if args.year == 2022 or args.prediction in ('fuxi', 'excarta'):
+      init_stop = f'{args.year}-12-16'
+      if args.prediction == 'aurora':
+        init_start = f'{args.year}-01-01T12'
+    elif args.year == 2020 and args.prediction == 'baguan':
+      init_stop = f'{args.year}-12-30T12'
+    else:
+      init_stop = f'{args.year + 1}-01-01'
+  time_frequency = args.time_frequency
+  if time_frequency is None:
+    time_frequency = 24 if args.prediction == 'excarta' else 12
   init_times = np.arange(
-      args.init_time_start or f'{args.year}-01-01',
-      args.init_time_stop or f'{args.year + 1}-01-01',
-      np.timedelta64(args.time_frequency, 'h'), dtype='datetime64[ns]')
+      init_start or f'{args.year}-01-01',
+      init_stop or f'{args.year + 1}-01-01',
+      np.timedelta64(time_frequency, 'h'), dtype='datetime64[ns]')
   lead_times = np.arange(
       0, 24 * args.lead_time_stop_days, args.lead_time_frequency,
       dtype='timedelta64[h]').astype('timedelta64[ns]')
@@ -150,10 +185,31 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
   loader_kwargs = dict(pred_cfg.get('data_loader_kwargs', {}))
   if sel_kwargs:
     loader_kwargs.setdefault('sel_kwargs', sel_kwargs)
-  prediction_loader = loaders.PredictionsFromDataset(
+  if args.prediction == 'persistence':
+    prediction_cls = loaders.PersistenceFromDataset
+  elif args.prediction == 'climatology':
+    prediction_cls = loaders.ClimatologyFromDataset
+  elif args.prediction == 'probabilistic_climatology':
+    prediction_cls = loaders.ProbabilisticClimatologyFromDataset
+    # The website's fixed climatological-ensemble period (reference
+    # ``run_benchmark_evaluation.py:192-200``).
+    loader_kwargs.setdefault('start_year', 1990)
+    loader_kwargs.setdefault('end_year', 2019)
+  else:
+    prediction_cls = loaders.PredictionsFromDataset
+  prediction_loader = prediction_cls(
       path=pred_cfg['path'], variables=variables, **loader_kwargs)
+
+  def _sort_latitude(ds):
+    # Some datasets store latitude descending; region land bins and the
+    # aligned-grid contract assume ascending (reference sorts targets too,
+    # ``run_benchmark_evaluation.py:208-214``).
+    return {k: (v.sortby('latitude') if 'latitude' in v.dims else v)
+            for k, v in ds.items()}
+
   target_loader = loaders.TargetsFromDataset(
       path=tgt_cfg['path'], variables=variables, sel_kwargs=sel_kwargs,
+      preprocessing_fn=_sort_latitude,
       **tgt_cfg.get('data_loader_kwargs', {}))
 
   # 4. Metrics. The probabilistic set needs no climatology — don't open
@@ -226,7 +282,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
       **aggregator_kwargs)
 
   # 6. Run and write.
-  init_time_str = f'{args.year}-init{args.time_frequency}h'
+  init_time_str = f'{args.year}-init{time_frequency}h'
   filename = (f'{args.prediction}_vs_{args.target}_{args.resolution}_'
               f'{init_time_str}')
   if args.temporal:
