@@ -679,3 +679,81 @@ def test_load_dataset_rejects_non_zarr_directory(tmp_path):
   (d / 'manifest.json').write_text('{}')
   with pytest.raises(ValueError, match='not a zarr'):
     io_lib.load_dataset(str(d))
+
+
+class TestScorecardWorkflow:
+  """combine_results (multi-year) -> interactive scorecard HTML."""
+
+  def _write_results(self, tmp_path):
+    regions = np.array(['global', 'tropics', 'tropics_land'])
+    leads = (np.arange(0, 73, 24) * np.timedelta64(1, 'h')
+             ).astype('timedelta64[ns]')
+    rng = np.random.default_rng(0)
+    for model in ['hres_vs_era5', 'pangu_vs_era5']:
+      for year in [2018, 2020]:
+        ds = {
+            'rmse.geopotential': DimArray(
+                rng.random((len(leads), len(regions))).astype(np.float32),
+                ('lead_time', 'region'),
+                {'lead_time': leads, 'region': regions}),
+            'vector_rmse.wind': DimArray(
+                rng.random((len(leads), len(regions))).astype(np.float32),
+                ('lead_time', 'region'),
+                {'lead_time': leads, 'region': regions}),
+        }
+        io_lib.save_dataset(
+            str(tmp_path / f'{model}_64x32_{year}-init12h.npz'), ds)
+
+  def test_multi_year_stacking_and_display_names(self, tmp_path):
+    self._write_results(tmp_path)
+    out = str(tmp_path / 'scorecard.npz')
+    combine_results.main(['--results_dir', str(tmp_path),
+                          '--output_path', out, '--display_names'])
+    sc = io_lib.load_dataset(out)
+    # vector_rmse.wind folded into RMSE of the Wind Vector variable.
+    assert 'Wind Vector' in sc and 'Geopotential' in sc
+    da = sc['Geopotential']
+    assert set(da.dims) == {'model', 'metric', 'year', 'resolution',
+                            'lead_time', 'region'}
+    np.testing.assert_array_equal(da.coord_values('year'),
+                                  ['2018', '2020'])
+    np.testing.assert_array_equal(da.coord_values('model'),
+                                  ['IFS HRES vs ERA5',
+                                   'Pangu-Weather vs ERA5'])
+    np.testing.assert_array_equal(
+        da.coord_values('region'),
+        ['Global', 'Tropics', 'Tropics (Land)'])
+    # Values survive the stack: 2018 hres slice equals the source file.
+    src = io_lib.load_dataset(
+        str(tmp_path / 'hres_vs_era5_64x32_2018-init12h.npz'))
+    got = da.sel(model='IFS HRES vs ERA5', metric='RMSE', year='2018',
+                 resolution='64x32')
+    np.testing.assert_allclose(
+        np.asarray(got.transpose('lead_time', 'region').values, np.float64),
+        np.asarray(src['rmse.geopotential'].values, np.float64), atol=1e-7)
+
+  def test_interactive_html_payload(self, tmp_path):
+    import json as json_lib
+    import re as re_lib
+
+    from weatherbenchx_tpu.apps import scorecard_html
+
+    self._write_results(tmp_path)
+    out = str(tmp_path / 'scorecard.npz')
+    combine_results.main(['--results_dir', str(tmp_path),
+                          '--output_path', out, '--display_names'])
+    page = scorecard_html.render_scorecard_html(out)
+    m = re_lib.search(r'const DATA = (\{.*?\});\n', page, re_lib.S)
+    assert m, 'embedded DATA payload missing'
+    data = json_lib.loads(m.group(1))
+    assert data['years'] == ['2018', '2020']
+    assert data['resolutions'] == ['64x32']
+    assert data['models'] == ['IFS HRES vs ERA5', 'Pangu-Weather vs ERA5']
+    rows = data['values']['Geopotential']['RMSE']['all']['Global'][
+        '2018|64x32']
+    assert len(rows) == 2 and len(rows[0]) == 4  # models x leads
+    # The dash-app interactions are present in the page.
+    for needle in ('applyRelative', 'maskLeadZero', 'seepsGuard',
+                   "id=\"markers\"", "id=\"year\"", "id=\"resolution\"",
+                   'units'):
+      assert needle in page, needle

@@ -67,7 +67,7 @@ class TestScorecardHTML:
     data = json.loads(m.group(1))
     assert data['models'] == ['a', 'b']
     assert data['regions'] == ['global', 'tropics']
-    assert data['values']['t2m']['RMSE']['all']['tropics'] == [
+    assert data['values']['t2m']['RMSE']['all']['tropics']['all'] == [
         [1.0, 3.0], [5.0, 7.0]]
 
   def test_nan_rendered_as_null(self, tmp_path):
@@ -78,7 +78,7 @@ class TestScorecardHTML:
     page = scorecard_html.render_scorecard_html(path)
     data = json.loads(re.search(r'const DATA = (\{.*?\});\n', page,
                                 re.S).group(1))
-    assert data['values']['v']['RMSE']['all']['all'] == [[None]]
+    assert data['values']['v']['RMSE']['all']['all']['all'] == [[None]]
 
   def test_level_dimension_gets_own_layer(self, tmp_path):
     da = DimArray(
@@ -95,5 +95,5 @@ class TestScorecardHTML:
     data = json.loads(re.search(r'const DATA = (\{.*?\});\n', page,
                                 re.S).group(1))
     assert list(data['values']['z']['RMSE'].keys()) == ['500', '700', '850']
-    assert data['values']['z']['RMSE']['700']['tropics'] == [[5.0, 7.0]]
+    assert data['values']['z']['RMSE']['700']['tropics']['all'] == [[5.0, 7.0]]
     assert data['lead_hours'] == [0, 6]

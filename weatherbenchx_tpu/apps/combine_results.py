@@ -9,6 +9,7 @@ scorecard dataset (.npz container; export to Zarr/netCDF via
 
 import argparse
 import os
+import re
 from typing import Mapping, Optional, Sequence
 
 import numpy as np
@@ -17,20 +18,97 @@ from weatherbenchx_tpu import darray
 from weatherbenchx_tpu import io as io_lib
 from weatherbenchx_tpu.darray import Coord, DimArray
 
-# Display renames (reference ``combine_results.py`` rename maps).
+# Display renames (reference ``combine_results.py:139-193`` rename maps).
 METRIC_RENAMES = {
     'rmse': 'RMSE',
+    'mae': 'MAE',
     'mse': 'MSE',
     'bias': 'Bias',
     'acc': 'ACC',
     'seeps': 'SEEPS',
     'vector_rmse': 'Vector RMSE',
-    'prediction_activity': 'Activity',
+    'prediction_activity': 'Forecast Activity',
     'crps': 'CRPS',
-    'unbiased_spread_skill': 'Spread/Skill',
-    'unbiased_mean_rmse': 'Ensemble-mean RMSE (unbiased)',
-    'mean_rmse': 'Ensemble-mean RMSE',
+    'spread_skill': 'Spread/Skill',
+    'unbiased_spread_skill': 'Unbiased Spread/Skill',
+    'unbiased_mean_rmse': 'Unbiased Mean RMSE',
+    'mean_rmse': 'Mean RMSE',
 }
+
+VARIABLE_NAMES = {
+    'geopotential': 'Geopotential',
+    'temperature': 'Temperature',
+    'specific_humidity': 'Specific Humidity',
+    'u_component_of_wind': 'U Component of Wind',
+    'v_component_of_wind': 'V Component of Wind',
+    '10m_u_component_of_wind': '10m U Component of Wind',
+    '10m_v_component_of_wind': '10m V Component of Wind',
+    'mean_sea_level_pressure': 'Sea Level Pressure',
+    '2m_temperature': '2m Temperature',
+    'total_precipitation_6hr': '6h Precipitation',
+    'total_precipitation_24hr': '24h Precipitation',
+    'wind_speed': 'Wind Speed',
+    '10m_wind_speed': '10m Wind Speed',
+    'wind_vector': 'Wind Vector',
+    '10m_wind_vector': '10m Wind Vector',
+}
+
+REGION_NAMES = {
+    'global': 'Global',
+    'tropics': 'Tropics',
+    'northern-hemisphere': 'Northern Hemisphere',
+    'southern-hemisphere': 'Southern Hemisphere',
+    'europe': 'Europe',
+    'north-america': 'North America',
+    'north-atlantic': 'North Atlantic',
+    'north-pacific': 'North Pacific',
+    'east-asia': 'East Asia',
+    'ausnz': 'Australia/New Zealand',
+    'arctic': 'Arctic',
+    'antarctic': 'Antarctic',
+    'northern-africa': 'Northern Africa',
+    'southern-africa': 'Southern Africa',
+    'south-america': 'South America',
+    'west-asia': 'West Asia',
+    'south-east-asia': 'South-East Asia',
+}
+
+# (model)_vs_(target) → website display names
+# (reference ``combine_results.py:51-117``).
+MODEL_NAMES = {
+    'hres_vs_hres_t0': 'IFS HRES vs Analysis',
+    'hres_vs_era5': 'IFS HRES vs ERA5',
+    'ens_mean_vs_hres_t0': 'IFS ENS (mean) vs Analysis',
+    'ens_single_member_vs_hres_t0': 'IFS ENS (1st member) vs Analysis',
+    'ens_mean_vs_era5': 'IFS ENS (mean) vs ERA5',
+    'ens_single_member_vs_era5': 'IFS ENS (1st member) vs ERA5',
+    'era5_forecast_vs_era5': 'ERA5-Forecasts vs ERA5',
+    'climatology_vs_era5': 'Climatology vs ERA5',
+    'persistence_vs_era5': 'Persistence vs ERA5',
+    'keisler_vs_era5': 'Keisler (2022) vs ERA5',
+    'pangu_vs_era5': 'Pangu-Weather vs ERA5',
+    'pangu_hres_init_vs_era5': 'Pangu-Weather (oper.) vs ERA5',
+    'pangu_hres_init_vs_hres_t0': 'Pangu-Weather (oper.) vs Analysis',
+    'graphcast_vs_era5': 'GraphCast vs ERA5',
+    'graphcast_hres_init_vs_era5': 'GraphCast (oper.) vs ERA5',
+    'graphcast_hres_init_vs_hres_t0': 'GraphCast (oper.) vs Analysis',
+    'neuralgcm_ens_mean_vs_era5': 'NeuralGCM ENS (mean) vs ERA5',
+    'neuralgcm_ens_single_member_vs_era5':
+        'NeuralGCM ENS (1st member) vs ERA5',
+    'fuxi_vs_era5': 'FuXi vs ERA5',
+    'ens_vs_hres_t0': 'IFS ENS vs Analysis',
+    'ens_vs_era5': 'IFS ENS vs ERA5',
+    'neuralgcm_ens_vs_era5': 'NeuralGCM ENS vs ERA5',
+    'probabilistic_climatology_vs_era5': 'Probabilistic Climatology vs ERA5',
+}
+
+
+def rename_region(region: str) -> str:
+  """'tropics_land' → 'Tropics (Land)' (reference :214-218)."""
+  if region.endswith('_land'):
+    base = region[:-len('_land')]
+    return REGION_NAMES.get(base, base) + ' (Land)'
+  return REGION_NAMES.get(region, region)
 
 
 def combine_model_results(
@@ -48,6 +126,10 @@ def combine_model_results(
     by_var: dict[str, dict[str, DimArray]] = {}
     for key, da in ds.items():
       metric, var = str(key).split('.', 1)
+      if metric == 'vector_rmse':
+        # Reference folds vector RMSE into the RMSE metric of a synthetic
+        # '<name>_vector' variable (``combine_results.py:235-238``).
+        metric, var = 'rmse', f'{var}_vector'
       by_var.setdefault(var, {})[METRIC_RENAMES.get(metric, metric)] = da
     per_model[model] = by_var
 
@@ -81,29 +163,125 @@ def combine_model_results(
   return out
 
 
+_FILE_RE = re.compile(
+    r'^(?P<model>.+?_vs_[^_]+(?:_t0)?)_(?P<res>\d+x\d+)(?:_(?P<year>\d{4}))?'
+    r'.*\.npz$')
+
+
+def _parse_result_filename(fn: str):
+  """'<model>_vs_<target>_<res>[_<year>]...npz' → (model_vs_target, res, yr).
+
+  Falls back to (prefix-before-_vs_-target, None, None) for names without
+  the resolution segment.
+  """
+  m = _FILE_RE.match(fn)
+  if m:
+    return m.group('model'), m.group('res'), m.group('year')
+  base = fn[:-len('.npz')]
+  return base, None, None
+
+
+def _reindex_models(da: DimArray, models: Sequence[str]) -> DimArray:
+  have = [str(m) for m in da.coord_values('model')]
+  if have == list(models):
+    return da
+  ax = da.dims.index('model')
+  shape = list(da.shape)
+  shape[ax] = len(models)
+  out = np.full(shape, np.nan, dtype=np.float64)
+  src = np.asarray(da.values, dtype=np.float64)
+  for i, m in enumerate(models):
+    if m in have:
+      out[(slice(None),) * ax + (i,)] = src[
+          (slice(None),) * ax + (have.index(m),)]
+  coords = dict(da.coords)
+  coords['model'] = Coord(('model',), np.array(list(models)))
+  return DimArray(out, da.dims, coords)
+
+
+def combine_result_files(
+    files: Mapping[str, str],
+    display_names: bool = False,
+) -> dict[str, DimArray]:
+  """Combines result files, stacking year/resolution dims when present.
+
+  ``files`` maps file basename → path. When the basenames carry multiple
+  (resolution, year) combinations, the output gains 'resolution' and
+  'year' dims (reference ``combine_results.py:268-283``); holes are NaN.
+  """
+  groups: dict = {}
+  for fn, path in files.items():
+    model, res, year = _parse_result_filename(fn)
+    if not display_names:
+      model = model.split('_vs_')[0]
+    elif model in MODEL_NAMES:
+      model = MODEL_NAMES[model]
+    groups.setdefault((res or '', year or ''), {})[model] = path
+
+  per_combo = {combo: combine_model_results(paths)
+               for combo, paths in sorted(groups.items())}
+  if display_names:
+    renamed = {}
+    for combo, ds in per_combo.items():
+      out = {}
+      for var, da in ds.items():
+        if 'region' in da.dims:
+          da = da.assign_coords(region=Coord(('region',), np.array(
+              [rename_region(str(r)) for r in da.coord_values('region')])))
+        out[VARIABLE_NAMES.get(var, var)] = da
+      renamed[combo] = out
+    per_combo = renamed
+  if len(per_combo) == 1:
+    return next(iter(per_combo.values()))
+
+  resolutions = sorted({r for r, _ in per_combo})
+  years = sorted({y for _, y in per_combo})
+  variables = sorted({v for ds in per_combo.values() for v in ds})
+  all_models = sorted({str(m) for ds in per_combo.values()
+                       for da in ds.values()
+                       for m in da.coord_values('model')})
+  out: dict[str, DimArray] = {}
+  for var in variables:
+    template = next(ds[var] for ds in per_combo.values() if var in ds)
+    template = _reindex_models(template, all_models)
+    nan = template.copy(data=np.full(template.shape, np.nan))
+    res_stack = []
+    for res in resolutions:
+      year_stack = []
+      for year in years:
+        ds = per_combo.get((res, year))
+        da = (_reindex_models(ds[var], all_models)
+              if ds and var in ds else nan)
+        year_stack.append(da)
+      res_stack.append(
+          darray.concat(year_stack, 'year').assign_coords(
+              year=Coord(('year',), np.array(years))))
+    out[var] = darray.concat(res_stack, 'resolution').assign_coords(
+        resolution=Coord(('resolution',), np.array(resolutions)))
+  return out
+
+
 def main(argv: Optional[Sequence[str]] = None) -> None:
   p = argparse.ArgumentParser(description=__doc__)
   p.add_argument('--results_dir', required=True,
                  help='Directory of per-model metric .npz files')
   p.add_argument('--output_path', required=True,
                  help='Combined scorecard output (.npz)')
+  p.add_argument('--display_names', action='store_true',
+                 help='Apply the website display-name maps to models, '
+                      'variables and regions (reference rename maps)')
   args = p.parse_args(argv)
 
-  model_files = {}
-  for fn in sorted(os.listdir(args.results_dir)):
-    if fn.endswith('.npz'):
-      model = fn.split('_vs_')[0]
-      if model in model_files:
-        print(f'WARNING: multiple result files for model {model!r}; '
-              f'using {fn} and ignoring '
-              f'{os.path.basename(model_files[model])}')
-      model_files[model] = os.path.join(args.results_dir, fn)
-  if not model_files:
+  files = {fn: os.path.join(args.results_dir, fn)
+           for fn in sorted(os.listdir(args.results_dir))
+           if fn.endswith('.npz')}
+  if not files:
     raise SystemExit(f'No .npz result files found in {args.results_dir}')
-  combined = combine_model_results(model_files)
+  combined = combine_result_files(files, display_names=args.display_names)
   io_lib.save_dataset(args.output_path, combined)
+  n_models = max(len(da.coord_values('model')) for da in combined.values())
   print(f'Wrote scorecard with {len(combined)} variables, '
-        f'{len(model_files)} models to {args.output_path}')
+        f'{n_models} models to {args.output_path}')
 
 
 if __name__ == '__main__':

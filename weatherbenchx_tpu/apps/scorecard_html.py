@@ -6,14 +6,21 @@ This dependency-free equivalent renders the combined scorecard
 (``combine_results`` output) into a single HTML file with the same
 interactions, no server required:
 
-- variable / metric / level / region selectors (level disabled for
-  surface variables, mirroring ``dash_app.py:272-276``);
-- an SVG line chart of score vs lead time, one line per model, with a
-  click-to-toggle legend (``dash_app.py:376-393``), gaps connected
-  across NaNs;
-- a relative-to-baseline mode: % improvement ``-100*(x-b)/b``, with the
-  ACC special case ``100*(x-b)/(1-b)`` and lead 0 dropped, exactly as
-  ``dash_app.py:341-350``;
+- variable / metric / level / region / year / resolution selectors
+  (level disabled for surface variables, year/resolution shown only when
+  the scorecard carries those dims, mirroring ``dash_app.py:55-236``);
+- an SVG line chart of score vs lead time (ticks every 24 h), one line
+  per model with stable colors, a click-to-toggle legend with
+  default-visible model subsets and a markers toggle
+  (``dash_app.py:355-393, 217-236``), gaps connected across NaNs;
+- a relative-to-baseline mode: % improvement ``-100*(x-b)/b``, the ACC
+  special case ``100*(x-b)/(1-b)``, lead 0 dropped, exactly as
+  ``dash_app.py:341-350``; Spread/Skill also drops lead 0
+  (``dash_app.py:351-352``);
+- SEEPS guards: alert for non-precipitation variables and for relative
+  mode vs an Analysis baseline (``dash_app.py:314-320``);
+- y-axis labels with physical units (``UNITS``, reference
+  ``combine_results.py:173-193``);
 - the color-scaled model x lead-time table below the chart.
 
 Example:
@@ -28,6 +35,25 @@ from typing import Optional, Sequence
 import numpy as np
 
 from weatherbenchx_tpu import io as io_lib
+from weatherbenchx_tpu.apps import combine_results as combine_lib
+
+UNITS = {
+    'Geopotential': 'm²/s²', 'geopotential': 'm²/s²',
+    'Temperature': 'K', 'temperature': 'K',
+    'Specific Humidity': 'g/kg', 'specific_humidity': 'g/kg',
+    'U Component of Wind': 'm/s', 'u_component_of_wind': 'm/s',
+    'V Component of Wind': 'm/s', 'v_component_of_wind': 'm/s',
+    '10m U Component of Wind': 'm/s', '10m_u_component_of_wind': 'm/s',
+    '10m V Component of Wind': 'm/s', '10m_v_component_of_wind': 'm/s',
+    'Sea Level Pressure': 'Pa', 'mean_sea_level_pressure': 'Pa',
+    '2m Temperature': 'K', '2m_temperature': 'K',
+    '6h Precipitation': 'mm', 'total_precipitation_6hr': 'mm',
+    '24h Precipitation': 'mm', 'total_precipitation_24hr': 'mm',
+    'Wind Speed': 'm/s', 'wind_speed': 'm/s',
+    '10m Wind Speed': 'm/s', '10m_wind_speed': 'm/s',
+    'Wind Vector': 'm/s', 'wind_vector': 'm/s',
+    '10m Wind Vector': 'm/s', '10m_wind_vector': 'm/s',
+}
 
 _PAGE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>WeatherBench-X TPU scorecard</title>
@@ -44,6 +70,8 @@ _PAGE = """<!DOCTYPE html>
  #legend span {{ cursor: pointer; margin-right: 1rem; user-select: none;
                  font-size: 0.9rem; }}
  #legend span.off {{ opacity: 0.3; }}
+ #alert {{ color: #8a1f11; background: #fbe3e4; padding: 0.5rem 1rem;
+           border-radius: 4px; display: none; margin: 0.6rem 0; }}
  svg text {{ font-size: 11px; fill: #444; }}
 </style></head>
 <body>
@@ -53,18 +81,28 @@ _PAGE = """<!DOCTYPE html>
  <label>Metric <select id="metric"></select></label>
  <label>Level <select id="level"></select></label>
  <label>Region <select id="region"></select></label>
+ <label id="yearlbl">Year <select id="year"></select></label>
+ <label id="reslbl">Resolution <select id="resolution"></select></label>
+</div>
+<div style="margin-top:0.4rem">
  <label><input type="radio" name="rel" value="abs" checked> Absolute</label>
  <label><input type="radio" name="rel" value="rel"> Relative to
   <select id="baseline"></select></label>
+ <label><input type="checkbox" id="markers" checked> Markers</label>
 </div>
+<div id="alert"></div>
 <div id="legend"></div>
 <svg id="chart" width="900" height="420"></svg>
 <div id="tables"></div>
 <script>
 const DATA = {data_json};
 const PALETTE = ['#1f77b4','#ff7f0e','#2ca02c','#d62728','#9467bd',
-                 '#8c564b','#e377c2','#7f7f7f','#bcbd22','#17becf'];
-const hidden = new Set();
+                 '#8c564b','#e377c2','#7f7f7f','#bcbd22','#17becf',
+                 '#aec7e8','#ffbb78','#98df8a','#ff9896','#c5b0d5'];
+// Default-visible subset (dash_app.py:361-372): beyond the first
+// DEFAULT_VISIBLE models start legend-hidden; clicking toggles.
+const DEFAULT_VISIBLE = 8;
+const hidden = new Set(DATA.models.slice(DEFAULT_VISIBLE));
 const $ = id => document.getElementById(id);
 function fill(sel, opts) {{
   const prev = sel.value; sel.innerHTML = '';
@@ -75,6 +113,10 @@ fill($('variable'), DATA.variables);
 fill($('metric'), DATA.metrics);
 fill($('region'), DATA.regions);
 fill($('baseline'), DATA.models);
+fill($('year'), DATA.years);
+fill($('resolution'), DATA.resolutions);
+if (DATA.years.length < 2) $('yearlbl').style.display = 'none';
+if (DATA.resolutions.length < 2) $('reslbl').style.display = 'none';
 function relMode() {{
   return document.querySelector('input[name=rel]:checked').value === 'rel';
 }}
@@ -85,7 +127,20 @@ function currentEntry() {{
   const levels = Object.keys(byMetric);
   fill($('level'), levels);
   $('level').disabled = levels.length === 1 && levels[0] === 'all';
-  return byMetric[$('level').value]?.[$('region').value] ?? null;
+  const byRegion = byMetric[$('level').value]?.[$('region').value];
+  if (!byRegion) return null;
+  const yr = `${{$('year').value}}|${{$('resolution').value}}`;
+  return byRegion[yr] ?? byRegion['all'] ?? null;
+}}
+function seepsGuard() {{
+  const m = $('metric').value, v = $('variable').value;
+  if (m !== 'SEEPS') return null;
+  if (!v.toLowerCase().includes('precipitation') &&
+      !v.toLowerCase().includes('precip'))
+    return 'SEEPS is only defined for precipitation variables.';
+  if (relMode() && $('baseline').value.includes('Analysis'))
+    return 'SEEPS cannot be compared against an Analysis baseline.';
+  return null;
 }}
 function applyRelative(rows, metric) {{
   const b = DATA.models.indexOf($('baseline').value);
@@ -97,10 +152,15 @@ function applyRelative(rows, metric) {{
                             : -100 * (x - base[j]) / base[j];
   }}));
 }}
+function maskLeadZero(rows) {{
+  return rows.map(row => row.map(
+      (x, j) => DATA.lead_hours[j] === 0 ? null : x));
+}}
 function drawChart(rows, ylabel) {{
   const svg = $('chart'), W = 900, H = 420;
   const ml = 70, mr = 20, mt = 15, mb = 45;
   const xs = DATA.lead_hours;
+  const withMarkers = $('markers').checked;
   const shown = rows.map((r, i) => hidden.has(DATA.models[i]) ? null : r);
   const flat = shown.flat().filter(x => x != null && isFinite(x));
   if (!flat.length) {{ svg.innerHTML =
@@ -118,7 +178,13 @@ function drawChart(rows, ylabel) {{
             stroke="#eee"/><text x="${{ml - 6}}" y="${{y + 4}}"
             text-anchor="end">${{v.toPrecision(3)}}</text>`;
   }}
-  for (const h of xs) out += `<text x="${{X(h)}}" y="${{H - mb + 16}}"
+  // x ticks: every 24h once the axis spans > 48h (dash_app.py:418).
+  const tickStep = (x1 - x0) > 48 ? 24 : null;
+  const ticks = tickStep
+      ? Array.from({{length: Math.floor(x1 / tickStep) + 1}},
+                   (_, i) => i * tickStep).filter(h => h >= x0)
+      : xs;
+  for (const h of ticks) out += `<text x="${{X(h)}}" y="${{H - mb + 16}}"
       text-anchor="middle">${{h}}h</text>`;
   out += `<text x="${{ml - 52}}" y="${{(mt + H - mb) / 2}}"
       transform="rotate(-90 ${{ml - 52}} ${{(mt + H - mb) / 2}})"
@@ -132,9 +198,10 @@ function drawChart(rows, ylabel) {{
     out += '<polyline fill="none" stroke="' + c + '" stroke-width="2" '
         + 'points="' + pts.map(p => `${{X(p[0])}},${{Y(p[1])}}`).join(' ')
         + '"/>';
-    for (const p of pts) out += `<circle cx="${{X(p[0])}}" cy="${{Y(p[1])}}"
-        r="2.5" fill="${{c}}"><title>${{DATA.models[i]}} @ ${{p[0]}}h:
-        ${{p[1].toPrecision(5)}}</title></circle>`;
+    if (withMarkers)
+      for (const p of pts) out += `<circle cx="${{X(p[0])}}" cy="${{Y(p[1])}}"
+          r="2.5" fill="${{c}}"><title>${{DATA.models[i]}} @ ${{p[0]}}h:
+          ${{p[1].toPrecision(5)}}</title></circle>`;
   }});
   svg.innerHTML = out;
 }}
@@ -172,26 +239,42 @@ function drawTable(rows, title) {{
 }}
 function render() {{
   $('baseline').disabled = !relMode();
-  let rows = currentEntry();
+  const alertBox = $('alert');
+  const guard = seepsGuard();
   drawLegend();
+  if (guard) {{
+    alertBox.textContent = guard;
+    alertBox.style.display = 'block';
+    $('chart').innerHTML = '';
+    $('tables').innerHTML = '';
+    return;
+  }}
+  alertBox.style.display = 'none';
+  let rows = currentEntry();
   if (!rows) {{
     $('chart').innerHTML = '';
     $('tables').innerHTML = '<p>No data for this selection.</p>';
     return;
   }}
   const metric = $('metric').value;
-  let ylabel = metric;
+  const unit = DATA.units[$('variable').value];
+  let ylabel = unit ? `${{metric}} [${{unit}}]` : metric;
+  if (metric === 'ACC') ylabel = 'ACC';
   if (relMode()) {{
     rows = applyRelative(rows, metric);
     ylabel = `% improvement vs ${{$('baseline').value}}`;
+  }} else if (metric.includes('Spread/Skill')) {{
+    rows = maskLeadZero(rows);  // dash_app.py:351-352
   }}
   const title = [$('variable').value, metric, $('level').value,
                  $('region').value].filter(s => s !== 'all').join(' &mdash; ');
   drawChart(rows, ylabel);
   drawTable(rows, title);
 }}
-for (const id of ['variable', 'metric', 'level', 'region', 'baseline'])
+for (const id of ['variable', 'metric', 'level', 'region', 'year',
+                  'resolution', 'baseline'])
   $(id).onchange = render;
+$('markers').onchange = render;
 for (const r of document.querySelectorAll('input[name=rel]'))
   r.onchange = render;
 render();
@@ -204,7 +287,8 @@ def render_scorecard_html(scorecard_path: str) -> str:
   """Renders the combined scorecard npz into a standalone HTML page.
 
   The input follows the ``combine_results`` schema: one DimArray per
-  variable with dims ``(model, metric[, level][, lead_time][, region])``.
+  variable with dims ``(model, metric[, resolution][, year][, level]
+  [, lead_time][, region])``.
   """
   sc = io_lib.load_dataset(scorecard_path)
   variables = sorted(str(v) for v in sc.keys())
@@ -214,6 +298,10 @@ def render_scorecard_html(scorecard_path: str) -> str:
                     for m in sc[v].coord_values('metric')})
   regions = ([str(r) for r in first.coord_values('region')]
              if 'region' in first.dims else ['all'])
+  years = ([str(y) for y in first.coord_values('year')]
+           if 'year' in first.dims else ['all'])
+  resolutions = ([str(r) for r in first.coord_values('resolution')]
+                 if 'resolution' in first.dims else ['all'])
   if 'lead_time' in first.dims:
     lead_values = first.coord_values('lead_time')
     if lead_values.dtype.kind == 'm':
@@ -241,15 +329,27 @@ def render_scorecard_html(scorecard_path: str) -> str:
                 if level_value is not None else msel)
         by_region: dict = {}
         for region in regions:
-          r = lsel.sel(region=region) if 'region' in lsel.dims else lsel
-          order = ['model'] + (['lead_time'] if 'lead_time' in r.dims else [])
-          r = r.transpose(*order) if r.dims != tuple(order) else r
-          arr = np.asarray(r.values, dtype=np.float64)
-          if arr.ndim == 1:
-            arr = arr[:, None]
-          by_region[region] = [
-              [None if not np.isfinite(x) else float(x) for x in row]
-              for row in arr]
+          r0 = lsel.sel(region=region) if 'region' in lsel.dims else lsel
+          by_yr: dict = {}
+          for year in years:
+            for resolution in resolutions:
+              r = r0
+              if 'year' in r.dims:
+                r = r.sel(year=year)
+              if 'resolution' in r.dims:
+                r = r.sel(resolution=resolution)
+              order = ['model'] + (
+                  ['lead_time'] if 'lead_time' in r.dims else [])
+              r = r.transpose(*order) if r.dims != tuple(order) else r
+              arr = np.asarray(r.values, dtype=np.float64)
+              if arr.ndim == 1:
+                arr = arr[:, None]
+              key = ('all' if years == ['all'] and resolutions == ['all']
+                     else f'{year}|{resolution}')
+              by_yr[key] = [
+                  [None if not np.isfinite(x) else float(x) for x in row]
+                  for row in arr]
+          by_region[region] = by_yr
         by_level[level] = by_region
       values[variable][metric] = by_level
 
@@ -258,8 +358,11 @@ def render_scorecard_html(scorecard_path: str) -> str:
       'models': models,
       'metrics': metrics,
       'regions': regions,
+      'years': years,
+      'resolutions': resolutions,
       'lead_times': lead_labels,
       'lead_hours': lead_hours,
+      'units': {v: UNITS.get(v) for v in variables},
       'values': values,
   }
   return _PAGE.format(data_json=json.dumps(data))
