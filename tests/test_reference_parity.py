@@ -76,11 +76,15 @@ def _import_reference():
     from weatherbenchX.metrics import probabilistic
     from weatherbenchX.metrics import spatial
     from weatherbenchX.metrics import wrappers
+    from weatherbenchX.statistical_inference import autodiff as si_autodiff
+    from weatherbenchX.statistical_inference import base as si_base
+    from weatherbenchX.statistical_inference import t_test as si_t_test
     ns = types.SimpleNamespace(
         xr=shim_xr, aggregation=aggregation, binning=binning,
         weighting=weighting, xarray_tree=xarray_tree, base=base,
         categorical=categorical, deterministic=deterministic,
-        probabilistic=probabilistic, spatial=spatial, wrappers=wrappers)
+        probabilistic=probabilistic, spatial=spatial, wrappers=wrappers,
+        si_autodiff=si_autodiff, si_base=si_base, si_t_test=si_t_test)
     _REF_CACHE.append(ns)
     return ns
   finally:
@@ -699,3 +703,133 @@ class TestStateInterop:
     summed = t_aggregation.AggregationState.sum(parts)
     t_values = summed.metric_values(t_metrics)
     compare_results(r_values, t_values, atol=1e-5)
+
+
+class TestInferenceParity:
+  """Statistical inference (L5): delta-method + t-test family parity.
+
+  The reference's own autodiff (jax.linearize over values_from_mean_
+  statistics, reference ``autodiff.py:33-233``) runs THROUGH the shim
+  xarray layer; its per-unit linearized values and the deterministic
+  t-test outputs (point estimates, stderr, CIs, p-values for IID,
+  GeerAR2Corrected and LazarusHACEWC) are compared against this repo's
+  native-jax implementations on identical per-init states.
+  """
+
+  N_UNITS = 16
+
+  def _states(self, ref):
+    from weatherbenchx_tpu.inference import t_test as my_t_test  # noqa: F401
+
+    init_times = (np.datetime64('2020-01-01T00', 'ns')
+                  + np.arange(self.N_UNITS) * np.timedelta64(12, 'h'))
+    lats, lons = LATS, LONS
+    rng = _rng(90)
+    shape = (self.N_UNITS, N_LEAD, len(lats), len(lons))
+    arrs = {
+        'p': rng.random(shape, dtype=np.float32),
+        't': rng.random(shape, dtype=np.float32),
+    }
+    dims = ('init_time', 'lead_time', 'latitude', 'longitude')
+    coords = {'init_time': init_times, 'lead_time': LEAD_TIMES,
+              'latitude': lats, 'longitude': lons}
+    rp = {'2m_temperature': ref.xr.DataArray(arrs['p'], dims=dims,
+                                             coords=coords)}
+    rt = {'2m_temperature': ref.xr.DataArray(arrs['t'], dims=dims,
+                                             coords=coords)}
+    tp = {'2m_temperature': DimArray(arrs['p'], dims, coords)}
+    tt = {'2m_temperature': DimArray(arrs['t'], dims, coords)}
+    r_metrics = {'rmse': ref.deterministic.RMSE(),
+                 'bias': ref.deterministic.Bias()}
+    t_metrics = {'rmse': t_deterministic.RMSE(),
+                 'bias': t_deterministic.Bias()}
+    reduce = ['lead_time', 'latitude', 'longitude']
+    r_stats = ref.base.compute_unique_statistics_for_all_metrics(
+        r_metrics, dict(rp), dict(rt))
+    r_state = ref_agg(ref, reduce_dims=reduce).aggregate_statistics(r_stats)
+    t_stats = t_base.compute_unique_statistics_for_all_metrics(
+        t_metrics, dict(tp), dict(tt))
+    t_state = tpu_agg(reduce_dims=reduce).aggregate_statistics(t_stats)
+    return r_metrics, r_state, t_metrics, t_state
+
+  def _compare_nested(self, r_map, t_map, atol=1e-5, rtol=1e-5):
+    assert set(r_map.keys()) == set(t_map.keys())
+    for metric in r_map:
+      assert set(r_map[metric].keys()) == set(t_map[metric].keys()), metric
+      for var in r_map[metric]:
+        r = r_map[metric][var]
+        t = t_map[metric][var]
+        rv = np.asarray(
+            (r.transpose(*t.dims) if set(r.dims) == set(t.dims) and
+             r.dims != t.dims else r).values, np.float64)
+        np.testing.assert_allclose(
+            np.asarray(t.data, np.float64), rv, atol=atol, rtol=rtol,
+            err_msg=f'{metric}.{var}')
+
+  def test_delta_method_linearized_values(self, ref):
+    from weatherbenchx_tpu.inference import autodiff as my_autodiff
+
+    r_metrics, r_state, t_metrics, t_state = self._states(ref)
+    r_vals, r_tangents = (
+        ref.si_autodiff.per_unit_values_linearized_around_mean_statistics(
+            r_metrics, r_state, 'init_time'))
+    t_vals, t_tangents = (
+        my_autodiff.per_unit_values_linearized_around_mean_statistics(
+            t_metrics, t_state, 'init_time'))
+    self._compare_nested(r_vals, t_vals)
+    self._compare_nested(r_tangents, t_tangents, atol=1e-6)
+
+  @pytest.mark.parametrize('method', ['IID', 'GeerAR2Corrected',
+                                      'LazarusHACEWC'])
+  def test_t_test_family(self, ref, method):
+    from weatherbenchx_tpu.inference import t_test as my_t_test
+
+    r_metrics, r_state, t_metrics, t_state = self._states(ref)
+    r_inf = getattr(ref.si_t_test, method)(
+        r_metrics, r_state, experimental_unit_dim='init_time')
+    t_inf = getattr(my_t_test, method)(
+        t_metrics, t_state, experimental_unit_dim='init_time')
+    self._compare_nested(r_inf.point_estimates(), t_inf.point_estimates())
+    self._compare_nested(r_inf.standard_error_estimates(),
+                         t_inf.standard_error_estimates())
+    r_lo, r_hi = r_inf.confidence_intervals()
+    t_lo, t_hi = t_inf.confidence_intervals()
+    self._compare_nested(r_lo, t_lo)
+    self._compare_nested(r_hi, t_hi)
+    self._compare_nested(r_inf.p_values(), t_inf.p_values(), atol=1e-6)
+
+  def test_paired_baseline_comparison(self, ref):
+    from weatherbenchx_tpu.inference import t_test as my_t_test
+
+    r_metrics, r_state, t_metrics, t_state = self._states(ref)
+    # Second model: same targets, perturbed predictions -> build states.
+    init_times = (np.datetime64('2020-01-01T00', 'ns')
+                  + np.arange(self.N_UNITS) * np.timedelta64(12, 'h'))
+    rng = _rng(91)
+    shape = (self.N_UNITS, N_LEAD, len(LATS), len(LONS))
+    arr_p = rng.random(shape, dtype=np.float32)
+    arr_t = rng.random(shape, dtype=np.float32)
+    dims = ('init_time', 'lead_time', 'latitude', 'longitude')
+    coords = {'init_time': init_times, 'lead_time': LEAD_TIMES,
+              'latitude': LATS, 'longitude': LONS}
+    rp2 = {'2m_temperature': ref.xr.DataArray(arr_p, dims=dims,
+                                              coords=coords)}
+    rt2 = {'2m_temperature': ref.xr.DataArray(arr_t, dims=dims,
+                                              coords=coords)}
+    tp2 = {'2m_temperature': DimArray(arr_p, dims, coords)}
+    tt2 = {'2m_temperature': DimArray(arr_t, dims, coords)}
+    reduce = ['lead_time', 'latitude', 'longitude']
+    r_state2 = ref_agg(ref, reduce_dims=reduce).aggregate_statistics(
+        ref.base.compute_unique_statistics_for_all_metrics(
+            r_metrics, rp2, rt2))
+    t_state2 = tpu_agg(reduce_dims=reduce).aggregate_statistics(
+        t_base.compute_unique_statistics_for_all_metrics(
+            t_metrics, tp2, tt2))
+    r_inf = ref.si_t_test.IID.for_baseline_comparison(
+        r_metrics, r_state, r_state2, experimental_unit_dim='init_time')
+    t_inf = my_t_test.IID.for_baseline_comparison(
+        t_metrics, t_state, t_state2, experimental_unit_dim='init_time')
+    self._compare_nested(r_inf.point_estimates(), t_inf.point_estimates())
+    self._compare_nested(r_inf.standard_error_estimates(),
+                         t_inf.standard_error_estimates())
+    self._compare_nested(r_inf.p_values(), t_inf.p_values(), atol=1e-6)

@@ -57,6 +57,29 @@ def _as_values(obj) -> np.ndarray:
   return np.asarray(obj)
 
 
+def _is_jaxish(x) -> bool:
+  """Array-like that must NOT be converted to numpy (jax array / tracer)."""
+  return 'jax' in type(x).__module__
+
+
+def _ufunc_for(op, *operands):
+  """The jnp counterpart of a numpy ufunc when any operand is jax-backed.
+
+  The reference's statistical_inference/autodiff.py traces metric
+  finalizers with jax.linearize THROUGH the (shim) xarray layer; numpy
+  ufuncs called on tracers raise TracerArrayConversionError, so arithmetic
+  must route through jax.numpy there.
+  """
+  if not any(_is_jaxish(o) for o in operands):
+    return op
+  import jax.numpy as jnp
+  name = getattr(op, '__name__', None)
+  fn = getattr(jnp, name, None) if name else None
+  if fn is None:
+    raise NotImplementedError(f'no jnp counterpart for {op}')
+  return fn
+
+
 def _is_scalar(v) -> bool:
   return np.ndim(v) == 0 and not isinstance(v, (list, tuple, DataArray))
 
@@ -103,6 +126,11 @@ class _Coords(Mapping):
 
   def keys(self):
     return self._owner._coords.keys()
+
+  def __or__(self, other):
+    out = {k: self[k] for k in self}
+    out.update(dict(other))
+    return out
 
 
 def _merge_coords(*coord_dicts, result_dims=None):
@@ -155,7 +183,8 @@ class DataArray:
       return
     if isinstance(data, (pd.Index, pd.Series)):
       data = np.asarray(data)
-    data = np.asarray(data)
+    if not _is_jaxish(data):
+      data = np.asarray(data)
     self._name = name
     self._attrs = dict(attrs or {})
     coord_map = {}
@@ -216,7 +245,7 @@ class DataArray:
   @classmethod
   def _construct(cls, data, dims, coords, name=None, attrs=None):
     out = cls.__new__(cls)
-    out._data = np.asarray(data)
+    out._data = data if _is_jaxish(data) else np.asarray(data)
     out._dims = tuple(dims)
     out._coords = dict(coords)
     out._name = name
@@ -428,7 +457,8 @@ class DataArray:
     if not isinstance(other, DataArray):
       if isinstance(other, (pd.Index, pd.Series)):
         other = np.asarray(other)
-      oarr = np.asarray(other)
+      oarr = other if _is_jaxish(other) else np.asarray(other)
+      op = _ufunc_for(op, oarr, self._data)
       res = op(oarr, self._data) if reflexive else op(self._data, oarr)
       return DataArray._construct(res, self._dims, self._coords,
                                   self._name, self._attrs)
@@ -436,6 +466,7 @@ class DataArray:
     dims = tuple(a._dims) + tuple(d for d in b._dims if d not in a._dims)
     av = _reshape_for(a, dims)
     bv = _reshape_for(b, dims)
+    op = _ufunc_for(op, av, bv)
     res = op(bv, av) if reflexive else op(av, bv)
     coords = _merge_coords(a._coords, b._coords, result_dims=set(dims))
     # Trim dims tuple if broadcasting dropped nothing (it can't), keep order.
@@ -477,20 +508,28 @@ class DataArray:
     return DataArray._construct(-self._data, self._dims, self._coords,
                                 self._name)
 
+  def as_numpy(self):
+    d = self._data
+    if _is_jaxish(d):
+      d = np.asarray(d)
+    return DataArray._construct(d, self._dims, self._coords, self._name,
+                                self._attrs)
+
   def __pos__(self):
     return self
 
   def __abs__(self):
-    return DataArray._construct(np.abs(self._data), self._dims, self._coords,
-                                self._name)
+    return DataArray._construct(_ufunc_for(np.abs, self._data)(self._data),
+                                self._dims, self._coords, self._name)
 
   def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
     if method != '__call__' or kwargs.get('out') is not None:
       return NotImplemented
     das = [x for x in inputs if isinstance(x, DataArray)]
     if len(inputs) == 1:
+      fn = _ufunc_for(ufunc, self._data)
       return DataArray._construct(
-          ufunc(self._data, **kwargs), self._dims, self._coords, self._name,
+          fn(self._data, **kwargs), self._dims, self._coords, self._name,
           self._attrs)
     if len(inputs) == 2:
       a, b = inputs
@@ -512,7 +551,7 @@ class DataArray:
   def isnull(self):
     d = self._data
     if d.dtype.kind in 'fc':
-      res = np.isnan(d)
+      res = _ufunc_for(np.isnan, d)(d)
     elif d.dtype.kind in 'mM':
       res = np.isnat(d)
     else:
@@ -558,6 +597,18 @@ class DataArray:
     return list(dim)
 
   def _reduce(self, dim, skipna, nanfunc, func, dtype_out=None, **kwargs):
+    # numpy's np.all(da)/np.sum(da)/... protocol passes axis/out/keepdims.
+    axis = kwargs.pop('axis', None)
+    if axis is not None:
+      if dim is not None:
+        raise ValueError('pass either dim or axis, not both')
+      dim = self._dims[axis] if isinstance(axis, int) else [
+          self._dims[a] for a in axis]
+    if kwargs.pop('out', None) is not None:
+      raise NotImplementedError('out=')
+    if kwargs.pop('keepdims', False):
+      raise NotImplementedError('keepdims=')
+    kwargs.pop('where', None)
     dims = self._reduce_dims(dim)
     for d in dims:
       if d not in self._dims:
@@ -566,8 +617,12 @@ class DataArray:
     if skipna is None:
       skipna = _default_skipna(self._data.dtype)
     f = nanfunc if (skipna and self._data.dtype.kind in 'fc') else func
-    res = f(self._data, axis=axes, **kwargs) if axes else np.asarray(
-        f(self._data, axis=None, **kwargs))
+    if _is_jaxish(self._data):
+      import jax.numpy as jnp
+      f = getattr(jnp, f.__name__)
+    res = f(self._data, axis=axes, **kwargs) if axes else (
+        f(self._data, axis=None, **kwargs) if _is_jaxish(self._data)
+        else np.asarray(f(self._data, axis=None, **kwargs)))
     if dtype_out is not None:
       res = res.astype(dtype_out)
     new_dims = tuple(d for d in self._dims if d not in dims)
@@ -889,7 +944,7 @@ class DataArray:
     else:
       ov = other
       coords = _merge_coords(a._coords, c._coords, result_dims=set(dims))
-    res = np.where(cv, av, ov)
+    res = _ufunc_for(np.where, cv, ov)(cv, av, ov)
     return DataArray._construct(res, dims, coords, a._name, a._attrs)
 
   # -- reshaping ---------------------------------------------------------------
@@ -1062,12 +1117,19 @@ class DataArray:
 
 
 def _reshape_for(da: DataArray, dims: Sequence[str]) -> np.ndarray:
-  """View of da's data positioned/broadcastable against the given dims."""
+  """View of da's data positioned/broadcastable against the given dims.
+
+  Uses array METHODS (transpose/reshape) so jax tracers pass through.
+  """
   missing = [d for d in da._dims if d not in dims]
   if missing:
     raise ValueError(f'dims {missing} of operand not in result dims {dims}')
   order = [d for d in dims if d in da._dims]
-  arr = np.transpose(da._data, [da._dims.index(d) for d in order])
+  arr = da._data
+  perm = [da._dims.index(d) for d in order]
+  if perm != list(range(arr.ndim)):
+    arr = arr.transpose(perm) if isinstance(arr, np.ndarray) else \
+        arr.transpose(*perm)
   shape = [da.sizes[d] if d in da._dims else 1 for d in dims]
   return arr.reshape(shape)
 
