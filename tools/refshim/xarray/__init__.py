@@ -99,6 +99,13 @@ class _Coords(Mapping):
     owner = self._owner
     if isinstance(value, DataArray):
       dims, vals = value._dims, value._data
+    elif (isinstance(value, tuple) and len(value) == 2
+          and isinstance(value[0], (str, tuple, list))):
+      # xarray's (dims, values) coord tuple form.
+      dims = (value[0],) if isinstance(value[0], str) else tuple(value[0])
+      vals = _as_values(value[1])
+      owner._coords[key] = (dims, vals)
+      return
     else:
       vals = _as_values(value)
       if vals.ndim == 0:
@@ -1070,6 +1077,16 @@ class DataArray:
       dims = tuple(order[:len(order) - len(old_dims)]) + (new_dim,)
       coords = {cn: c for cn, c in t._coords.items()
                 if not (set(c[0]) & set(old_dims))}
+      # Component coords over the stacked dims survive as non-dim coords
+      # along the new dim (xarray keeps them in the MultiIndex).
+      stack_shape = tuple(t.sizes[d] for d in old_dims)
+      for cn, (cdims, cvals) in t._coords.items():
+        if cdims and set(cdims) <= set(old_dims):
+          shape = tuple(t.sizes[d] if d in cdims else 1 for d in old_dims)
+          arr = np.transpose(cvals, [list(cdims).index(d)
+                                     for d in old_dims if d in cdims])
+          arr = np.broadcast_to(arr.reshape(shape), stack_shape)
+          coords[cn] = ((new_dim,), arr.reshape(n))
       out = DataArray._construct(data, dims, coords, out._name, out._attrs)
     return out
 

@@ -374,9 +374,20 @@ class Aggregator:
       else:
         return None
 
-    operands = [w.astype(stat.dtype) if w.dtype != stat.dtype else w
-                for w in weights]
-    operands += [m.astype(stat.dtype) for m in bin_masks]
+    def cast(da: DimArray) -> DimArray:
+      if da.dtype == stat.dtype:
+        return da
+      d = da.data
+      if isinstance(d, np.ndarray):
+        # Host cast: DimArray.astype routes through jnp, which on a
+        # remote-attached backend is an eager device round trip PER
+        # OPERAND PER CHUNK (measured ~minutes/chunk on the tunnel for
+        # the sparse pipeline). Operand prep is host-side by design.
+        return da.copy(data=d.astype(stat.dtype))
+      return da.astype(stat.dtype)
+
+    operands = [cast(w) for w in weights]
+    operands += [cast(m) for m in bin_masks]
     return operands
 
   _UNSET = object()

@@ -267,7 +267,9 @@ class ChunkEvaluator:
           coords = {n: c for n, c in op.coords.items()
                     if not (c.dims and set(c.dims) <= rd)}
           op = DimArray(op.data, op.dims, coords)
-          arrays.append(np.asarray(op.data))
+          # Never np.asarray a possibly-device leaf here: on a
+          # remote-attached backend that is a blocking D2H fetch.
+          arrays.append(op.data)
           slots.append((sname, var, i, op))
     if not arrays:
       moved = []
