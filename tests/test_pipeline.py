@@ -777,3 +777,38 @@ class TestInflightWindow:
     assert live[0] == 't136' and live[-1] == 't199'
     assert w.total_bytes == 200 * 5  # trimmed tokens keep their bytes
     assert fetched == []
+
+
+def test_select_on_reduced_dim_through_pipeline():
+  """Regression: wrappers.Select on a reduced GRID dim needs that dim's
+  host label coord at trace time — lean_pair must only strip ragged
+  (index) coords, not stable grid labels."""
+  from weatherbenchx_tpu.metrics import wrappers
+
+  pred_ds, tgt_ds, init_times, lead_times = _source_datasets()
+  metrics = {'sel_mse': wrappers.WrappedMetric(
+      deterministic.MSE(),
+      [wrappers.Select(which='both', sel={'latitude': [-90.0, 0.0, 90.0]})])}
+  agg = aggregation.Aggregator(
+      reduce_dims=['init_time', 'latitude', 'longitude'])
+  times = time_chunks_lib.TimeChunks(init_times, lead_times,
+                                     init_time_chunk_size=4,
+                                     lead_time_chunk_size=2)
+  pipe_values = pipeline_lib.evaluate(
+      metrics, agg,
+      predictions_loader=loaders.PredictionsFromDataset(
+          ds=pred_ds, rename_dimensions=None),
+      targets_loader=loaders.TargetsFromDataset(
+          ds=tgt_ds, rename_dimensions=None),
+      times=times)
+  direct_preds = loaders.PredictionsFromDataset(
+      ds=pred_ds, rename_dimensions=None).load_chunk(init_times, lead_times)
+  direct_tgts = loaders.TargetsFromDataset(
+      ds=tgt_ds, rename_dimensions=None).load_chunk(init_times, lead_times)
+  direct = aggregation.compute_metric_values_for_single_chunk(
+      metrics, agg, direct_preds, direct_tgts)
+  for k in direct:
+    np.testing.assert_allclose(
+        np.asarray(pipe_values[k].transpose(*direct[k].dims).data,
+                   np.float64),
+        np.asarray(direct[k].data, np.float64), atol=1e-5, err_msg=k)

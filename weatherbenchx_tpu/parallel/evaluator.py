@@ -212,23 +212,33 @@ class ChunkEvaluator:
         self._resource_cache = dict(zip(keys, moved))
     return self._resource_cache
 
-  def lean_pair(self, predictions, targets):
-    """Drops host coords that live entirely on reduced dims.
+  # The ragged sparse dim: per-row host coords over it (station names,
+  # per-row times, row labels) change VALUE every chunk and would retrace
+  # the step as static pytree aux.
+  RAGGED_DIMS = ('index',)
 
-    Such coords (station names, per-row index labels, per-row kept-host
-    time coords) cannot appear in any aggregated output, but as static
-    pytree aux they force a retrace whenever their VALUES change — i.e.
-    every sparse chunk. Operand preparation (which does need them) runs
-    on the full pair BEFORE this strip.
+  def lean_pair(self, predictions, targets):
+    """Drops per-row host coords on the ragged sparse dim when reduced.
+
+    Station names / per-row labels cannot appear in any aggregated output
+    once their dim is reduced, but as static pytree aux they force a
+    retrace per sparse chunk. Operand preparation (which does need them)
+    runs on the full pair BEFORE this strip. Host coords on STABLE grid
+    dims (latitude labels etc.) are kept — statistics may select on them
+    at trace time (wrappers.Select), and they don't vary across chunks.
     """
     rd = set(self.aggregator.reduce_dims)
+    ragged = set(self.RAGGED_DIMS) & rd
 
     def strip(da: DimArray) -> DimArray:
       coords = {n: c for n, c in da.coords.items()
-                if not (c.is_host and c.dims and set(c.dims) <= rd)}
+                if not (c.is_host and set(c.dims) & ragged
+                        and set(c.dims) <= rd)}
       return DimArray(da.data, da.dims, coords) if len(coords) != len(
           da.coords) else da
 
+    if not ragged:
+      return predictions, targets
     return ({v: strip(da) for v, da in predictions.items()},
             {v: strip(da) for v, da in targets.items()})
 
