@@ -79,7 +79,10 @@ def _import_reference():
     from weatherbenchX.statistical_inference import autodiff as si_autodiff
     from weatherbenchX.statistical_inference import base as si_base
     from weatherbenchX.statistical_inference import t_test as si_t_test
+    from weatherbenchX.data_loaders import latency_wrappers as dl_latency
+    from weatherbenchX.data_loaders import xarray_loaders as dl_xarray
     ns = types.SimpleNamespace(
+        dl_xarray=dl_xarray, dl_latency=dl_latency,
         xr=shim_xr, aggregation=aggregation, binning=binning,
         weighting=weighting, xarray_tree=xarray_tree, base=base,
         categorical=categorical, deterministic=deterministic,
@@ -1075,3 +1078,234 @@ class TestExtendedCoverageParity:
                   t_aggregation.Aggregator(reduce_dims=['index'],
                                            bin_by=[mk_t()]), tp, tt)
       compare_results(r, t)
+
+
+class TestTimeChunksParity:
+  """L0: chunk enumeration semantics vs the actual reference TimeChunks.
+
+  time_chunks.py is numpy-only, so the reference class is imported and
+  iterated directly (no shim needed) across chunk-size configurations,
+  including lead slices and offsets (reference time_chunks.py:30-202).
+  """
+
+  def _ref_module(self):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'ref_time_chunks',
+        os.path.join(REFERENCE_ROOT, 'weatherbenchX', 'time_chunks.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+  @pytest.mark.parametrize('init_chunk,lead_chunk', [
+      (1, 12), (2, 2), (3, 4), (5, 1)])
+  def test_chunk_enumeration_and_offsets(self, init_chunk, lead_chunk):
+    from weatherbenchx_tpu import time_chunks as my_tc
+
+    ref_tc = self._ref_module()
+    init = (np.datetime64('2020-01-01', 'ns')
+            + np.arange(7) * np.timedelta64(12, 'h'))
+    lead = (np.arange(5) * np.timedelta64(6, 'h')).astype('timedelta64[ns]')
+    r = ref_tc.TimeChunks(init, lead, init_time_chunk_size=init_chunk,
+                          lead_time_chunk_size=lead_chunk)
+    t = my_tc.TimeChunks(init, lead, init_time_chunk_size=init_chunk,
+                         lead_time_chunk_size=lead_chunk)
+    r_items = list(r.iter_with_chunk_offsets())
+    t_items = list(t.iter_with_chunk_offsets())
+    assert len(r_items) == len(t_items) == len(r) == len(t)
+    for (ro, (ri, rl)), (to, (ti, tl)) in zip(r_items, t_items):
+      assert ro.init_time == to.init_time and ro.lead_time == to.lead_time
+      np.testing.assert_array_equal(ri, ti)
+      np.testing.assert_array_equal(rl, tl)
+
+  def test_lead_slice_intervals(self):
+    from weatherbenchx_tpu import time_chunks as my_tc
+
+    ref_tc = self._ref_module()
+    init = (np.datetime64('2020-01-01', 'ns')
+            + np.arange(3) * np.timedelta64(1, 'D'))
+    lead = slice(np.timedelta64(0, 'h'), np.timedelta64(48, 'h'))
+    # The reference forbids lead chunking with slice leads (the whole
+    # interval is one chunk per init, time_chunks.py:132-140); this repo
+    # additionally supports subdividing slices, which is an extension.
+    kw = dict(init_time_chunk_size=1, lead_time_chunk_size=None)
+    r_items = list(ref_tc.TimeChunks(init, lead, **kw))
+    t_items = list(my_tc.TimeChunks(init, lead, **kw))
+    assert len(r_items) == len(t_items)
+    for (ri, rl), (ti, tl) in zip(r_items, t_items):
+      np.testing.assert_array_equal(ri, ti)
+      assert isinstance(rl, slice) and isinstance(tl, slice)
+      assert rl.start == tl.start and rl.stop == tl.stop
+
+
+class TestLoaderParity:
+  """L1: data-loader semantics vs the actual reference xarray_loaders.
+
+  Both sides consume the SAME in-memory store arrays (``ds=``); the
+  reference side runs its real loader classes (ECMWF renaming, the
+  vectorized valid_time=init+lead target gather, dayofyear/hour
+  climatology selection, persistence replication, years-as-ensemble
+  probabilistic climatology, constant-latency init remapping).
+  """
+
+  N_VALID = 20
+
+  def _stores(self, ref):
+    rng = _rng(130)
+    valid = (np.datetime64('2020-01-01', 'ns')
+             + np.arange(self.N_VALID) * np.timedelta64(6, 'h'))
+    lead = (np.arange(3) * np.timedelta64(6, 'h')).astype('timedelta64[ns]')
+    nlat, nlon = len(LATS), len(LONS)
+    pred_arr = rng.random((self.N_VALID - 3, 3, N_LEVEL, nlat, nlon),
+                          dtype=np.float32)
+    t2m_arr = rng.random((self.N_VALID - 3, 3, nlat, nlon), dtype=np.float32)
+    tgt_arr = rng.random((self.N_VALID, N_LEVEL, nlat, nlon),
+                         dtype=np.float32)
+    tgt_arr[0, 0, 0, 0] = np.nan  # exercise the nan-mask path
+    pdims = ('time', 'prediction_timedelta', 'level', 'lat', 'lon')
+    pcoords = {'time': valid[:self.N_VALID - 3],
+               'prediction_timedelta': lead, 'level': LEVELS,
+               'lat': LATS, 'lon': LONS}
+    tdims = ('time', 'level', 'lat', 'lon')
+    tcoords = {'time': valid, 'level': LEVELS, 'lat': LATS, 'lon': LONS}
+    r_pred = ref.xr.Dataset({
+        'geopotential': ref.xr.DataArray(pred_arr, dims=pdims,
+                                         coords=pcoords),
+        '2m_temperature': ref.xr.DataArray(
+            t2m_arr, dims=('time', 'prediction_timedelta', 'lat', 'lon'),
+            coords={k: v for k, v in pcoords.items() if k != 'level'}),
+    })
+    r_tgt = ref.xr.Dataset({'geopotential': ref.xr.DataArray(
+        tgt_arr, dims=tdims, coords=tcoords)})
+    t_pred = {
+        'geopotential': DimArray(pred_arr, pdims, pcoords),
+        '2m_temperature': DimArray(
+            t2m_arr, ('time', 'prediction_timedelta', 'lat', 'lon'),
+            {k: v for k, v in pcoords.items() if k != 'level'}),
+    }
+    t_tgt = {'geopotential': DimArray(tgt_arr, tdims, tcoords)}
+    init = valid[2:8]
+    return r_pred, r_tgt, t_pred, t_tgt, init, lead
+
+  def _compare_chunk(self, r_chunk, t_chunk, check_coords=()):
+    assert set(r_chunk.keys()) == set(t_chunk.keys())
+    for var in r_chunk.keys():
+      r = r_chunk[var]
+      t = t_chunk[var]
+      assert set(r.dims) == set(t.dims), (var, r.dims, t.dims)
+      np.testing.assert_allclose(
+          np.asarray(t.values, np.float64),
+          np.asarray(r.transpose(*t.dims).values, np.float64),
+          atol=0, equal_nan=True, err_msg=str(var))
+      for cname in check_coords:
+        rv = np.asarray(r.coords[cname].values)
+        tv = np.asarray(t.coords[cname].values)
+        rt = r.coords[cname].dims
+        tt = t.coords[cname].dims
+        if rt != tt and set(rt) == set(tt):
+          order = [rt.index(d) for d in tt]
+          rv = np.transpose(rv, order)
+        np.testing.assert_array_equal(tv, rv, err_msg=f'{var}:{cname}')
+
+  def test_predictions_renaming_and_selection(self, ref):
+    from weatherbenchx_tpu.data import loaders as t_loaders
+
+    r_pred, _, t_pred, _, init, lead = self._stores(ref)
+    r = ref.dl_xarray.PredictionsFromXarray(
+        ds=r_pred, variables=['geopotential'],
+        sel_kwargs={'level': [500, 850]}).load_chunk(init, lead)
+    t = t_loaders.PredictionsFromDataset(
+        ds=t_pred, variables=['geopotential'],
+        sel_kwargs={'level': [500, 850]}).load_chunk(init, lead)
+    self._compare_chunk(dict(r), t, check_coords=('level', 'latitude'))
+
+  def test_targets_valid_time_gather_and_nan_mask(self, ref):
+    from weatherbenchx_tpu.data import loaders as t_loaders
+
+    _, r_tgt, _, t_tgt, init, lead = self._stores(ref)
+    r = ref.dl_xarray.TargetsFromXarray(
+        ds=r_tgt, add_nan_mask=True).load_chunk(init, lead)
+    t = t_loaders.TargetsFromDataset(
+        ds=t_tgt, add_nan_mask=True).load_chunk(init, lead)
+    self._compare_chunk(dict(r), t, check_coords=('valid_time', 'mask'))
+
+  def test_persistence(self, ref):
+    from weatherbenchx_tpu.data import loaders as t_loaders
+
+    _, r_tgt, _, t_tgt, init, lead = self._stores(ref)
+    r = ref.dl_xarray.PersistenceFromXarray(ds=r_tgt).load_chunk(init, lead)
+    t = t_loaders.PersistenceFromDataset(ds=t_tgt).load_chunk(init, lead)
+    self._compare_chunk(dict(r), t)
+
+  def test_climatology_loader(self, ref):
+    from weatherbenchx_tpu.data import loaders as t_loaders
+
+    arr = _rng(131).random(
+        (len(CLIM_HOURS), 40, len(LATS), len(LONS)), dtype=np.float32)
+    doys = np.arange(1, 41)
+    r_clim = ref.xr.Dataset({'geopotential': ref.xr.DataArray(
+        arr, dims=('hour', 'dayofyear', 'lat', 'lon'),
+        coords={'hour': CLIM_HOURS, 'dayofyear': doys,
+                'lat': LATS, 'lon': LONS})})
+    t_clim = {'geopotential': DimArray(
+        arr, ('hour', 'dayofyear', 'lat', 'lon'),
+        {'hour': CLIM_HOURS, 'dayofyear': doys, 'lat': LATS, 'lon': LONS})}
+    init = (np.datetime64('2020-01-05T00', 'ns')
+            + np.arange(4) * np.timedelta64(18, 'h'))
+    lead = (np.arange(2) * np.timedelta64(6, 'h')).astype('timedelta64[ns]')
+    r = ref.dl_xarray.ClimatologyFromXarray(
+        ds=r_clim, rename_dimensions=None).load_chunk(init, lead)
+    t = t_loaders.ClimatologyFromDataset(
+        ds=t_clim, rename_dimensions=None).load_chunk(init, lead)
+    self._compare_chunk(dict(r), t)
+
+  def test_probabilistic_climatology_years_as_ensemble(self, ref):
+    from weatherbenchx_tpu.data import loaders as t_loaders
+
+    years = np.arange(np.datetime64('2015-01-01', 'ns'),
+                      np.datetime64('2018-03-01', 'ns'),
+                      np.timedelta64(12, 'h'))
+    arr = _rng(132).random((len(years), len(LATS), len(LONS)),
+                           dtype=np.float32)
+    r_tgt = ref.xr.Dataset({'geopotential': ref.xr.DataArray(
+        arr, dims=('time', 'lat', 'lon'),
+        coords={'time': years, 'lat': LATS, 'lon': LONS})})
+    t_tgt = {'geopotential': DimArray(
+        arr, ('time', 'lat', 'lon'),
+        {'time': years, 'lat': LATS, 'lon': LONS})}
+    init = np.array(['2017-01-05T00', '2017-01-06T12'],
+                    dtype='datetime64[ns]')
+    lead = (np.arange(2) * np.timedelta64(12, 'h')
+            ).astype('timedelta64[ns]')
+    r = ref.dl_xarray.ProbabilisticClimatologyFromXarray(
+        ds=r_tgt, start_year=2015, end_year=2017).load_chunk(init, lead)
+    t = t_loaders.ProbabilisticClimatologyFromDataset(
+        ds=t_tgt, start_year=2015, end_year=2017).load_chunk(init, lead)
+    self._compare_chunk(dict(r), t)
+
+  def test_constant_latency_wrapper(self, ref):
+    from weatherbenchx_tpu.data import latency_wrappers as t_lw
+    from weatherbenchx_tpu.data import loaders as t_loaders
+
+    r_pred, _, t_pred, _, _, _ = self._stores(ref)
+    # Latency 5h on a 6-hourly init grid: the freshest available nominal
+    # init for an on-grid request T is T-6h, so adjusted leads are
+    # lead+6h — which must exist in the store (load leads 0/6 -> 6/12).
+    lead = (np.arange(2) * np.timedelta64(6, 'h')).astype('timedelta64[ns]')
+    latency = np.timedelta64(5, 'h')
+    r_wrap = ref.dl_latency.XarrayConstantLatencyWrapper(
+        ref.dl_xarray.PredictionsFromXarray(ds=r_pred,
+                                        variables=['geopotential']),
+        latency=latency)
+    t_wrap = t_lw.DatasetConstantLatencyWrapper(
+        t_loaders.PredictionsFromDataset(ds=t_pred,
+                                         variables=['geopotential']),
+        latency=latency)
+    req = np.array(['2020-01-01T12', '2020-01-02T00'],
+                   dtype='datetime64[ns]')
+    for it in req:
+      assert (np.datetime64(r_wrap.get_available_init_time(it))
+              == np.datetime64(t_wrap.get_available_init_time(it))), it
+    r = r_wrap.load_chunk(req, lead)
+    t = t_wrap.load_chunk(req, lead)
+    self._compare_chunk(dict(r), t, check_coords=('lead_time',))

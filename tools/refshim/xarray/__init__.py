@@ -213,6 +213,11 @@ class DataArray:
                   for d, c in zip(dims, seq)}
       elif data.ndim == 0:
         dims = ()
+      elif (isinstance(coords, Mapping) and data.ndim == 1
+            and len(coords) == 1):
+        # xarray sugar: dims inferred from a single 1-D coords entry.
+        (only,) = coords.keys()
+        dims = (only,)
       else:
         raise NotImplementedError('DataArray without dims for ndim>0')
     if isinstance(dims, str):
