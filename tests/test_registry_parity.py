@@ -121,3 +121,18 @@ class TestRegistryParity:
     for marker in ('fuxi', 'excarta', 'aurora', 'baguan', '12-16',
                    '12-30T12'):
       assert marker in src, f'CLI missing reference quirk {marker!r}'
+
+
+def test_model_display_names_cover_reference():
+  """Every reference combine_results display-name key exists here too."""
+  import re
+
+  from weatherbenchx_tpu.apps import combine_results as cr
+
+  src_path = os.path.join(REF_PB, 'combine_results.py')
+  if not os.path.exists(src_path):
+    pytest.skip('reference combine_results not available')
+  src = open(src_path).read()
+  ref_keys = set(re.findall(r'"([a-z0-9_]+_vs_[a-z0-9_]+)":', src))
+  missing = sorted(ref_keys - set(cr.MODEL_NAMES))
+  assert not missing, missing

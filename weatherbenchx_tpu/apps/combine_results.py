@@ -92,14 +92,45 @@ MODEL_NAMES = {
     'graphcast_vs_era5': 'GraphCast vs ERA5',
     'graphcast_hres_init_vs_era5': 'GraphCast (oper.) vs ERA5',
     'graphcast_hres_init_vs_hres_t0': 'GraphCast (oper.) vs Analysis',
+    'neuralgcm_hres_vs_era5': 'NeuralGCM 0.7 vs ERA5',
     'neuralgcm_ens_mean_vs_era5': 'NeuralGCM ENS (mean) vs ERA5',
     'neuralgcm_ens_single_member_vs_era5':
         'NeuralGCM ENS (1st member) vs ERA5',
     'fuxi_vs_era5': 'FuXi vs ERA5',
+    'gencast_mean_vs_era5': 'GenCast (mean) vs ERA5',
+    'gencast_single_member_vs_era5': 'GenCast (1st member) vs ERA5',
+    'gencast_operational_100m_uv_mean_vs_era5':
+        'GenCast (oper.) (mean) vs ERA5',
+    'gencast_operational_100m_uv_single_member_vs_era5':
+        'GenCast (oper.) (1st member) vs ERA5',
+    'gencast_operational_100m_uv_mean_vs_hres_t0':
+        'GenCast (oper.) (mean) vs Analysis',
+    'gencast_operational_100m_uv_single_member_vs_hres_t0':
+        'GenCast (oper.) (1st member) vs Analysis',
+    'fgn_operational_mean_vs_era5': 'FGN (oper.) (mean) vs ERA5',
+    'fgn_operational_single_member_vs_era5':
+        'FGN (oper.) (1st member) vs ERA5',
+    'fgn_operational_mean_vs_hres_t0': 'FGN (oper.) (mean) vs Analysis',
+    'fgn_operational_single_member_vs_hres_t0':
+        'FGN (oper.) (1st member) vs Analysis',
+    'stormer_ens_mean_vs_era5': 'Stormer ENS (mean) vs ERA5',
+    'arches_weather_mx4_vs_era5': 'ArchesWeather-Mx4 vs ERA5',
+    'arches_weather_gen_mean_vs_era5': 'ArchesWeatherGen (mean) vs ERA5',
+    'swin_vs_era5': 'Swin vs ERA5',
+    'excarta_vs_era5': 'Excarta (HEAL-ViT) vs ERA5',
+    'aurora_vs_hres_t0': 'Aurora (oper.) vs Analysis',
+    'baguan_vs_era5': 'Baguan vs ERA5',
+    'weathermesh4_vs_era5': 'WeatherMesh4 vs ERA5',
     'ens_vs_hres_t0': 'IFS ENS vs Analysis',
     'ens_vs_era5': 'IFS ENS vs ERA5',
     'neuralgcm_ens_vs_era5': 'NeuralGCM ENS vs ERA5',
     'probabilistic_climatology_vs_era5': 'Probabilistic Climatology vs ERA5',
+    'gencast_vs_era5': 'GenCast vs ERA5',
+    'gencast_operational_100m_uv_vs_era5': 'GenCast (oper.) vs ERA5',
+    'gencast_operational_100m_uv_vs_hres_t0': 'GenCast (oper.) vs Analysis',
+    'fgn_operational_vs_era5': 'FGN (oper.) vs ERA5',
+    'fgn_operational_vs_hres_t0': 'FGN (oper.) vs Analysis',
+    'arches_weather_gen_vs_era5': 'ArchesWeatherGen vs ERA5',
 }
 
 
