@@ -68,6 +68,7 @@ def _import_reference():
     assert 'wbx-refshim' in shim_xr.__version__
     from weatherbenchX import aggregation
     from weatherbenchX import binning
+    from weatherbenchX import interpolations
     from weatherbenchX import weighting
     from weatherbenchX import xarray_tree
     from weatherbenchX.metrics import base
@@ -80,9 +81,11 @@ def _import_reference():
     from weatherbenchX.statistical_inference import base as si_base
     from weatherbenchX.statistical_inference import t_test as si_t_test
     from weatherbenchX.data_loaders import latency_wrappers as dl_latency
+    from weatherbenchX.data_loaders import sparse_parquet as dl_sparse
     from weatherbenchX.data_loaders import xarray_loaders as dl_xarray
     ns = types.SimpleNamespace(
-        dl_xarray=dl_xarray, dl_latency=dl_latency,
+        dl_xarray=dl_xarray, dl_latency=dl_latency, dl_sparse=dl_sparse,
+        interpolations=interpolations,
         xr=shim_xr, aggregation=aggregation, binning=binning,
         weighting=weighting, xarray_tree=xarray_tree, base=base,
         categorical=categorical, deterministic=deterministic,
@@ -1309,3 +1312,428 @@ class TestLoaderParity:
     r = r_wrap.load_chunk(req, lead)
     t = t_wrap.load_chunk(req, lead)
     self._compare_chunk(dict(r), t, check_coords=('lead_time',))
+
+
+# -- L2 interpolation layer ---------------------------------------------------
+
+
+def compare_da(r, t, atol=1e-5, rtol=1e-5, check_coords=()):
+  """Compare one reference (shim) DataArray with one tpu DimArray."""
+  assert set(r.dims) == set(t.dims), (r.dims, t.dims)
+  rv = np.asarray(r.transpose(*t.dims).values, dtype=np.float64)
+  tv = np.asarray(t.data, dtype=np.float64)
+  np.testing.assert_allclose(tv, rv, atol=atol, rtol=rtol, equal_nan=True)
+  for name in check_coords:
+    rc = r.coords[name]
+    tc = t.coords[name]
+    assert tuple(rc.dims) == tuple(tc.dims), (name, rc.dims, tc.dims)
+    rcv, tcv = np.asarray(rc.values), np.asarray(tc.values)
+    if rcv.dtype.kind in 'UO' or tcv.dtype.kind in 'UO':
+      assert [str(x) for x in rcv.ravel()] == [str(x) for x in tcv.ravel()]
+    else:
+      np.testing.assert_allclose(np.asarray(rcv, np.float64),
+                                 np.asarray(tcv, np.float64),
+                                 atol=atol, rtol=rtol, equal_nan=True,
+                                 err_msg=name)
+
+
+class TestInterpolationParity:
+  """Reference interpolations.py (real upstream code) vs our L2 layer.
+
+  Match: ``/root/reference/weatherbenchX/interpolations.py:27-471``.
+  """
+
+  def _grid(self, seed=0, descending_lat=False):
+    v = grid_var(seed)
+    arr, dims = v.arr, v.dims
+    if descending_lat:
+      ax = dims.index('latitude')
+      arr = np.flip(arr, axis=ax)
+      # flip the latitude labels too
+      ref = v.to_ref  # noqa: just construct below
+    return v
+
+  def test_crop_to_box(self, ref):
+    from weatherbenchx_tpu import interpolations as t_interp
+    v = grid_var(11)
+    r_da = v.to_ref(ref)
+    # Descending-latitude input: the reference sorts before cropping.
+    r_da = r_da.isel(latitude=np.arange(len(LATS))[::-1])
+    t_da = v.to_tpu().isel({'latitude': np.arange(len(LATS))[::-1]})
+    r = ref.interpolations.CropToBox(-45.0, 45.0, 100.0, 260.0
+                                     ).interpolate_data_array(r_da)
+    t = t_interp.CropToBox(-45.0, 45.0, 100.0, 260.0
+                           ).interpolate_data_array(t_da)
+    compare_da(r, t, check_coords=('latitude', 'longitude'))
+
+  @pytest.mark.parametrize('method,wrap,extrap', [
+      ('linear', True, True),
+      ('linear', False, False),
+      ('nearest', False, True),
+  ])
+  def test_interpolate_to_fixed_coords(self, ref, method, wrap, extrap):
+    from weatherbenchx_tpu import interpolations as t_interp
+    v = grid_var(12)
+    rng = _rng(99)
+    # Off-grid targets, incl. out-of-bounds rows (extrapolation / NaN) and
+    # wrap-range longitudes; offsets avoid exact nearest-midpoints.
+    tgt_lat = np.sort(rng.uniform(-97, 97, 15))
+    tgt_lon = np.sort(rng.uniform(0, 360, 23))
+    coords = {'latitude': tgt_lat, 'longitude': tgt_lon}
+    r = ref.interpolations.InterpolateToFixedCoords(
+        method=method, coords=coords, wrap_longitude=wrap,
+        extrapolate_out_of_bounds=extrap).interpolate_data_array(
+            v.to_ref(ref))
+    t = t_interp.InterpolateToFixedCoords(
+        method=method, coords=coords, wrap_longitude=wrap,
+        extrapolate_out_of_bounds=extrap).interpolate_data_array(v.to_tpu())
+    compare_da(r, t, check_coords=('latitude', 'longitude'))
+
+  def test_interpolate_to_reference_coords_regrid(self, ref):
+    from weatherbenchx_tpu import interpolations as t_interp
+    v = grid_var(13)
+    tv = grid_var(14)  # reference values are irrelevant; only coords used
+    # Coarser reference grid strictly inside the source grid.
+    ref_lats = np.linspace(-80, 80, 9)
+    ref_lons = np.linspace(5, 355, 18)
+
+    def subset(var, ns=None):
+      if ns is not None:
+        da = var.to_ref(ns)
+        return da.interp(latitude=ref_lats, longitude=ref_lons,
+                         method='nearest')
+      return None
+
+    r_ref = subset(tv, ref)
+    t_ref = t_interp.interpolate_to_coords(
+        tv.to_tpu(), {'latitude': ref_lats, 'longitude': ref_lons},
+        'nearest')
+    r = ref.interpolations.InterpolateToReferenceCoords(
+        method='linear').interpolate_data_array(v.to_ref(ref), r_ref)
+    t = t_interp.InterpolateToReferenceCoords(
+        method='linear').interpolate_data_array(v.to_tpu(), t_ref)
+    compare_da(r, t, check_coords=('latitude', 'longitude'))
+
+  def _sparse_reference(self, ref, n=25, seed=77):
+    rng = _rng(seed)
+    lat = rng.uniform(-88, 88, n)
+    lon = rng.uniform(0.5, 359.5, n)
+    special = [150.0, 600.0, 1200.0, 2000.0,  # mid/high regimes + clamp
+               40.0, 3000.0][:n]
+    elevation = np.concatenate([
+        rng.uniform(0, 90, max(n - 6, 0)),    # below the 100 m wind regime
+        special]).astype(np.float64)
+    names = np.array([f'ST{i:03d}' for i in range(n)])
+    vals = rng.normal(size=n)
+    r = ref.xr.DataArray(
+        vals, dims=('index',),
+        coords={'index': np.arange(n),
+                'latitude': ('index', lat), 'longitude': ('index', lon),
+                'elevation': ('index', elevation),
+                'stationName': ('index', names)})
+    t = DimArray(vals, ('index',), {
+        'index': Coord(('index',), np.arange(n)),
+        'latitude': Coord(('index',), lat),
+        'longitude': Coord(('index',), lon),
+        'elevation': Coord(('index',), elevation),
+        'stationName': Coord(('index',), names)})
+    return r, t
+
+  @pytest.mark.parametrize('method', ['linear', 'nearest'])
+  def test_grid_to_sparse(self, ref, method):
+    from weatherbenchx_tpu import interpolations as t_interp
+    v = grid_var(15)
+    r_ref, t_ref = self._sparse_reference(ref)
+    r = ref.interpolations.InterpolateToReferenceCoords(
+        method=method, dims=['latitude', 'longitude'], wrap_longitude=True
+        ).interpolate_data_array(v.to_ref(ref), r_ref)
+    t = t_interp.InterpolateToReferenceCoords(
+        method=method, dims=['latitude', 'longitude'], wrap_longitude=True
+        ).interpolate_data_array(v.to_tpu(), t_ref)
+    assert 'index' in t.dims and 'latitude' not in t.dims
+    compare_da(r, t, check_coords=('latitude', 'longitude', 'elevation',
+                                   'stationName'))
+
+  def test_grid_to_sparse_with_altitude_adjustment(self, ref):
+    from weatherbenchx_tpu import interpolations as t_interp
+    grid_elev_vals = (_rng(5).uniform(0, 1500, (len(LATS), len(LONS)))
+                      .astype(np.float64))
+    r_elev = ref.xr.DataArray(
+        grid_elev_vals, dims=('latitude', 'longitude'),
+        coords={'latitude': LATS, 'longitude': LONS})
+    t_elev = DimArray(grid_elev_vals, ('latitude', 'longitude'), {
+        'latitude': Coord(('latitude',), LATS),
+        'longitude': Coord(('longitude',), LONS)})
+    variables = {'2m_temperature': grid_var(16, scale=30.0),
+                 '10m_wind_speed': grid_var(17, positive=True, scale=10.0),
+                 'geopotential': grid_var(18)}
+    r_ds = {}
+    t_ds = {}
+    for name, var in variables.items():
+      da = var.to_ref(ref)
+      da.name = name
+      r_ds[name] = da
+      t_ds[name] = var.to_tpu()
+    r_sparse, t_sparse = self._sparse_reference(ref)
+    r_refs = {k: r_sparse for k in variables}
+    t_refs = {k: t_sparse for k in variables}
+    r_out = ref.interpolations.GridToSparseWithAltitudeAdjustment(
+        method='linear', grid_elevation=r_elev, wrap_longitude=True
+        ).interpolate(r_ds, r_refs)
+    t_out = t_interp.GridToSparseWithAltitudeAdjustment(
+        method='linear', grid_elevation=t_elev, wrap_longitude=True
+        ).interpolate(t_ds, t_refs)
+    assert set(r_out.keys()) == set(t_out.keys())
+    for k in r_out:
+      compare_da(r_out[k], t_out[k])
+    # The adjustment must actually change the adjusted variables.
+    r_plain = ref.interpolations.InterpolateToReferenceCoords(
+        method='linear', wrap_longitude=True).interpolate_data_array(
+            r_ds['2m_temperature'], r_sparse)
+    assert not np.allclose(np.asarray(r_plain.values),
+                           np.asarray(r_out['2m_temperature'].values))
+
+  def test_neighborhood_threshold_probabilities(self, ref):
+    from weatherbenchx_tpu import interpolations as t_interp
+    v = grid_var(19, positive=True)
+    kw = dict(neighborhood_sizes=[1, 3, 5], thresholds=[0.5, 1.5],
+              wrap_longitude=True)
+    r = ref.interpolations.NeighborhoodThresholdProbabilities(
+        **kw).interpolate_data_array(v.to_ref(ref))
+    t = t_interp.NeighborhoodThresholdProbabilities(
+        **kw).interpolate_data_array(v.to_tpu())
+    compare_da(r, t, check_coords=('smoothing_neighborhood',))
+
+  def test_subsample_and_multiple(self, ref):
+    from weatherbenchx_tpu import interpolations as t_interp
+    v = grid_var(20)
+    r = ref.interpolations.MultipleInterpolation([
+        ref.interpolations.CropToBox(-60.0, 60.0, 20.0, 300.0),
+        ref.interpolations.Subsample(dims=['latitude', 'longitude'],
+                                     stride=2),
+    ]).interpolate_data_array(v.to_ref(ref))
+    t = t_interp.MultipleInterpolation([
+        t_interp.CropToBox(-60.0, 60.0, 20.0, 300.0),
+        t_interp.Subsample(dims=['latitude', 'longitude'], stride=2),
+    ]).interpolate_data_array(v.to_tpu())
+    compare_da(r, t, check_coords=('latitude', 'longitude'))
+
+  def test_empty_reference_guard(self, ref):
+    from weatherbenchx_tpu import interpolations as t_interp
+    v = grid_var(21)
+    r_ref, t_ref = self._sparse_reference(ref, n=0)
+    r = ref.interpolations.InterpolateToReferenceCoords(
+        method='linear', dims=['latitude', 'longitude']
+        ).interpolate_data_array(v.to_ref(ref), r_ref)
+    t = t_interp.InterpolateToReferenceCoords(
+        method='linear', dims=['latitude', 'longitude']
+        ).interpolate_data_array(v.to_tpu(), t_ref)
+    assert set(r.dims) == set(t.dims)
+    assert r.sizes['index'] == t.sizes['index'] == 0
+    assert r.sizes['init_time'] == t.sizes['init_time'] == N_INIT
+
+
+# -- L1 sparse parquet loader -------------------------------------------------
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _shim_as_xarray(ref):
+  """Registers the shim as sys.modules['xarray'] for the duration.
+
+  The reference sparse loader assembles chunks via
+  ``combined_df.to_xarray()`` (reference ``sparse_parquet.py:345``), and
+  pandas resolves ``xarray`` at CALL time — unlike the reference modules
+  themselves, which captured the shim at import.
+  """
+  saved = {k: v for k, v in sys.modules.items()
+           if k == 'xarray' or k.startswith('xarray.')}
+  sys.modules['xarray'] = ref.xr
+  try:
+    yield
+  finally:
+    for k in list(sys.modules):
+      if k == 'xarray' or k.startswith('xarray.'):
+        del sys.modules[k]
+    sys.modules.update(saved)
+
+
+def _sparse_parquet_fixture(tmp_path, with_duplicates=True):
+  """Hive month-partitioned parquet with duplicates, QC flags, and NaNs."""
+  import pandas as pd
+
+  times = np.arange('2020-01-01T00', '2020-01-04T00',
+                    np.timedelta64(6, 'h'), dtype='datetime64[ns]')
+  rng = np.random.default_rng(3)
+  rows = []
+  for t in times:
+    for s in range(6):
+      obs_offset = np.timedelta64(int(rng.integers(-50, 50)), 'm')
+      rows.append({
+          'timeNominal': pd.Timestamp(t),
+          'timeObs': pd.Timestamp(t + obs_offset),
+          'stationName': f'ST{s}',
+          'latitude': -70.0 + 25.0 * s,
+          'longitude': float((-30.0 + 55.0 * s) % 360 - 180.0),
+          'elevation': (9.999e03 if s == 5 else 120.0 * s),
+          'temperature': float(270.0 + rng.standard_normal()),
+          'temperatureDD': 'Z' if s == 3 else 'S',
+          'windSpeed': (np.nan if s == 4
+                        else float(np.abs(rng.standard_normal()) * 5)),
+          'windSpeedDD': 'S',
+      })
+      if with_duplicates and s == 1:
+        # A second report from the same station at the same nominal time,
+        # farther from it in timeObs (distinct gap — no sort ties).
+        rows.append(dict(rows[-1],
+                         timeObs=pd.Timestamp(t + obs_offset
+                                              + np.timedelta64(55, 'm')),
+                         temperature=float(250.0 + rng.standard_normal())))
+  df = pd.DataFrame(rows)
+  path = str(tmp_path / 'obs')
+  for month, g in df.groupby(df.timeNominal.dt.month):
+    fn = os.path.join(path, 'year=2020', f'month={month}',
+                      f'2020-{str(month).zfill(2)}.parquet')
+    os.makedirs(os.path.dirname(fn), exist_ok=True)
+    g.to_parquet(fn)
+  return path
+
+
+INIT_2 = np.array(['2020-01-01T12', '2020-01-02T00'], dtype='datetime64[ns]')
+LEAD_2 = np.array([6, 12], dtype='timedelta64[h]').astype('timedelta64[ns]')
+
+
+class TestSparseParquetParity:
+  """Reference SparseObservationsFromParquet/METARFromParquet (real upstream
+  code over real parquet files) vs our loader on an identical store.
+
+  Match: ``/root/reference/weatherbenchX/data_loaders/sparse_parquet.py``.
+  """
+
+  def _compare_chunk(self, r_chunk, t_chunk,
+                     coords=('latitude', 'longitude', 'stationName',
+                             'valid_time', 'init_time', 'lead_time')):
+    assert set(r_chunk.keys()) == set(t_chunk.keys())
+    for var in r_chunk:
+      r, t = r_chunk[var], t_chunk[var]
+      assert tuple(r.dims) == tuple(t.dims) == ('index',), var
+      np.testing.assert_allclose(
+          np.asarray(r.values, np.float64), np.asarray(t.data, np.float64),
+          atol=1e-6, equal_nan=True, err_msg=var)
+      for cname in coords:
+        if cname not in dict(r.coords):
+          assert not t.has_coord(cname), (var, cname)
+          continue
+        rc = np.asarray(r.coords[cname].values)
+        tc = np.asarray(t.coords[cname].values)
+        if rc.dtype.kind in 'OU':
+          assert [str(x) for x in rc] == [str(x) for x in tc], (var, cname)
+        elif rc.dtype.kind in 'mM':
+          np.testing.assert_array_equal(
+              rc.astype('int64'), tc.astype('int64'), err_msg=cname)
+        else:
+          np.testing.assert_allclose(
+              rc.astype(np.float64), tc.astype(np.float64), atol=1e-6,
+              equal_nan=True, err_msg=f'{var}:{cname}')
+
+  def _loaders(self, ref, path, **kw):
+    from weatherbenchx_tpu.data import sparse_parquet as t_sparse
+    base_kw = dict(
+        path=path, partitioned_by='month', time_dim='timeNominal',
+        variables=['temperature'],
+        coordinate_variables=['latitude', 'longitude', 'stationName'],
+        split_variables=True)
+    base_kw.update(kw)
+    r = ref.dl_sparse.SparseObservationsFromParquet(**base_kw)
+    t = t_sparse.SparseObservationsFromParquet(**base_kw)
+    return r, t
+
+  def test_exact_leads(self, ref, tmp_path):
+    path = _sparse_parquet_fixture(tmp_path, with_duplicates=False)
+    r_loader, t_loader = self._loaders(ref, path)
+    with _shim_as_xarray(ref):
+      r = r_loader.load_chunk(INIT_2, LEAD_2)
+    t = t_loader.load_chunk(INIT_2, LEAD_2)
+    assert r['temperature'].sizes['index'] == 2 * 2 * 6
+    self._compare_chunk(dict(r), t)
+
+  def test_remove_duplicates_closest(self, ref, tmp_path):
+    path = _sparse_parquet_fixture(tmp_path, with_duplicates=True)
+    kw = dict(remove_duplicates=True, pick_closest_duplicate_by='timeObs',
+              observation_dim='stationName',
+              coordinate_variables=['latitude', 'longitude', 'stationName',
+                                    'timeObs'])
+    r_loader, t_loader = self._loaders(ref, path, **kw)
+    with _shim_as_xarray(ref):
+      r = r_loader.load_chunk(INIT_2, LEAD_2)
+    t = t_loader.load_chunk(INIT_2, LEAD_2)
+    # Duplicates removed: back to 6 stations per (init, lead).
+    assert r['temperature'].sizes['index'] == 2 * 2 * 6
+    self._compare_chunk(dict(r), t,
+                        coords=('latitude', 'stationName', 'timeObs',
+                                'valid_time', 'init_time', 'lead_time'))
+
+  def test_tolerance_window(self, ref, tmp_path):
+    path = _sparse_parquet_fixture(tmp_path, with_duplicates=False)
+    kw = dict(tolerance=(np.timedelta64(-7, 'h'), np.timedelta64(7, 'h')))
+    r_loader, t_loader = self._loaders(ref, path, **kw)
+    with _shim_as_xarray(ref):
+      r = r_loader.load_chunk(INIT_2, LEAD_2)
+    t = t_loader.load_chunk(INIT_2, LEAD_2)
+    # ±7h around each 6-hourly valid time -> 3 nominal times x 6 stations.
+    assert r['temperature'].sizes['index'] == 2 * 2 * 3 * 6
+    self._compare_chunk(dict(r), t)
+
+  def test_lead_time_slice(self, ref, tmp_path):
+    path = _sparse_parquet_fixture(tmp_path, with_duplicates=False)
+    r_loader, t_loader = self._loaders(ref, path)
+    lead_slice = slice(np.timedelta64(0, 'h'), np.timedelta64(18, 'h'))
+    with _shim_as_xarray(ref):
+      r = r_loader.load_chunk(INIT_2, lead_slice)
+    t = t_loader.load_chunk(INIT_2, lead_slice)
+    self._compare_chunk(dict(r), t)
+
+  def test_dropna_joint_vs_split(self, ref, tmp_path):
+    path = _sparse_parquet_fixture(tmp_path, with_duplicates=False)
+    for split in (True, False):
+      kw = dict(variables=['temperature', 'windSpeed'], dropna=True,
+                split_variables=split)
+      r_loader, t_loader = self._loaders(ref, path, **kw)
+      with _shim_as_xarray(ref):
+        r = r_loader.load_chunk(INIT_2, LEAD_2)
+      t = t_loader.load_chunk(INIT_2, LEAD_2)
+      if split:
+        # windSpeed of ST4 is NaN -> dropped per-variable only there.
+        assert r['temperature'].sizes['index'] == 24
+        assert r['windSpeed'].sizes['index'] == 20
+      else:
+        assert r['temperature'].sizes['index'] == 20
+      self._compare_chunk(dict(r), t)
+
+  def test_metar_preset(self, ref, tmp_path):
+    from weatherbenchx_tpu.data import sparse_parquet as t_sparse
+    path = _sparse_parquet_fixture(tmp_path, with_duplicates=True)
+    kw = dict(path=path, variables=['2m_temperature', '10m_wind_speed'],
+              time_dim='timeNominal', partitioned_by='month',
+              split_variables=True, remove_duplicates=True,
+              pick_closest_duplicate_by='timeObs')
+    r_loader = ref.dl_sparse.METARFromParquet(**kw)
+    t_loader = t_sparse.METARFromParquet(**kw)
+    with _shim_as_xarray(ref):
+      r = r_loader.load_chunk(INIT_2, LEAD_2)
+    t = t_loader.load_chunk(INIT_2, LEAD_2)
+    r_t2m = r['2m_temperature']
+    names = np.asarray(r_t2m.coords['stationName'].values).astype(str)
+    vals = np.asarray(r_t2m.values)
+    assert np.isnan(vals[names == 'ST3']).all()      # QC flag 'Z'
+    assert not np.isnan(vals[names == 'ST0']).any()
+    lons = np.asarray(r_t2m.coords['longitude'].values)
+    assert (lons >= 0).all() and (lons < 360).all()  # 0..360 conversion
+    elev = np.asarray(r_t2m.coords['elevation'].values)
+    assert np.isnan(elev[names == 'ST5']).all()      # 9.999e3 fill -> NaN
+    self._compare_chunk(
+        dict(r), t,
+        coords=('latitude', 'longitude', 'elevation', 'stationName',
+                'valid_time', 'init_time', 'lead_time'))

@@ -33,7 +33,7 @@ from typing import Any, Hashable, Iterable, Mapping, Sequence
 import numpy as np
 import pandas as pd
 
-__version__ = '0.0.0+wbx-refshim'
+__version__ = '2025.1.0+wbx-refshim'
 
 _OPTIONS = {'keep_attrs': False}
 
@@ -266,8 +266,11 @@ class DataArray:
 
   def _wrap_coord(self, name) -> 'DataArray':
     dims, vals = self._coords[name]
+    # Like xarray: the wrapped coord carries ALL coords whose dims are a
+    # subset of its own (e.g. station 'elevation' rides on ref['latitude']
+    # over 'index' — the altitude-adjustment interpolation relies on it).
     sub = {n: c for n, c in self._coords.items()
-           if set(c[0]).issubset(dims) and (n in dims or n == name)}
+           if set(c[0]).issubset(dims)}
     sub[name] = (dims, vals)
     return DataArray._construct(vals, dims, sub, name=name)
 
@@ -1106,6 +1109,21 @@ class DataArray:
       return self.isel({key: order})
     raise NotImplementedError('sortby with non-str key')
 
+  def dropna(self, dim, how='any'):
+    ax = self._dims.index(dim)
+    vals = self._data
+    if vals.dtype.kind == 'O':
+      bad = pd.isnull(vals)
+    elif vals.dtype.kind in 'fc':
+      bad = np.isnan(vals)
+    elif vals.dtype.kind in 'mM':
+      bad = np.isnat(vals)
+    else:
+      bad = np.zeros(vals.shape, dtype=bool)
+    other = tuple(i for i in range(vals.ndim) if i != ax)
+    drop = bad.any(axis=other) if how == 'any' else bad.all(axis=other)
+    return self.isel({dim: np.flatnonzero(~drop)})
+
   def shift(self, shifts=None, fill_value=np.nan, **kwargs):
     mapping = dict(shifts or {})
     mapping.update(kwargs)
@@ -1126,6 +1144,114 @@ class DataArray:
       out_data[tuple(sl)] = fill_value
     return DataArray._construct(out_data, self._dims, self._coords,
                                 self._name, self._attrs)
+
+  def interp(self, coords=None, method='linear', assume_sorted=False,
+             kwargs=None, **coords_kwargs):
+    """Subset of xr.DataArray.interp used by the reference interpolations.
+
+    scipy RegularGridInterpolator over the interpolated dims. Supports
+    orthogonal indexers (1-D arrays / per-dim DataArrays → regridding with
+    dims kept in place) and vectorized indexers (DataArrays over shared
+    dims, e.g. 'index' → grid→sparse matching, indexer dims appended).
+    Float non-dim coords spanning interpolated dims are interpolated
+    alongside the data (grid_elevation); indexer coords (station
+    elevation/name) propagate to the result. ``kwargs['fill_value']``:
+    absent → NaN out of bounds; None / 'extrapolate' → extrapolate
+    (scipy interpn/interp1d conventions, reference
+    ``interpolations.py:89-113``).
+    """
+    from scipy.interpolate import RegularGridInterpolator
+
+    indexers = dict(coords or {})
+    indexers.update(coords_kwargs)
+    kw = dict(kwargs or {})
+    fill = kw.get('fill_value', np.nan)
+    if isinstance(fill, str):
+      if fill != 'extrapolate':
+        raise NotImplementedError(f'fill_value={fill!r}')
+      fill = None
+    interp_dims = [d for d in self._dims if d in indexers]
+    if not interp_dims:
+      return self
+
+    norm: dict[str, DataArray] = {}
+    for d in interp_dims:
+      v = indexers[d]
+      if isinstance(v, DataArray):
+        if v.ndim == 0:
+          raise NotImplementedError('scalar interp indexers')
+        norm[d] = v
+      else:
+        arr = _as_values(v)
+        if arr.ndim != 1:
+          raise NotImplementedError('non-1-D array interp indexers')
+        norm[d] = DataArray._construct(arr, (d,), {d: ((d,), arr)})
+    orthogonal = all(norm[d]._dims == (d,) for d in interp_dims)
+
+    def interp_one(vals: np.ndarray, dims: tuple):
+      """Interpolates one array over its subset of interp dims.
+
+      Returns (values, out_dims) with this array's indexer dims FIRST,
+      then its untouched dims (callers transpose to final order).
+      """
+      idims = [d for d in dims if d in interp_dims]
+      if not idims:
+        return np.asarray(vals), tuple(dims)
+      sub = [norm[d] for d in idims]
+      b = list(broadcast(*sub)) if len(sub) > 1 else [sub[0]]
+      idx_dims = b[0]._dims
+      idx_shape = b[0].shape
+      xi = np.stack(
+          [np.asarray(x._data, np.float64).ravel() for x in b], axis=-1)
+      other = [d for d in dims if d not in interp_dims]
+      perm = [dims.index(d) for d in idims] + [dims.index(d) for d in other]
+      v = np.transpose(np.asarray(vals, np.float64), perm)
+      points = []
+      for ax, d in enumerate(idims):
+        p = np.asarray(self._coords[d][1], np.float64)
+        if p.size > 1 and p[0] > p[-1]:  # descending source grid
+          p = p[::-1]
+          v = np.flip(v, axis=ax)
+        points.append(p)
+      rgi = RegularGridInterpolator(
+          points, v, method=method, bounds_error=False, fill_value=fill)
+      res = rgi(xi).reshape(idx_shape + v.shape[len(idims):])
+      return res, idx_dims + tuple(other)
+
+    data, raw_dims = interp_one(self._data, self._dims)
+    if orthogonal:
+      # Regridding: interpolated dims keep their original positions.
+      out_dims = self._dims
+    else:
+      # Vectorized: untouched dims in original order, indexer dims appended.
+      n_other = len([d for d in self._dims if d not in interp_dims])
+      idx_dims = raw_dims[:len(raw_dims) - n_other]
+      out_dims = tuple(d for d in self._dims
+                       if d not in interp_dims) + idx_dims
+    data = np.transpose(
+        data, [raw_dims.index(d) for d in out_dims])
+
+    out_coords: dict = {}
+    for cname, (cdims, cvals) in self._coords.items():
+      touched = set(cdims) & set(interp_dims)
+      if not touched:
+        if set(cdims).issubset(out_dims):
+          out_coords[cname] = (cdims, cvals)
+      elif cname not in interp_dims:
+        cv = np.asarray(cvals)
+        if cv.dtype.kind in 'fiu':
+          cres, crdims = interp_one(cv, cdims)
+          corder = tuple(d for d in out_dims if d in crdims)
+          out_coords[cname] = (corder, np.transpose(
+              cres, [crdims.index(d) for d in corder]))
+    for d in interp_dims:
+      idx = norm[d]
+      out_coords[d] = (idx._dims, np.asarray(idx._data))
+      for cname, (cdims, cvals) in idx._coords.items():
+        if cname not in out_coords and set(cdims).issubset(out_dims):
+          out_coords[cname] = (cdims, cvals)
+    return DataArray._construct(data, out_dims, out_coords, self._name,
+                                self._attrs)
 
   # -- datetime accessor -------------------------------------------------------
 
@@ -1341,6 +1467,59 @@ class Dataset(Mapping):
         self._vars[key] = ((), arr, {})
       else:
         raise NotImplementedError('Dataset setitem with bare nd array')
+
+  @classmethod
+  def from_dataframe(cls, df):
+    """pandas DataFrame → Dataset over the frame's index dim.
+
+    What ``DataFrame.to_xarray()`` produces for a flat (non-Multi) index:
+    one dim named after the index (or 'index' when unnamed), each column a
+    variable over it. Needed because the reference sparse loader builds
+    its chunks via ``combined_df.to_xarray()``
+    (reference ``sparse_parquet.py:345``).
+    """
+    if isinstance(df.index, pd.MultiIndex):
+      raise NotImplementedError('from_dataframe with MultiIndex')
+    dim = df.index.name or 'index'
+    out = cls(coords={dim: np.asarray(df.index)})
+    for col in df.columns:
+      out._vars[str(col)] = ((dim,), np.asarray(df[col]), {})
+    return out
+
+  def set_coords(self, names):
+    if isinstance(names, str):
+      names = [names]
+    out = Dataset(attrs=self._attrs)
+    out._coords = dict(self._coords)
+    for k, (dims, data, attrs) in self._vars.items():
+      if k in names:
+        out._coords[k] = (dims, data)
+      else:
+        out._vars[k] = (dims, data, attrs)
+    return out
+
+  def dropna(self, dim, how='any'):
+    keep = None
+    for k in self._vars:
+      da = self[k]
+      if dim not in da._dims:
+        continue
+      ax = da._dims.index(dim)
+      vals = da._data
+      if vals.dtype.kind == 'O':
+        bad = pd.isnull(vals)
+      elif vals.dtype.kind in 'fc':
+        bad = np.isnan(vals)
+      elif vals.dtype.kind in 'mM':
+        bad = np.isnat(vals)
+      else:
+        bad = np.zeros(vals.shape, dtype=bool)
+      other = tuple(i for i in range(vals.ndim) if i != ax)
+      drop = bad.any(axis=other) if how == 'any' else bad.all(axis=other)
+      keep = ~drop if keep is None else (keep & ~drop)
+    if keep is None:
+      return self
+    return self.isel({dim: np.flatnonzero(keep)})
 
   def _prune_coords(self):
     used = set()
