@@ -18,6 +18,7 @@ round trip through this repo's writer/reader.
 Skipped when the reference tree is not present.
 """
 
+import contextlib
 import os
 import pathlib
 import sys
@@ -79,6 +80,7 @@ def _import_reference():
     from weatherbenchX.metrics import wrappers
     from weatherbenchX.statistical_inference import autodiff as si_autodiff
     from weatherbenchX.statistical_inference import base as si_base
+    from weatherbenchX.statistical_inference import bootstrap as si_bootstrap
     from weatherbenchX.statistical_inference import t_test as si_t_test
     from weatherbenchX.data_loaders import latency_wrappers as dl_latency
     from weatherbenchX.data_loaders import sparse_parquet as dl_sparse
@@ -90,12 +92,17 @@ def _import_reference():
         weighting=weighting, xarray_tree=xarray_tree, base=base,
         categorical=categorical, deterministic=deterministic,
         probabilistic=probabilistic, spatial=spatial, wrappers=wrappers,
-        si_autodiff=si_autodiff, si_base=si_base, si_t_test=si_t_test)
+        si_autodiff=si_autodiff, si_base=si_base,
+        si_bootstrap=si_bootstrap, si_t_test=si_t_test)
     _REF_CACHE.append(ns)
     return ns
   finally:
     for k in list(sys.modules):
       if k == 'xarray' or k.startswith('xarray.'):
+        del sys.modules[k]
+      # The arch stub (tools/refshim/arch) exists only for the reference's
+      # bootstrap import; keep it out of everyone else's sys.modules.
+      if k == 'arch' or k.startswith('arch.'):
         del sys.modules[k]
     sys.modules.update(saved)
     sys.path.remove(SHIM_ROOT)
@@ -715,6 +722,49 @@ class TestStateInterop:
     compare_results(r_values, t_values, atol=1e-5)
 
 
+def _compare_nested(r_map, t_map, atol=1e-5, rtol=1e-5):
+  """Asserts {metric: {var: array}} maps agree across frameworks."""
+  assert set(r_map.keys()) == set(t_map.keys())
+  for metric in r_map:
+    assert set(r_map[metric].keys()) == set(t_map[metric].keys()), metric
+    for var in r_map[metric]:
+      r = r_map[metric][var]
+      t = t_map[metric][var]
+      rv = np.asarray(
+          (r.transpose(*t.dims) if set(r.dims) == set(t.dims) and
+           r.dims != t.dims else r).values, np.float64)
+      np.testing.assert_allclose(
+          np.asarray(t.data, np.float64), rv, atol=atol, rtol=rtol,
+          err_msg=f'{metric}.{var}')
+
+
+@contextlib.contextmanager
+def _legacy_rng_routed_to(seed):
+  """Routes the reference's legacy global np.random draws to a Generator.
+
+  The reference bootstrap samples via ``np.random.multinomial`` /
+  ``np.random.randint`` / ``np.random.rand`` (reference
+  ``bootstrap.py:149,221,246-250``); this repo uses seeded
+  ``np.random.default_rng``. Pointing the legacy functions at a Generator
+  seeded like the repo side makes both frameworks consume the identical
+  stream, giving exact count/index parity. Yields the mutable state dict so
+  callers can re-seed mid-test (the stationary bootstrap draws fresh
+  indices per distinct block length).
+  """
+  state = {'g': np.random.default_rng(seed)}
+  saved = (np.random.multinomial, np.random.randint, np.random.rand)
+  np.random.multinomial = (
+      lambda n, pvals, size=None: state['g'].multinomial(n, pvals, size=size))
+  np.random.randint = (
+      lambda low, high=None, size=None, dtype=np.int64:
+      state['g'].integers(low, high, size=size, dtype=dtype))
+  np.random.rand = lambda *sz: state['g'].random(sz or None)
+  try:
+    yield state
+  finally:
+    np.random.multinomial, np.random.randint, np.random.rand = saved
+
+
 class TestInferenceParity:
   """Statistical inference (L5): delta-method + t-test family parity.
 
@@ -763,18 +813,7 @@ class TestInferenceParity:
     return r_metrics, r_state, t_metrics, t_state
 
   def _compare_nested(self, r_map, t_map, atol=1e-5, rtol=1e-5):
-    assert set(r_map.keys()) == set(t_map.keys())
-    for metric in r_map:
-      assert set(r_map[metric].keys()) == set(t_map[metric].keys()), metric
-      for var in r_map[metric]:
-        r = r_map[metric][var]
-        t = t_map[metric][var]
-        rv = np.asarray(
-            (r.transpose(*t.dims) if set(r.dims) == set(t.dims) and
-             r.dims != t.dims else r).values, np.float64)
-        np.testing.assert_allclose(
-            np.asarray(t.data, np.float64), rv, atol=atol, rtol=rtol,
-            err_msg=f'{metric}.{var}')
+    _compare_nested(r_map, t_map, atol=atol, rtol=rtol)
 
   def test_delta_method_linearized_values(self, ref):
     from weatherbenchx_tpu.inference import autodiff as my_autodiff
@@ -843,6 +882,163 @@ class TestInferenceParity:
     self._compare_nested(r_inf.standard_error_estimates(),
                          t_inf.standard_error_estimates())
     self._compare_nested(r_inf.p_values(), t_inf.p_values(), atol=1e-6)
+
+
+class TestBootstrapParity:
+  """Bootstrap family (L5): IID / Cluster / Stationary vs the reference.
+
+  Reference ``statistical_inference/bootstrap.py``. For exact count/index
+  parity the reference's legacy global draws are routed to a Generator
+  seeded identically to the repo side (see ``_legacy_rng_routed_to``);
+  values then agree to float tolerance. The reference's
+  ``arch.bootstrap.optimal_block_length`` import is satisfied by the stub
+  in tools/refshim/arch, backed by this repo's Politis-White port
+  (``inference/block_length.py``), so automatic block-length selection
+  runs the identical algorithm on both sides.
+  """
+
+  N_UNITS = 24
+  N_REPLICATES = 48
+  SEED = 20260817
+
+  def _states(self, ref, reduce_dims=('latitude', 'longitude'),
+              cluster=False, ar_coefficient=0.0):
+    """Builds identical two-variable per-init states in both frameworks."""
+    from weatherbenchx_tpu.inference import bootstrap as my_bootstrap  # noqa: F401
+
+    init_times = (np.datetime64('2020-01-01T00', 'ns')
+                  + np.arange(self.N_UNITS) * np.timedelta64(12, 'h'))
+    rng = _rng(92)
+    shape = (self.N_UNITS, N_LEAD, len(LATS), len(LONS))
+    arrs = {}
+    for key in ('p_t2m', 't_t2m', 'p_z', 't_z'):
+      noise = rng.standard_normal(shape)
+      if ar_coefficient:
+        # AR(1) along init_time so automatic block-length selection has
+        # real autocorrelation to find.
+        for i in range(1, self.N_UNITS):
+          noise[i] += ar_coefficient * noise[i - 1]
+      arrs[key] = (noise + 1.5).astype(np.float32)
+    dims = ('init_time', 'lead_time', 'latitude', 'longitude')
+    coords = {'init_time': init_times, 'lead_time': LEAD_TIMES,
+              'latitude': LATS, 'longitude': LONS}
+    if cluster:
+      # 6 clusters of 4 consecutive inits each, as a non-dim coord.
+      cluster_ids = np.repeat(np.arange(self.N_UNITS // 4), 4)
+      r_coords = dict(coords, cluster=('init_time', cluster_ids))
+      t_coords = dict(coords, cluster=Coord(('init_time',), cluster_ids))
+    else:
+      r_coords, t_coords = coords, coords
+    rp = {'2m_temperature': ref.xr.DataArray(arrs['p_t2m'], dims=dims,
+                                             coords=r_coords),
+          'geopotential': ref.xr.DataArray(arrs['p_z'], dims=dims,
+                                           coords=r_coords)}
+    rt = {'2m_temperature': ref.xr.DataArray(arrs['t_t2m'], dims=dims,
+                                             coords=r_coords),
+          'geopotential': ref.xr.DataArray(arrs['t_z'], dims=dims,
+                                           coords=r_coords)}
+    tp = {'2m_temperature': DimArray(arrs['p_t2m'], dims, t_coords),
+          'geopotential': DimArray(arrs['p_z'], dims, t_coords)}
+    tt = {'2m_temperature': DimArray(arrs['t_t2m'], dims, t_coords),
+          'geopotential': DimArray(arrs['t_z'], dims, t_coords)}
+    r_metrics = {'rmse': ref.deterministic.RMSE(),
+                 'bias': ref.deterministic.Bias()}
+    t_metrics = {'rmse': t_deterministic.RMSE(),
+                 'bias': t_deterministic.Bias()}
+    reduce = list(reduce_dims)
+    r_state = ref_agg(ref, reduce_dims=reduce).aggregate_statistics(
+        ref.base.compute_unique_statistics_for_all_metrics(
+            r_metrics, dict(rp), dict(rt)))
+    t_state = tpu_agg(reduce_dims=reduce).aggregate_statistics(
+        t_base.compute_unique_statistics_for_all_metrics(
+            t_metrics, dict(tp), dict(tt)))
+    return r_metrics, r_state, t_metrics, t_state
+
+  def _compare_bootstraps(self, r_boot, t_boot, value_atol=1e-5):
+    _compare_nested(r_boot.resampled_values, t_boot.resampled_values,
+                    atol=value_atol)
+    _compare_nested(r_boot.point_estimates(), t_boot.point_estimates())
+    _compare_nested(r_boot.standard_error_estimates(),
+                    t_boot.standard_error_estimates(), atol=value_atol)
+    r_lo, r_hi = r_boot.confidence_intervals()
+    t_lo, t_hi = t_boot.confidence_intervals()
+    _compare_nested(r_lo, t_lo, atol=value_atol)
+    _compare_nested(r_hi, t_hi, atol=value_atol)
+    _compare_nested(r_boot.p_values(), t_boot.p_values(), atol=1e-5)
+
+  def test_iid_bootstrap(self, ref):
+    from weatherbenchx_tpu.inference import bootstrap as my_bootstrap
+
+    r_metrics, r_state, t_metrics, t_state = self._states(ref)
+    with _legacy_rng_routed_to(self.SEED):
+      r_boot = ref.si_bootstrap.IIDBootstrap(
+          r_metrics, r_state, experimental_unit_dim='init_time',
+          n_replicates=self.N_REPLICATES)
+    t_boot = my_bootstrap.IIDBootstrap(
+        t_metrics, t_state, experimental_unit_dim='init_time',
+        n_replicates=self.N_REPLICATES, seed=self.SEED)
+    self._compare_bootstraps(r_boot, t_boot)
+
+  def test_cluster_bootstrap(self, ref):
+    from weatherbenchx_tpu.inference import bootstrap as my_bootstrap
+
+    r_metrics, r_state, t_metrics, t_state = self._states(ref, cluster=True)
+    with _legacy_rng_routed_to(self.SEED):
+      r_boot = ref.si_bootstrap.ClusterBootstrap(
+          r_metrics, r_state, experimental_unit_coord='cluster',
+          n_replicates=self.N_REPLICATES)
+    t_boot = my_bootstrap.ClusterBootstrap(
+        t_metrics, t_state, experimental_unit_coord='cluster',
+        n_replicates=self.N_REPLICATES, seed=self.SEED)
+    self._compare_bootstraps(r_boot, t_boot)
+
+  def _stationary(self, ref, r_metrics, r_state, **kwargs):
+    """Reference StationaryBootstrap with draws aligned to the repo side.
+
+    The repo's ``stationary_bootstrap_indices`` re-seeds per call (it is
+    LRU-cached per (args, seed)); the reference's draws from the shared
+    legacy stream, so re-seed the routed Generator at each fresh
+    (non-cached) index draw to keep the streams aligned.
+    """
+    with _legacy_rng_routed_to(self.SEED) as state:
+      orig = ref.si_bootstrap.stationary_bootstrap_indices
+
+      def reseeding(n_data, mean_block_length, n_replicates,
+                    dtype=np.int64):
+        state['g'] = np.random.default_rng(self.SEED)
+        return orig(n_data=n_data, mean_block_length=mean_block_length,
+                    n_replicates=n_replicates, dtype=dtype)
+
+      ref.si_bootstrap.stationary_bootstrap_indices = reseeding
+      try:
+        return ref.si_bootstrap.StationaryBootstrap(
+            r_metrics, r_state, experimental_unit_dim='init_time',
+            n_replicates=self.N_REPLICATES, **kwargs)
+      finally:
+        ref.si_bootstrap.stationary_bootstrap_indices = orig
+
+  def test_stationary_bootstrap_fixed_block_length(self, ref):
+    from weatherbenchx_tpu.inference import bootstrap as my_bootstrap
+
+    r_metrics, r_state, t_metrics, t_state = self._states(ref)
+    r_boot = self._stationary(ref, r_metrics, r_state, mean_block_length=4.0)
+    t_boot = my_bootstrap.StationaryBootstrap(
+        t_metrics, t_state, experimental_unit_dim='init_time',
+        n_replicates=self.N_REPLICATES, mean_block_length=4.0,
+        seed=self.SEED)
+    self._compare_bootstraps(r_boot, t_boot)
+
+  def test_stationary_bootstrap_automatic_block_length(self, ref):
+    """End-to-end with per-metric/var/lead optimal block lengths."""
+    from weatherbenchx_tpu.inference import bootstrap as my_bootstrap
+
+    r_metrics, r_state, t_metrics, t_state = self._states(
+        ref, ar_coefficient=0.6)
+    r_boot = self._stationary(ref, r_metrics, r_state)
+    t_boot = my_bootstrap.StationaryBootstrap(
+        t_metrics, t_state, experimental_unit_dim='init_time',
+        n_replicates=self.N_REPLICATES, seed=self.SEED)
+    self._compare_bootstraps(r_boot, t_boot)
 
 
 class TestExtendedCoverageParity:
