@@ -1198,6 +1198,174 @@ class TestExtendedCoverageParity:
                   tp, tt)
       compare_results(r, t)
 
+  def test_passthrough_statistics(self, ref):
+    """PredictionPassthrough/TargetPassthrough (reference
+    ``deterministic.py:126-173``) used directly as metrics."""
+    variables = {'t': grid_var(113)}
+    tvars = {'t': grid_var(114)}
+    rp, tp = both(ref, variables)
+    rt, tt = both(ref, tvars)
+    r_metrics = {'pred_pass': ref.deterministic.PredictionPassthrough(),
+                 'targ_pass': ref.deterministic.TargetPassthrough()}
+    t_metrics = {'pred_pass': t_deterministic.PredictionPassthrough(),
+                 'targ_pass': t_deterministic.TargetPassthrough()}
+    r = run_ref(ref, r_metrics, ref_agg(ref), rp, rt)
+    t = run_tpu(t_metrics, tpu_agg(), tp, tt)
+    compare_results(r, t)
+
+  def test_ensemble_error_exceedance(self, ref):
+    """EnsembleErrorExceedance (reference ``probabilistic.py:713-738``)."""
+    variables = {'t': grid_var(115, ens=True)}
+    tvars = {'t': grid_var(116)}
+    rp, tp = both(ref, variables)
+    rt, tt = both(ref, tvars)
+    r_metrics = {'ens_ee': ref.probabilistic.EnsembleErrorExceedance(
+        thresholds=[0.2, 0.5])}
+    t_metrics = {'ens_ee': t_probabilistic.EnsembleErrorExceedance(
+        thresholds=[0.2, 0.5])}
+    r = run_ref(ref, r_metrics, ref_agg(ref), rp, rt)
+    t = run_tpu(t_metrics, tpu_agg(), tp, tt)
+    compare_results(r, t)
+
+  def test_ensemble_averaged_metric(self, ref):
+    """EnsembleAveragedMetric/Statistic (reference
+    ``probabilistic.py:35-113``): per-member RMSE averaged over members,
+    with a NaN member exercising skipna_ensemble."""
+    variables = {'t': grid_var(126, ens=True,
+                               nan_at=((0, 0, 2, 0, 0),))}
+    tvars = {'t': grid_var(127)}
+    rp, tp = both(ref, variables)
+    rt, tt = both(ref, tvars)
+    r_metrics = {
+        'member_rmse': ref.probabilistic.EnsembleAveragedMetric(
+            ref.deterministic.RMSE(), ensemble_dim='number'),
+        'member_rmse_skipna': ref.probabilistic.EnsembleAveragedMetric(
+            ref.deterministic.RMSE(), ensemble_dim='number',
+            skipna_ensemble=True),
+    }
+    t_metrics = {
+        'member_rmse': t_probabilistic.EnsembleAveragedMetric(
+            t_deterministic.RMSE(), ensemble_dim='number'),
+        'member_rmse_skipna': t_probabilistic.EnsembleAveragedMetric(
+            t_deterministic.RMSE(), ensemble_dim='number',
+            skipna_ensemble=True),
+    }
+    r = run_ref(ref, r_metrics, ref_agg(ref), rp, rt)
+    t = run_tpu(t_metrics, tpu_agg(), tp, tt)
+    compare_results(r, t)
+
+  def test_time_unit_set_binnings(self, ref):
+    """ByTimeUnitSets + ByTimeUnitFromSeconds (reference
+    ``binning.py:444-567``), the latter over an int-seconds coordinate."""
+    v_p, v_t = grid_var(117), grid_var(118)
+    secs = (LEAD_TIMES / np.timedelta64(1, 's')).astype(np.int64)
+
+    def with_lead_seconds(v):
+      coords = {d: v._coord_values(d) for d in v.dims}
+      r = ref.xr.DataArray(
+          v.arr, dims=v.dims,
+          coords=dict(coords, lead_seconds=('lead_time', secs)))
+      t = DimArray(v.arr, v.dims,
+                   dict(coords, lead_seconds=Coord(('lead_time',), secs)))
+      return r, t
+
+    r_p, t_p = with_lead_seconds(v_p)
+    r_t, t_t = with_lead_seconds(v_t)
+    rp, tp = {'t': r_p}, {'t': t_p}
+    rt, tt = {'t': r_t}, {'t': t_t}
+    metrics_r = {'mse': ref.deterministic.MSE()}
+    metrics_t = {'mse': t_deterministic.MSE()}
+    # INIT_TIMES are 12-hourly from 00UTC -> hours alternate 0/12.
+    sets = {'00': [0], '12': [12], 'both': [0, 12]}
+    cases = [
+        ('bysets',
+         lambda: ref.binning.ByTimeUnitSets(sets, 'hour', 'init_time',
+                                            add_global_bin=True),
+         lambda: t_binning.ByTimeUnitSets(sets, 'hour', 'init_time',
+                                          add_global_bin=True)),
+        ('fromseconds',
+         lambda: ref.binning.ByTimeUnitFromSeconds(
+             'hour', 'lead_seconds', bins=[0, 6, 12]),
+         lambda: t_binning.ByTimeUnitFromSeconds(
+             'hour', 'lead_seconds', bins=[0, 6, 12])),
+    ]
+    reduce = ['init_time', 'lead_time', 'latitude', 'longitude']
+    for name, mk_r, mk_t in cases:
+      r = run_ref(ref, metrics_r, ref_agg(ref, bin_by=[mk_r()],
+                                          reduce_dims=reduce), rp, rt)
+      t = run_tpu(metrics_t, tpu_agg(bin_by=[mk_t()], reduce_dims=reduce),
+                  tp, tt)
+      compare_results(r, t)
+
+  def test_cdf_wrappers_and_prebinned_rps(self, ref):
+    """ContinuousToCDF/ContinuousToBins/Inline + the statistic wrappers
+    (WrappedStatistic, RenamedStatistic, SubselectVariablesForStatistic)
+    and the pre-binned categorical RankedProbabilityScore (reference
+    ``wrappers.py:377-594,834-994``, ``categorical.py:307-341``)."""
+    variables = {'t': grid_var(119), 'q': grid_var(120)}
+    tvars = {'t': grid_var(121), 'q': grid_var(122)}
+    rp, tp = both(ref, variables)
+    rt, tt = both(ref, tvars)
+
+    def build(w, det, cat):
+      return {
+          'rps_cdf': w.WrappedStatistic(
+              cat.RankedProbabilityScore(bin_dim='cdf_bin'),
+              w.ContinuousToCDF(which='both',
+                                threshold_values=[0.3, 0.6],
+                                threshold_dim='cdf_bin')),
+          'bins_mse': w.WrappedMetric(
+              det.MSE(),
+              [w.ContinuousToBins(which='both',
+                                  bin_values=[0.25, 0.5, 0.75],
+                                  bin_dim='valbin')]),
+          'inline_mse': w.WrappedMetric(
+              det.MSE(),
+              [w.Inline(which='predictions',
+                        transform_fn=lambda da: da * 2.0,
+                        unique_name_suffix='double')]),
+          'renamed_se': w.RenamedStatistic(det.SquaredError(),
+                                           'se_renamed'),
+          'subsel_se': w.SubselectVariablesForStatistic(
+              det.SquaredError(), ['t']),
+      }
+
+    r_metrics = build(ref.wrappers, ref.deterministic, ref.categorical)
+    t_metrics = build(t_wrappers, t_deterministic, t_categorical)
+    r = run_ref(ref, r_metrics, ref_agg(ref), rp, rt)
+    t = run_tpu(t_metrics, tpu_agg(), tp, tt)
+    compare_results(r, t)
+
+  def test_time_dependent_cdf_thresholds(self, ref):
+    """ContinuousToCDF with a (dayofyear, lead_time) threshold array:
+    exercises select_bin_thresholds_by_time_from_chunk + compute_cdf
+    (reference ``wrappers.py:270-375``)."""
+    variables = {'t': grid_var(123)}
+    tvars = {'t': grid_var(124)}
+    rp, tp = both(ref, variables)
+    rt, tt = both(ref, tvars)
+    rng = _rng(125)
+    base = rng.uniform(0.2, 0.4, (len(CLIM_DOYS), N_LEAD))
+    thr = np.stack([base, base + 0.3])  # increasing along cdf_bin
+    tdims = ('cdf_bin', 'dayofyear', 'lead_time')
+    tcoords = {'cdf_bin': np.array([0.0, 1.0]), 'dayofyear': CLIM_DOYS,
+               'lead_time': LEAD_TIMES}
+    r_thr = ref.xr.DataArray(thr, dims=tdims, coords=tcoords)
+    t_thr = DimArray(thr, tdims, tcoords)
+    r_metrics = {'cdf_mse': ref.wrappers.WrappedMetric(
+        ref.deterministic.MSE(),
+        [ref.wrappers.ContinuousToCDF(which='both', threshold_values=r_thr,
+                                      threshold_dim='cdf_bin',
+                                      unique_name_suffix='doy_thr')])}
+    t_metrics = {'cdf_mse': t_wrappers.WrappedMetric(
+        t_deterministic.MSE(),
+        [t_wrappers.ContinuousToCDF(which='both', threshold_values=t_thr,
+                                    threshold_dim='cdf_bin',
+                                    unique_name_suffix='doy_thr')])}
+    r = run_ref(ref, r_metrics, ref_agg(ref), rp, rt)
+    t = run_tpu(t_metrics, tpu_agg(), tp, tt)
+    compare_results(r, t)
+
   def test_time_dim_climatology(self, ref):
     """Climatology with an exact 'time' dim (reference base.py:399-401)."""
     variables = {'t': grid_var(113)}
@@ -1507,6 +1675,47 @@ class TestLoaderParity:
               == np.datetime64(t_wrap.get_available_init_time(it))), it
     r = r_wrap.load_chunk(req, lead)
     t = t_wrap.load_chunk(req, lead)
+    self._compare_chunk(dict(r), t, check_coords=('lead_time',))
+
+  def test_multiple_constant_latency_wrapper(self, ref):
+    """MultipleConstantLatencyWrapper (reference
+    ``latency_wrappers.py:233-336``): two stores on interleaved init
+    grids (00/12 vs 06/18 UTC) with different latencies; per requested
+    init the freshest available loader wins and chunks concatenate."""
+    from weatherbenchx_tpu.data import latency_wrappers as t_lw
+    from weatherbenchx_tpu.data import loaders as t_loaders
+
+    r_pred, _, t_pred, _, _, _ = self._stores(ref)
+    lead = (np.arange(2) * np.timedelta64(6, 'h')).astype('timedelta64[ns]')
+
+    def r_loader(sl, latency):
+      return ref.dl_latency.XarrayConstantLatencyWrapper(
+          ref.dl_xarray.PredictionsFromXarray(
+              ds=r_pred.isel(time=sl), variables=['geopotential']),
+          latency=latency)
+
+    def t_loader(sl, latency):
+      return t_lw.DatasetConstantLatencyWrapper(
+          t_loaders.PredictionsFromDataset(
+              ds={'geopotential': t_pred['geopotential'].isel(time=sl)},
+              variables=['geopotential']),
+          latency=latency)
+
+    lat_a = np.timedelta64(5, 'h')   # 00/12 UTC store, slower
+    lat_b = np.timedelta64(2, 'h')   # 06/18 UTC store, faster
+    r_multi = ref.dl_latency.MultipleConstantLatencyWrapper(
+        [r_loader(slice(0, None, 2), lat_a),
+         r_loader(slice(1, None, 2), lat_b)])
+    t_multi = t_lw.MultipleConstantLatencyWrapper(
+        [t_loader(slice(0, None, 2), lat_a),
+         t_loader(slice(1, None, 2), lat_b)])
+    # 2020-01-02T00: B's 01-01T18 (avail 20:00) beats A's 01-01T12
+    # (avail 17:00) -> adjusted leads +6h. 2020-01-02T06: A's 01-02T00
+    # (avail 05:00) beats B's 01-01T18 -> adjusted leads +6h from A.
+    req = np.array(['2020-01-02T00', '2020-01-02T06'],
+                   dtype='datetime64[ns]')
+    r = r_multi.load_chunk(req, lead)
+    t = t_multi.load_chunk(req, lead)
     self._compare_chunk(dict(r), t, check_coords=('lead_time',))
 
 
