@@ -280,6 +280,44 @@ class TestUnaggregatedPipeline:
     assert len(manifest['shards']) == len(times)
 
 
+class TestUnaggregatedResources:
+  def test_climatology_passed_as_device_argument(self, tmp_path):
+    """ACC's climatology must reach the unaggregated jitted stats step as a
+    device ARGUMENT (metrics_base.device_resources), not baked into the
+    program as a trace-time constant — same contract as
+    ChunkEvaluator._eval_fn (at 0.25 deg the constant is >100 MB/program)."""
+    ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
+    clim = io_lib.load_dataset(cpath)
+    metrics = {'acc': deterministic.ACC(climatology=clim)}
+    times = tc.TimeChunks(init, lead, init_time_chunk_size=4,
+                          lead_time_chunk_size=2)
+    pipe = unaggregated.UnaggregatedPipeline(
+        metrics=metrics,
+        predictions_loader=loaders.PredictionsFromDataset(
+            path=ppath, variables=['2m_temperature']),
+        targets_loader=loaders.TargetsFromDataset(
+            path=tpath, variables=['2m_temperature']),
+        times=times, out_path=str(tmp_path / 'unagg'))
+    seen = []
+    inner = pipe._stats_fn
+
+    def spy(p, t, resources=None):
+      seen.append(resources)
+      return inner(p, t, resources)
+
+    pipe._stats_fn = spy
+    out = pipe.run()
+    assert seen, 'stats step never ran'
+    for res in seen:
+      assert res, 'climatology resources not forwarded to the jitted step'
+    assembled = unaggregated.load_unaggregated(out)
+    anom_keys = [k for k in assembled
+                 if 'nomal' in k.lower() or 'acc' in k.lower()]
+    assert anom_keys, list(assembled)
+    for k in anom_keys:
+      assert np.isfinite(np.asarray(assembled[k].values)).all(), k
+
+
 class TestConfigRegistry:
   def test_reference_key_coverage(self):
     """Every reference {model}_{res}_{year} key resolves in our registry."""
@@ -369,6 +407,52 @@ class TestHeterogeneousCombine:
         np.asarray(t2m.sel(model='hres', metric='CRPS').values)).all()
     np.testing.assert_allclose(
         np.asarray(t2m.sel(model='hres', metric='RMSE').values), 1.0)
+
+
+class TestCrossComboAlignment:
+  def _save(self, tmp_path, fn, leads_h, levels, val):
+    leads = np.array(leads_h, 'timedelta64[h]').astype('timedelta64[ns]')
+    ds = {'rmse.z': DimArray(
+        np.full((len(leads), len(levels)), val), ('lead_time', 'level'),
+        {'lead_time': leads, 'level': np.array(levels)})}
+    io_lib.save_dataset(str(tmp_path / fn), ds)
+
+  def test_year_stack_outer_joins_labeled_dims(self, tmp_path):
+    """Combos with different lead extents / level sets stack label-aligned
+    with NaN holes — the xr.merge outer-join the reference gets for free."""
+    self._save(tmp_path, 'hres_vs_era5_64x32_2020.npz',
+               [0, 6, 12], [500, 850], 1.0)
+    self._save(tmp_path, 'hres_vs_era5_64x32_2022.npz',
+               [0, 6], [500, 700], 2.0)
+    files = {fn: str(tmp_path / fn) for fn in os.listdir(tmp_path)}
+    out = combine_results.combine_result_files(files)
+    z = out['z']
+    assert z.sizes['year'] == 2
+    assert z.sizes['lead_time'] == 3  # union of [0,6,12] and [0,6]
+    np.testing.assert_array_equal(z.coord_values('level'), [500, 700, 850])
+    v2020 = z.sel(year='2020', model='hres', metric='RMSE')
+    v2022 = z.sel(year='2022', model='hres', metric='RMSE')
+    # 2020 has no level 700; 2022 has no level 850 and no 12h lead.
+    assert np.isnan(np.asarray(v2020.sel(level=700).values)).all()
+    assert np.isnan(np.asarray(v2022.sel(level=850).values)).all()
+    lead12 = v2022.sel(
+        lead_time=np.timedelta64(12, 'h').astype('timedelta64[ns]'))
+    assert np.isnan(np.asarray(lead12.values)).all()
+    np.testing.assert_allclose(
+        np.asarray(v2020.sel(level=500).values).ravel(), [1.0, 1.0, 1.0])
+    np.testing.assert_allclose(
+        np.asarray(v2022.sel(level=700).values).ravel()[:2], [2.0, 2.0])
+
+  def test_duplicate_result_files_warn(self, tmp_path, capsys):
+    self._save(tmp_path, 'hres_vs_era5_64x32_2020.npz', [0], [500], 1.0)
+    self._save(tmp_path, 'hres_vs_era5_64x32_2020-temporal.npz',
+               [0], [500], 9.0)
+    files = {fn: str(tmp_path / fn) for fn in sorted(os.listdir(tmp_path))}
+    combine_results.combine_result_files(files)
+    captured = capsys.readouterr().out
+    assert 'WARNING: multiple result files' in captured
+    assert 'hres_vs_era5_64x32_2020.npz' in captured
+    assert 'hres_vs_era5_64x32_2020-temporal.npz' in captured
 
 
 class TestUnaggregatedZarr:

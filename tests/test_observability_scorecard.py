@@ -70,6 +70,21 @@ class TestScorecardHTML:
     assert data['values']['t2m']['RMSE']['all']['tropics']['all'] == [
         [1.0, 3.0], [5.0, 7.0]]
 
+  def test_curated_default_model_lists(self, tmp_path):
+    """The page carries the reference's curated default-visible model
+    lists per category (apps/config.py:55-70), not an alphabetical cap."""
+    da = DimArray(np.array([[1.0]]), ('model', 'metric'),
+                  {'model': np.array(['GraphCast vs ERA5']),
+                   'metric': np.array(['RMSE'])})
+    path = str(tmp_path / 'sc.npz')
+    io_lib.save_dataset(path, {'t2m': da})
+    page = scorecard_html.render_scorecard_html(path)
+    for snippet in ("'GraphCast vs ERA5', 'NeuralGCM 0.7 vs ERA5'",
+                    'DEFAULT_MODELS_PRECIP', 'DEFAULT_MODELS_PROB',
+                    'function categoryFor() {',
+                    'const hidden = hiddenSet();'):
+      assert snippet in page, snippet
+
   def test_nan_rendered_as_null(self, tmp_path):
     da = DimArray(np.array([[np.nan]]), ('model', 'metric'),
                   {'model': np.array(['a']), 'metric': np.array(['RMSE'])})

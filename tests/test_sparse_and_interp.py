@@ -265,6 +265,47 @@ class TestSparseParquet:
     assert out.dims == ('lead_time',)
     assert np.isfinite(np.asarray(out.values)).all()
 
+  def test_stats_sink_keeps_station_coords(self, tmp_path):
+    """Statistics streamed via chunk_stats_sink keep the per-row host
+    coords (stationName) that lean_pair strips for retrace-free eval."""
+    path, df = _write_parquet_fixture(tmp_path)
+    targets_loader = sparse_parquet.SparseObservationsFromParquet(
+        path=path, partitioned_by='month', time_dim='timeNominal',
+        variables=['t'],
+        rename_variables={'temperature': 't'},
+        coordinate_variables=['latitude', 'longitude', 'stationName'],
+        add_nan_mask=True)
+    lats = np.linspace(-90, 90, 19)
+    lons = np.linspace(0, 360, 36, endpoint=False)
+    init = np.array(['2020-01-01T00'], dtype='datetime64[ns]')
+    lead = np.array([6, 12], dtype='timedelta64[h]').astype('timedelta64[ns]')
+    rng = np.random.default_rng(1)
+    pred_ds = {'t': DimArray(
+        270 + rng.standard_normal((1, 2, 19, 36)).astype(np.float32),
+        ('init_time', 'lead_time', 'latitude', 'longitude'),
+        {'init_time': init, 'lead_time': lead,
+         'latitude': lats, 'longitude': lons})}
+    predictions_loader = loaders.PredictionsFromDataset(
+        ds=pred_ds, rename_dimensions=None,
+        interpolation=interpolations.InterpolateToReferenceCoords('linear'))
+    emitted = []
+    pl.EvaluationPipeline(
+        metrics={'rmse': deterministic.RMSE()},
+        aggregator=aggregation.Aggregator(reduce_dims=['index'],
+                                          masked=True),
+        predictions_loader=predictions_loader,
+        targets_loader=targets_loader,
+        times=tc.TimeChunks(init, lead, init_time_chunk_size=1),
+        chunk_stats_sink=lambda i, offsets, flat: emitted.append(flat),
+    ).run()
+    assert emitted
+    for flat in emitted:
+      da = flat['SquaredError.t']
+      assert da.has_coord('stationName'), sorted(da.coords)
+      names = np.asarray(da.coords['stationName'].values)
+      assert names.shape == (da.sizes['index'],)
+      assert any(str(n).startswith('ST') for n in names.ravel())
+
   def test_pad_dim_to_multiple(self):
     da = DimArray(np.arange(5.0), ('index',),
                   {'stationName': Coord(('index',),
@@ -280,6 +321,30 @@ class TestSparseParquet:
     agg = aggregation.Aggregator(reduce_dims=['index'], masked=True)
     state = agg.aggregate_statistics({'s': {'v': padded}})
     assert state.mean_statistics()['s']['v'].item() == pytest.approx(2.0)
+
+  def test_pad_preserves_non_float_dtypes(self):
+    """int64/bool/datetime data keeps its dtype when padded (0-fill + mask),
+    so padded and exact-multiple chunks stay layout-identical."""
+    big = 2**60 + 7  # would corrupt under a float32 (or even float64) cast
+    ints = DimArray(np.array([big, 1, 2], np.int64), ('index',))
+    bools = DimArray(np.array([True, False, True]), ('index',))
+    times = DimArray(
+        np.array(['2020-01-01', '2020-01-02', '2020-01-03'],
+                 'datetime64[ns]'), ('index',))
+    padded = data_base.pad_dim_to_multiple(
+        {'i': ints, 'b': bools, 't': times}, 'index', 4)
+    assert padded['i'].dtype == np.int64
+    assert np.asarray(padded['i'].values)[0] == big
+    np.testing.assert_array_equal(np.asarray(padded['i'].values)[3:], [0])
+    assert padded['b'].dtype == np.bool_
+    assert padded['t'].dtype == np.dtype('datetime64[ns]')
+    for v in padded.values():
+      np.testing.assert_array_equal(
+          np.asarray(v.coords['mask'].values), [1, 1, 1, 0])
+    # Exact-multiple path (with existing mask) returns the same dtype.
+    exact = data_base.pad_dim_to_multiple(
+        {'i': padded['i']}, 'index', 4)['i']
+    assert exact.dtype == np.int64
 
 
 class TestLatencyWrappers:

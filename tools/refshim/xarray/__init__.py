@@ -944,17 +944,23 @@ class DataArray:
     if not isinstance(cond, DataArray):
       cond = DataArray(np.asarray(cond))
     a, c = self._align_with(cond)
+    o = None
     if isinstance(other, DataArray):
+      # Three-way inner alignment: aligning with `other` can shrink `a`, which
+      # in turn invalidates the earlier a/c alignment (and vice versa), so
+      # re-align until consistent.  Crucially the *aligned* `o` must be used
+      # below — using the raw `other` would mix label orders.
       a, o = a._align_with(other)
       a, c = a._align_with(c)
+      a, o = a._align_with(o)
     dims = tuple(a._dims) + tuple(d for d in c._dims if d not in a._dims)
-    if isinstance(other, DataArray):
-      dims = dims + tuple(d for d in other._dims if d not in dims)
+    if o is not None:
+      dims = dims + tuple(d for d in o._dims if d not in dims)
     av = _reshape_for(a, dims)
     cv = _reshape_for(c, dims)
-    if isinstance(other, DataArray):
-      ov = _reshape_for(other, dims)
-      coords = _merge_coords(a._coords, c._coords, other._coords,
+    if o is not None:
+      ov = _reshape_for(o, dims)
+      coords = _merge_coords(a._coords, c._coords, o._coords,
                              result_dims=set(dims))
     else:
       ov = other

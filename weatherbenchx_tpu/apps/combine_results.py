@@ -26,7 +26,9 @@ METRIC_RENAMES = {
     'bias': 'Bias',
     'acc': 'ACC',
     'seeps': 'SEEPS',
-    'vector_rmse': 'Vector RMSE',
+    # NOTE: no 'vector_rmse' entry — it is folded into 'rmse' of a synthetic
+    # '<name>_vector' variable before renames apply (see combine_model_results),
+    # matching the reference rename maps which have no such key either.
     'prediction_activity': 'Forecast Activity',
     'crps': 'CRPS',
     'spread_skill': 'Spread/Skill',
@@ -212,21 +214,64 @@ def _parse_result_filename(fn: str):
   return base, None, None
 
 
-def _reindex_models(da: DimArray, models: Sequence[str]) -> DimArray:
-  have = [str(m) for m in da.coord_values('model')]
-  if have == list(models):
+def _union_coord(arrays, dim: str) -> Optional[np.ndarray]:
+  """Union of a dim's coord labels across arrays (sorted), or None if
+  the dim is unlabeled everywhere."""
+  vals = [np.asarray(da.coord_values(dim)) for da in arrays
+          if dim in da.dims and da.has_coord(dim)]
+  if not vals:
+    return None
+  cat = np.concatenate(vals)
+  try:
+    return np.unique(cat)
+  except TypeError:
+    out: list = []
+    for v in cat.tolist():
+      if v not in out:
+        out.append(v)
+    return np.array(out, dtype=object)
+
+
+def _reindex_dim(da: DimArray, dim: str, labels) -> DimArray:
+  """Label-aligns ``da`` along ``dim`` to ``labels``, NaN-filling holes.
+
+  The reference's cross-(year, resolution) stacking goes through xr.merge,
+  which outer-joins on coordinate labels (``combine_results.py:268-283``);
+  this is the darray equivalent: without it, combos evaluated with e.g.
+  different lead_time extents or level sets would either crash the concat
+  or stack silently misaligned.
+  """
+  if dim not in da.dims:
     return da
-  ax = da.dims.index('model')
+  labels = np.asarray(labels)
+  if not da.has_coord(dim):
+    if da.sizes[dim] == len(labels):
+      return da
+    raise ValueError(
+        f'dim {dim!r} has no coord labels to align on but its size '
+        f'{da.sizes[dim]} differs across (resolution, year) combos '
+        f'(union size {len(labels)})')
+  have = np.asarray(da.coord_values(dim))
+  if have.shape == labels.shape and (have == labels).all():
+    return da
+  ax = da.dims.index(dim)
   shape = list(da.shape)
-  shape[ax] = len(models)
+  shape[ax] = len(labels)
   out = np.full(shape, np.nan, dtype=np.float64)
   src = np.asarray(da.values, dtype=np.float64)
-  for i, m in enumerate(models):
-    if m in have:
+  have_list = have.tolist()
+  for i, lbl in enumerate(labels.tolist()):
+    if lbl in have_list:
       out[(slice(None),) * ax + (i,)] = src[
-          (slice(None),) * ax + (have.index(m),)]
-  coords = dict(da.coords)
-  coords['model'] = Coord(('model',), np.array(list(models)))
+          (slice(None),) * ax + (have_list.index(lbl),)]
+  coords = {}
+  for name, c in da.coords.items():
+    if name == dim:
+      coords[name] = Coord((dim,), labels)
+    elif dim in c.dims:
+      continue  # stale along the reindexed dim
+    else:
+      coords[name] = c
   return DimArray(out, da.dims, coords)
 
 
@@ -247,7 +292,12 @@ def combine_result_files(
       model = model.split('_vs_')[0]
     elif model in MODEL_NAMES:
       model = MODEL_NAMES[model]
-    groups.setdefault((res or '', year or ''), {})[model] = path
+    group = groups.setdefault((res or '', year or ''), {})
+    if model in group:
+      print(f'WARNING: multiple result files for model {model!r} at '
+            f'resolution={res!r} year={year!r}: '
+            f'{os.path.basename(group[model])} overridden by {fn}')
+    group[model] = path
 
   per_combo = {combo: combine_model_results(paths)
                for combo, paths in sorted(groups.items())}
@@ -273,17 +323,40 @@ def combine_result_files(
                        for m in da.coord_values('model')})
   out: dict[str, DimArray] = {}
   for var in variables:
-    template = next(ds[var] for ds in per_combo.values() if var in ds)
-    template = _reindex_models(template, all_models)
+    arrays = {combo: ds[var] for combo, ds in per_combo.items()
+              if var in ds}
+    dims0 = next(iter(arrays.values())).dims
+    for combo, da in arrays.items():
+      if da.dims != dims0:
+        raise ValueError(
+            f'{var}: dims differ across (resolution, year) combos: '
+            f'{da.dims} at {combo} vs {dims0}')
+    # Outer-join every labeled dim across combos (model by the precomputed
+    # union, the rest by coord labels) so combos evaluated with different
+    # extents stack into one NaN-filled hypercube, as xr.merge would.
+    targets: dict[str, np.ndarray] = {'model': np.array(all_models)}
+    for d in dims0:
+      if d == 'model':
+        continue
+      u = _union_coord(arrays.values(), d)
+      if u is not None:
+        targets[d] = u
+      elif len({da.sizes[d] for da in arrays.values()}) > 1:
+        raise ValueError(
+            f'{var}: dim {d!r} is unlabeled and its size differs across '
+            f'(resolution, year) combos — cannot align')
+    aligned = {}
+    for combo, da in arrays.items():
+      for d, labels in targets.items():
+        da = _reindex_dim(da, d, labels)
+      aligned[combo] = da
+    template = next(iter(aligned.values()))
     nan = template.copy(data=np.full(template.shape, np.nan))
     res_stack = []
     for res in resolutions:
       year_stack = []
       for year in years:
-        ds = per_combo.get((res, year))
-        da = (_reindex_models(ds[var], all_models)
-              if ds and var in ds else nan)
-        year_stack.append(da)
+        year_stack.append(aligned.get((res, year), nan))
       res_stack.append(
           darray.concat(year_stack, 'year').assign_coords(
               year=Coord(('year',), np.array(years))))

@@ -99,10 +99,40 @@ const DATA = {data_json};
 const PALETTE = ['#1f77b4','#ff7f0e','#2ca02c','#d62728','#9467bd',
                  '#8c564b','#e377c2','#7f7f7f','#bcbd22','#17becf',
                  '#aec7e8','#ffbb78','#98df8a','#ff9896','#c5b0d5'];
-// Default-visible subset (dash_app.py:361-372): beyond the first
-// DEFAULT_VISIBLE models start legend-hidden; clicking toggles.
+// Default-visible subsets (reference apps/config.py:55-70, applied at
+// dash_app.py:361-372): a curated list per category — deterministic,
+// precipitation, probabilistic. Models outside the list start
+// legend-hidden; clicking toggles. When none of the curated names match
+// (scorecard built without --display_names), fall back to the first
+// DEFAULT_VISIBLE models.
+const DEFAULT_MODELS = ['IFS HRES vs Analysis', 'IFS ENS (mean) vs Analysis',
+                        'GraphCast vs ERA5', 'NeuralGCM 0.7 vs ERA5'];
+const DEFAULT_MODELS_PRECIP = ['IFS HRES vs ERA5', 'IFS ENS (mean) vs ERA5',
+                               'GraphCast vs ERA5'];
+const DEFAULT_MODELS_PROB = ['IFS ENS vs Analysis', 'GenCast vs ERA5',
+                             'NeuralGCM ENS vs ERA5'];
+const PROB_METRICS = new Set(['CRPS', 'Spread/Skill',
+                              'Unbiased Spread/Skill', 'Mean RMSE',
+                              'Unbiased Mean RMSE']);
 const DEFAULT_VISIBLE = 8;
-const hidden = new Set(DATA.models.slice(DEFAULT_VISIBLE));
+function categoryFor() {{
+  if (PROB_METRICS.has($('metric').value)) return 'prob';
+  if ($('variable').value.toLowerCase().includes('precip')) return 'precip';
+  return 'det';
+}}
+const hiddenByCat = {{}};  // per-category hidden sets; toggles persist
+function hiddenSet() {{
+  const cat = categoryFor();
+  if (!(cat in hiddenByCat)) {{
+    const defaults = {{det: DEFAULT_MODELS, precip: DEFAULT_MODELS_PRECIP,
+                       prob: DEFAULT_MODELS_PROB}}[cat];
+    const anyMatch = DATA.models.some(m => defaults.includes(m));
+    hiddenByCat[cat] = new Set(anyMatch
+        ? DATA.models.filter(m => !defaults.includes(m))
+        : DATA.models.slice(DEFAULT_VISIBLE));
+  }}
+  return hiddenByCat[cat];
+}}
 const $ = id => document.getElementById(id);
 function fill(sel, opts) {{
   const prev = sel.value; sel.innerHTML = '';
@@ -161,6 +191,7 @@ function drawChart(rows, ylabel) {{
   const ml = 70, mr = 20, mt = 15, mb = 45;
   const xs = DATA.lead_hours;
   const withMarkers = $('markers').checked;
+  const hidden = hiddenSet();
   const shown = rows.map((r, i) => hidden.has(DATA.models[i]) ? null : r);
   const flat = shown.flat().filter(x => x != null && isFinite(x));
   if (!flat.length) {{ svg.innerHTML =
@@ -206,6 +237,7 @@ function drawChart(rows, ylabel) {{
   svg.innerHTML = out;
 }}
 function drawLegend() {{
+  const hidden = hiddenSet();
   $('legend').innerHTML = DATA.models.map((m, i) =>
     `<span data-m="${{m}}" class="${{hidden.has(m) ? 'off' : ''}}"
      style="color:${{PALETTE[i % PALETTE.length]}}">&#9632; ${{m}}</span>`

@@ -48,9 +48,12 @@ def pad_dim_to_multiple(
   Sparse chunks have a variable-length ``index`` dim, which would retrace
   the jitted pipeline step every chunk. Padding to the next multiple bounds
   the number of distinct compile shapes to a handful of buckets. Padded
-  positions get NaN data and mask=False (use masked=True aggregation);
-  numeric coords are padded with their first value (weights/bins see valid
-  values; the mask excludes them), string coords with ''.
+  positions get mask=False (use masked=True aggregation) and fill data of
+  NaN for floats / 0 for integer, bool and datetime data — dtypes are
+  preserved so exact-multiple and padded chunks of the same variable stay
+  layout-identical (one compile bucket, combinable states). Numeric coords
+  are padded with their first value (weights/bins see valid values; the
+  mask excludes them), string coords with ''.
   """
   out = {}
   for var, da in data.items():
@@ -65,9 +68,16 @@ def pad_dim_to_multiple(
       out[var] = da
       continue
     widths = [(0, pad if d == dim else 0) for d in da.dims]
-    new_data = np.pad(np.asarray(da.values).astype(
-        da.dtype if np.issubdtype(da.dtype, np.floating) else np.float32),
-        widths, constant_values=np.nan)
+    vals = np.asarray(da.values)
+    if np.issubdtype(vals.dtype, np.floating):
+      new_data = np.pad(vals, widths, constant_values=np.nan)
+    elif vals.dtype.kind in 'US':
+      new_data = np.pad(vals, widths, constant_values='')
+    elif vals.dtype.kind in 'Mm':
+      new_data = np.pad(vals.view('i8'), widths,
+                        constant_values=0).view(vals.dtype)
+    else:
+      new_data = np.pad(vals, widths, constant_values=0)
     coords = {}
     for name, c in da.coords.items():
       v = np.asarray(c.values)

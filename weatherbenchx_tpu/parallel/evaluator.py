@@ -242,6 +242,27 @@ class ChunkEvaluator:
     return ({v: strip(da) for v, da in predictions.items()},
             {v: strip(da) for v, da in targets.items()})
 
+  def stripped_ragged_coords(self, predictions, targets):
+    """The host coords ``lean_pair`` removes, keyed by variable name.
+
+    A chunk-stats sink (unaggregated streaming) needs the per-row station
+    names / labels that were stripped for retrace-free evaluation; this
+    returns them so the pipeline can re-attach them to the emitted
+    statistics host-side. Targets' coords win on a name clash (both sides
+    are joined on the same rows, so they should agree).
+    """
+    rd = set(self.aggregator.reduce_dims)
+    ragged = set(self.RAGGED_DIMS) & rd
+    if not ragged:
+      return {}
+    out: dict = {}
+    for side in (predictions, targets):
+      for var, da in side.items():
+        for n, c in da.coords.items():
+          if c.is_host and set(c.dims) & ragged and set(c.dims) <= rd:
+            out.setdefault(var, {})[n] = c
+    return out
+
   def operands_for(self, predictions, targets):
     """Device-resident weights/bin masks for this chunk LAYOUT (cached).
 

@@ -384,13 +384,20 @@ class EvaluationPipeline:
           self._save_checkpoint(buckets, i + 1)
       logger.info('chunk %d/%d done', i + 1, n)
 
-    def emit_stats(i, offsets, stats):
-      flat = {
-          f'{stat_name}.{var_name}':
-              evaluator_lib.restore_time_coords(da)
-          for stat_name, stat_vars in stats.items()
-          for var_name, da in stat_vars.items()
-      }
+    def emit_stats(i, offsets, stats, stripped_coords):
+      # Statistics were computed from the lean (retrace-free) pair; put the
+      # stripped per-row host coords (station names, row labels) back so the
+      # sink's output stays interpretable.
+      flat = {}
+      for stat_name, stat_vars in stats.items():
+        for var_name, da in stat_vars.items():
+          da = evaluator_lib.restore_time_coords(da)
+          for cname, c in (stripped_coords.get(var_name) or {}).items():
+            if not da.has_coord(cname) and all(
+                da.sizes.get(d) == n
+                for d, n in zip(c.dims, np.shape(c.values))):
+              da = da.assign_coords(**{cname: c})
+          flat[f'{stat_name}.{var_name}'] = da
       with self._obs.timed('chunk_stats_sink_seconds'):
         self.chunk_stats_sink(i, offsets, flat)
 
@@ -409,10 +416,11 @@ class EvaluationPipeline:
       fused = os.environ.get('WBX_FUSED_ACCUM', '0') == '1'
       if self._eval_and_stats_fn is not None:
         ops = self._evaluator.operands_for(*pair)
+        stripped = self._evaluator.stripped_ragged_coords(*pair)
         lean = self._evaluator.lean_pair(*pair)
         state, stats = self._eval_and_stats_fn(
             lean[0], lean[1], ops, self._evaluator.resources())
-        emit_stats(i, offsets, stats)
+        emit_stats(i, offsets, stats, stripped)
         if key in buckets:
           buckets[key] = _device_add(buckets[key], state)
         else:

@@ -203,13 +203,18 @@ class UnaggregatedPipeline:
         mesh=self.mesh, dim_to_axis=self.dim_to_axis)
     self._stats_fn = jax.jit(self._compute_stats)
 
-  def _compute_stats(self, predictions, targets):
-    return metrics_base.compute_unique_statistics_for_all_metrics(
-        self.metrics, predictions, targets)
+  def _compute_stats(self, predictions, targets, resources=None):
+    # Climatologies (and any other long-lived statistic arrays) arrive as
+    # device ARGUMENTS, not trace-time constants — otherwise every compiled
+    # program embeds >100 MB of dayofyear×hour climatology at 0.25°, the
+    # same oversized-payload failure ChunkEvaluator._eval_fn avoids.
+    with metrics_base.device_resources(resources):
+      return metrics_base.compute_unique_statistics_for_all_metrics(
+          self.metrics, predictions, targets)
 
   def _chunk_stats(self, predictions, targets) -> dict[str, DimArray]:
     p, t = self._evaluator.prepare_pair(predictions, targets)
-    stats = self._stats_fn(p, t)
+    stats = self._stats_fn(p, t, self._evaluator.resources())
     flat = {}
     for stat_name, stat_vars in stats.items():
       for var_name, da in stat_vars.items():
