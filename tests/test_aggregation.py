@@ -142,6 +142,44 @@ class TestAggregationState:
     np.testing.assert_allclose(
         total.sum_weighted_statistics['s']['v'].values, [1.0, 2.0])
 
+  def test_host_float64_fast_path_stays_on_host(self):
+    """Summing all-host (to_host float64) states must not round-trip
+    through the device, which would silently downcast to float32."""
+    s1 = self._make_state([1.0, 2.0]).to_host()
+    s2 = self._make_state([3.0, 4.0]).to_host()
+    total = AggregationState.sum([s1, s2])
+    ws = total.sum_weighted_statistics['s']['v']
+    assert isinstance(ws.data, np.ndarray), type(ws.data)
+    assert ws.data.dtype == np.float64, ws.data.dtype
+    np.testing.assert_allclose(np.asarray(ws.values), [4.0, 6.0])
+
+  def test_zero_state_passthrough(self):
+    """to_host / mean_statistics / metric_values on the zero state don't
+    crash (e.g. a pipeline whose chunks were all dropped)."""
+    z = AggregationState.zero()
+    assert z.to_host().sum_weighted_statistics is None
+    assert z.mean_statistics() == {}
+    assert z.metric_values({}) == {}
+    assert z.sum_along_dims(['x']).sum_weighted_statistics is None
+
+  def test_sum_along_dims_missing_dim_is_noop(self):
+    """Variables lacking the reduced dim pass through unchanged — x.sum(())
+    must be a no-op, not a full reduction (bootstrap point estimates hit
+    this for mixed-dim states)."""
+    agg = Aggregator(reduce_dims=[])
+    state = agg.aggregate_statistics({'s': {
+        'with_dim': DimArray(np.arange(6.0).reshape(2, 3), ('unit', 'x')),
+        'without_dim': DimArray(np.arange(3.0), ('x',)),
+    }})
+    out = state.sum_along_dims(['unit'])
+    ws = out.sum_weighted_statistics['s']
+    assert ws['with_dim'].dims == ('x',)
+    np.testing.assert_allclose(np.asarray(ws['with_dim'].values),
+                               [3.0, 5.0, 7.0])
+    assert ws['without_dim'].dims == ('x',)  # untouched, not collapsed
+    np.testing.assert_allclose(np.asarray(ws['without_dim'].values),
+                               [0.0, 1.0, 2.0])
+
   def test_sum_along_dims(self):
     preds, tgts = test_utils.canonical_forecast_pair(seed=6)
     agg = Aggregator(reduce_dims=['latitude', 'longitude'])
@@ -284,6 +322,46 @@ class TestBinning:
     mask = binning.ByCoordBins('elev', np.array([0.0, 100.0, 2000.0])
                                ).create_bin_mask(da)
     np.testing.assert_array_equal(mask.values, [[1, 0, 0, 1], [0, 1, 1, 0]])
+
+  def test_regions_land_mask_label_aligned(self):
+    """A land/sea mask stored in the OPPOSITE latitude order must be
+    label-aligned before the positional AND — otherwise land flips
+    north/south silently."""
+    lat_desc = np.array([30.0, 10.0, -10.0, -30.0])
+    lon = np.array([0.0, 180.0])
+    # Land only in the northern half, stored ASCENDING.
+    ls = DimArray(np.array([[0, 0], [0, 0], [1, 1], [1, 1]], np.float32),
+                  ('latitude', 'longitude'),
+                  {'latitude': lat_desc[::-1], 'longitude': lon})
+    stat = DimArray(np.ones((4, 2)), ('latitude', 'longitude'),
+                    {'latitude': lat_desc, 'longitude': lon})
+    mask = binning.Regions({'global': ((-90, 90), (0, 360))},
+                           land_sea_mask=ls).create_bin_mask(stat)
+    land = np.asarray(mask.sel(region='global_land').values)
+    # Land must land on the rows whose latitude > 0 (indices 0, 1 in the
+    # statistic's descending order).
+    np.testing.assert_array_equal(land, [[1, 1], [1, 1], [0, 0], [0, 0]])
+    # Mismatched coordinate SETS must raise, not silently misbin.
+    bad = DimArray(np.ones((3, 2)), ('latitude', 'longitude'),
+                   {'latitude': np.array([0.0, 10.0, 20.0]),
+                    'longitude': lon})
+    with pytest.raises(ValueError, match='do not match'):
+      binning.Regions({'global': ((-90, 90), (0, 360))},
+                      land_sea_mask=bad).create_bin_mask(stat)
+
+  def test_landsea_label_aligned(self):
+    lat_desc = np.array([30.0, -30.0])
+    lon = np.array([0.0, 180.0])
+    frac = DimArray(np.array([[1.0, 1.0], [0.0, 0.0]]),
+                    ('latitude', 'longitude'),
+                    {'latitude': lat_desc[::-1], 'longitude': lon})
+    stat = DimArray(np.ones((2, 2)), ('latitude', 'longitude'),
+                    {'latitude': lat_desc, 'longitude': lon})
+    mask = binning.LandSea(frac).create_bin_mask(stat)
+    land = np.asarray(mask.sel(land_sea='land').values)
+    # frac has land at its FIRST stored row (lat=-30); in the statistic's
+    # descending order that is the SECOND row.
+    np.testing.assert_array_equal(land, [[0, 0], [1, 1]])
 
   def test_duplicate_bin_dims_raise(self):
     agg = Aggregator(

@@ -31,6 +31,18 @@ class TestBasics:
     with pytest.raises(ValueError):
       DimArray(np.zeros((2, 3)), ('x',))
 
+  def test_tuple_coord_forms(self):
+    # (dims, values) pair — dims must name real parent dims.
+    da = DimArray(np.zeros(2), ('x',), {'c': (('x',), [10, 20])})
+    np.testing.assert_array_equal(da.coord_values('c'), [10, 20])
+    assert da.coords['c'].dims == ('x',)
+    # A 2-tuple of plain VALUES (xarray-ism) must not be misparsed as a
+    # (dims, values) pair with bogus dims.
+    da = DimArray(np.zeros(2), ('x',), {'animal': ('cat', 'dog')})
+    np.testing.assert_array_equal(da.coord_values('animal'),
+                                  ['cat', 'dog'])
+    assert da.coords['animal'].dims == ('animal',)
+
 
 class TestArithmetic:
   def test_same_dims(self):
@@ -101,6 +113,15 @@ class TestReductions:
     a = make((5,), ('x',))
     np.testing.assert_allclose(
         a.std('x', ddof=1).item(), a.values.std(ddof=1))
+
+  def test_empty_dim_list_is_noop(self):
+    """x.sum(()) / x.sum([]) keep the array unchanged (xarray semantics);
+    `axis=() or None` would instead reduce everything and then fail to
+    match the retained dims."""
+    a = make()
+    for out in (a.sum(()), a.sum([]), a.mean(())):
+      assert out.dims == a.dims
+      np.testing.assert_allclose(np.asarray(out.values), a.values)
 
 
 class TestWhereMask:

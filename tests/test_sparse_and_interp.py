@@ -126,6 +126,44 @@ class TestInterpKernels:
     np.testing.assert_allclose(
         np.asarray(out.values), [280.0 - 500 * 0.0065, 280.0], rtol=1e-6)
 
+  def test_altitude_adjustment_through_multiple_interpolation(self):
+    """The variable name must survive composition: wrapped in
+    MultipleInterpolation, the temperature adjustment still applies
+    (previously name=None silently skipped it)."""
+    da = grid_da(fn=lambda lat, lon: 280.0 + 0 * lat * lon)
+    grid_elev = grid_da(fn=lambda lat, lon: 100.0 + 0 * lat * lon)
+    ref = DimArray(
+        np.zeros(2), ('index',),
+        {'latitude': Coord(('index',), np.array([0.0, 10.0])),
+         'longitude': Coord(('index',), np.array([45.0, 90.0])),
+         'elevation': Coord(('index',), np.array([600.0, 100.0]))})
+    interp = interpolations.MultipleInterpolation([
+        interpolations.GridToSparseWithAltitudeAdjustment(
+            'linear', grid_elevation=grid_elev)])
+    out = interp.interpolate({'2m_temperature': da},
+                             {'2m_temperature': ref})['2m_temperature']
+    np.testing.assert_allclose(
+        np.asarray(out.values), [280.0 - 500 * 0.0065, 280.0], rtol=1e-6)
+
+  def test_altitude_adjustment_integer_elevation(self):
+    """An int-typed DEM grid_elevation must interpolate along (promoted to
+    float), not be silently dropped → KeyError downstream."""
+    da = grid_da(fn=lambda lat, lon: 280.0 + 0 * lat * lon)
+    grid_elev = grid_da(fn=lambda lat, lon: 100.0 + 0 * lat * lon)
+    grid_elev = grid_elev.copy(
+        data=np.asarray(grid_elev.values).astype(np.int32))
+    ref = DimArray(
+        np.zeros(2), ('index',),
+        {'latitude': Coord(('index',), np.array([0.0, 10.0])),
+         'longitude': Coord(('index',), np.array([45.0, 90.0])),
+         'elevation': Coord(('index',), np.array([600.0, 100.0]))})
+    interp = interpolations.GridToSparseWithAltitudeAdjustment(
+        'linear', grid_elevation=grid_elev)
+    out = interp.interpolate({'2m_temperature': da},
+                             {'2m_temperature': ref})['2m_temperature']
+    np.testing.assert_allclose(
+        np.asarray(out.values), [280.0 - 500 * 0.0065, 280.0], rtol=1e-6)
+
   def test_altitude_adjustment_wind(self):
     da = grid_da(fn=lambda lat, lon: 10.0 + 0 * lat * lon)
     grid_elev = grid_da(fn=lambda lat, lon: 0.0 * lat * lon)

@@ -74,8 +74,19 @@ def combining_sum(data_arrays: Sequence[DimArray]) -> DimArray:
     return data_arrays[0]
   if _fast_path_compatible(data_arrays):
     out = data_arrays[0]
+    leaves = [a.data for a in data_arrays]
+    if not any(isinstance(l, jax.Array) for l in leaves):
+      # All-host inputs (e.g. float64 to_host() states loaded from disk):
+      # accumulate on host. Routing through jnp.asarray would silently
+      # downcast float64 to float32 (x64 disabled) and move a host-only
+      # result-combination workflow onto the device.
+      acc = np.zeros(np.shape(leaves[0]),
+                     dtype=np.result_type(*[np.asarray(l) for l in leaves]))
+      for l in leaves:
+        acc += np.asarray(l)
+      return out.copy(data=acc)
     return out.copy(data=_batched_device_sum(
-        [jnp.asarray(a.data) for a in data_arrays]))
+        [jnp.asarray(l) for l in leaves]))
   return _outer_join_sum(data_arrays)
 
 
@@ -204,7 +215,9 @@ class AggregationState:
     return cls(sum_ws, sum_w)
 
   def mean_statistics(self) -> Any:
-    """Statistics normalized by their weights."""
+    """Statistics normalized by their weights ({} for the zero state)."""
+    if self.sum_weighted_statistics is None:
+      return {}
     return tree.map_structure(
         lambda ws, w: ws / w, self.sum_weighted_statistics, self.sum_weights)
 
@@ -212,6 +225,8 @@ class AggregationState:
       self, metrics: Mapping[str, metrics_base.Metric]
   ) -> dict[str, DimArray]:
     """Final metric values as a flat '<metric>.<variable>' dataset."""
+    if self.sum_weighted_statistics is None:
+      return {}
     mean_statistics = self.mean_statistics()
     metric_values = metrics_base.compute_metrics_from_statistics(
         metrics, mean_statistics)
@@ -248,6 +263,8 @@ class AggregationState:
     return AggregationState(sum_ws, sum_w)
 
   def map(self, func: Callable[[DimArray], DimArray]) -> 'AggregationState':
+    if self.sum_weighted_statistics is None:
+      return self  # the zero state maps to itself (so e.g. to_host works)
     return self.map_multi(func, self)
 
   # -- serialization ---------------------------------------------------------

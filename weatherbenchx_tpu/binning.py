@@ -63,6 +63,27 @@ def _region_mask(lat, lon, lat_lims, lon_lims) -> np.ndarray:
   return _lat_mask(lat, lat_lims)[:, None] & _lon_mask(lon, lon_lims)[None, :]
 
 
+def _align_axis(values: np.ndarray, axis: int, have: np.ndarray,
+                want: np.ndarray, what: str) -> np.ndarray:
+  """Reorders ``values`` along ``axis`` from label order ``have`` to ``want``.
+
+  The aggregation einsum contracts bin masks against statistics purely by
+  position (darray.dot does no coordinate alignment, unlike the xr.dot the
+  reference relies on), so masks built from externally-stored fields MUST
+  be label-aligned here — e.g. an ascending-latitude land mask against a
+  descending-latitude statistic would otherwise mirror land north/south.
+  """
+  if np.array_equal(have, want):
+    return values
+  if not np.array_equal(np.sort(have), np.sort(want)):
+    raise ValueError(
+        f'{what} coordinates do not match the statistic: '
+        f'{have[:4]}... vs {want[:4]}...')
+  pos = {v: i for i, v in enumerate(have.tolist())}
+  idx = np.array([pos[v] for v in want.tolist()])
+  return np.take(values, idx, axis=axis)
+
+
 class Regions(Binning):
   """Rectangular lat/lon-box regions, optionally with {region}_land bins.
 
@@ -91,14 +112,14 @@ class Regions(Binning):
     labels = np.array([str(k) for k in self._regions.keys()])
     if self._land_sea_mask is not None:
       ls = self._land_sea_mask
-      assert np.array_equal(np.sort(lat), np.sort(ls.coord_values('latitude'))
-                            ) and np.array_equal(
-                                lon, ls.coord_values('longitude')), (
-                                    'Land/sea mask coordinates do not match.')
       # Pure-numpy transpose: a jnp op here would create a tracer when the
       # mask is built inside the jitted evaluation step.
       order = [ls.dims.index('latitude'), ls.dims.index('longitude')]
       ls_np = np.transpose(np.asarray(ls.values), order).astype(bool)
+      ls_np = _align_axis(ls_np, 0, ls.coord_values('latitude'), lat,
+                          'Land/sea mask latitude')
+      ls_np = _align_axis(ls_np, 1, ls.coord_values('longitude'), lon,
+                          'Land/sea mask longitude')
       masks = np.concatenate([masks, masks & ls_np[None]], axis=0)
       labels = np.concatenate([labels, np.array(
           [f'{k}_land' for k in self._regions.keys()])])
@@ -127,12 +148,21 @@ class LandSea(Binning):
     self._include_global_mask = include_global_mask
 
   def create_bin_mask(self, statistic: DimArray) -> DimArray:
-    masks = [self._land_mask, ~self._land_mask]
+    # Label-align the land fraction to the statistic's coordinate order:
+    # the aggregation contraction is positional (see _align_axis).
+    land = self._land_mask
+    coords = dict(self._coords)
+    for ax, d in enumerate(self._dims):
+      if d in self._coords and statistic.has_coord(d):
+        have = np.asarray(self._coords[d].values)
+        want = statistic.coord_values(d)
+        land = _align_axis(land, ax, have, want, f'land_sea_fraction {d}')
+        coords[d] = statistic.coords[d]
+    masks = [land, ~land]
     labels = ['land', 'sea']
     if self._include_global_mask:
-      masks.append(np.ones_like(self._land_mask))
+      masks.append(np.ones_like(land))
       labels.append('global')
-    coords = dict(self._coords)
     coords[self.bin_dim_name] = Coord((self.bin_dim_name,), np.array(labels))
     return DimArray(
         np.stack(masks), (self.bin_dim_name,) + self._dims, coords)

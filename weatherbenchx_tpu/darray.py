@@ -289,7 +289,8 @@ class DimArray:
     return self.copy(data=jnp.zeros(d.shape, dtype=bool))
 
   def notnull(self) -> 'DimArray':
-    return self.isnull().copy(data=~jnp.asarray(self.isnull().data))
+    isnull = self.isnull()
+    return isnull.copy(data=~jnp.asarray(isnull.data))
 
   def fillna(self, value) -> 'DimArray':
     d = jnp.asarray(self.data)
@@ -359,6 +360,12 @@ class DimArray:
 
   def _reduce(self, fn, nanfn, dim=None, skipna=False, **kw) -> 'DimArray':
     dims = _norm_dims(dim, self.dims)
+    if dim is not None and dim is not Ellipsis and not dims:
+      # Reducing over an explicitly-empty dim list is a no-op (xarray
+      # semantics); `axis=() or None` would instead reduce EVERYTHING.
+      # AggregationState.sum_along_dims relies on this for variables that
+      # lack the requested dim.
+      return self
     axes = tuple(self.dims.index(d) for d in dims)
     out_dims = tuple(d for d in self.dims if d not in dims)
     f = nanfn if skipna else fn
@@ -504,7 +511,6 @@ class DimArray:
 
   def isel(self, indexers: Mapping[str, Any] | None = None, **kw) -> 'DimArray':
     indexers = dict(indexers or {}, **kw)
-    data = self.data
     # Apply one dim at a time (keeps coord logic simple; XLA fuses gathers).
     out = self
     for dim, idx in indexers.items():
@@ -514,19 +520,12 @@ class DimArray:
   def _isel_one(self, dim: str, idx) -> 'DimArray':
     ax = self.dims.index(dim)
     scalar = isinstance(idx, (int, np.integer))
-    data = jnp.asarray(self.data) if not _is_host_value(self.data) else self.data
     sl = (slice(None),) * ax + (idx,)
     if _is_host_value(self.data):
       new_data = self.data[sl]
     else:
       new_data = jnp.asarray(self.data)[sl]
-    if scalar:
-      new_dims = self.dims[:ax] + self.dims[ax + 1:]
-    elif isinstance(idx, slice):
-      new_dims = self.dims
-    else:
-      idx_arr = idx
-      new_dims = self.dims
+    new_dims = self.dims[:ax] + self.dims[ax + 1:] if scalar else self.dims
     new_coords = {}
     for name, c in self.coords.items():
       if dim in c.dims:
@@ -636,11 +635,17 @@ class DimArray:
 def _as_coord(name: str, c, parent_dims: tuple[str, ...]) -> Coord:
   if isinstance(c, Coord):
     return c
-  if isinstance(c, tuple) and len(c) == 2 and not isinstance(c[0], (int, float)):
+  if isinstance(c, tuple) and len(c) == 2:
     dims, values = c
     if isinstance(dims, str):
       dims = (dims,)
-    return Coord(tuple(dims), _coerce_coord_values(values))
+    if (isinstance(dims, (tuple, list))
+        and all(isinstance(d, str) for d in dims)
+        and set(dims) <= set(parent_dims)):
+      return Coord(tuple(dims), _coerce_coord_values(values))
+    # Not a (dims, values) pair — e.g. {'animal': ('cat', 'dog')} is a
+    # 2-tuple of VALUES; fall through to value coercion rather than
+    # silently building a Coord with bogus dims.
   if isinstance(c, DimArray):
     return Coord(c.dims, c.data)
   values = _coerce_coord_values(c)
@@ -659,7 +664,7 @@ def _as_coord(name: str, c, parent_dims: tuple[str, ...]) -> Coord:
 def _coerce_coord_values(values):
   if _is_host_value(values):
     return np.asarray(values)
-  if isinstance(values, (list, range)):
+  if isinstance(values, (list, tuple, range)):
     return np.asarray(values)
   return values  # jnp array / tracer
 

@@ -30,17 +30,30 @@ class Interpolation(abc.ABC):
   ) -> DimArray:
     """Interpolation for a single variable."""
 
+  def _interpolate_named(self, da: DimArray,
+                         reference: Optional[DimArray],
+                         name: Hashable) -> DimArray:
+    """Per-variable hook carrying the variable name.
+
+    The default ignores the name; name-sensitive interpolations
+    (GridToSparseWithAltitudeAdjustment keys its temperature/wind
+    adjustments off it, like the reference keys off ``da.name``) override
+    THIS rather than ``interpolate``, so the name survives every call
+    path — including composition through MultipleInterpolation.
+    """
+    return self.interpolate_data_array(da, reference)
+
   def interpolate(
       self,
       ds: Mapping[Hashable, DimArray],
       reference: Optional[Mapping[Hashable, DimArray]] = None,
   ) -> Mapping[Hashable, DimArray]:
     """Interpolates a dataset, optionally against a reference dataset."""
-    if reference is None:
-      return tree.map_structure(self.interpolate_data_array, dict(ds))
-    return tree.map_structure(
-        self.interpolate_data_array, dict(ds),
-        {k: reference[k] for k in ds.keys()})
+    return {
+        k: self._interpolate_named(
+            v, None if reference is None else reference[k], k)
+        for k, v in dict(ds).items()
+    }
 
 
 @dataclasses.dataclass
@@ -52,6 +65,11 @@ class MultipleInterpolation(Interpolation):
   def interpolate_data_array(self, da, reference=None):
     for interpolation in self.interpolations:
       da = interpolation.interpolate_data_array(da, reference)
+    return da
+
+  def _interpolate_named(self, da, reference, name):
+    for interpolation in self.interpolations:
+      da = interpolation._interpolate_named(da, reference, name)
     return da
 
 
@@ -127,11 +145,17 @@ def interpolate_to_coords(
       if set(c.dims).issubset(out_dims):
         coords[name] = c
     elif name not in interp_dims:
-      # Interpolate float-typed coords along with the data.
+      # Interpolate numeric coords along with the data. Integer aux coords
+      # (e.g. an int DEM grid_elevation) are promoted to float for the
+      # lerp, matching xarray's interp promotion — silently dropping them
+      # would e.g. crash the altitude adjustment downstream.
       v = np.asarray(c.values) if c.is_host else c.values
       dtype = getattr(v, 'dtype', None)
-      if dtype is not None and np.issubdtype(dtype, np.floating):
-        cdata, cdims = interp_array(jnp.asarray(v), c.dims)
+      if dtype is not None and np.issubdtype(dtype, np.number):
+        cv = jnp.asarray(v)
+        if not np.issubdtype(dtype, np.floating):
+          cv = cv.astype(jnp.float32)
+        cdata, cdims = interp_array(cv, c.dims)
         coords[name] = Coord(cdims, cdata)
   # Target coords.
   if pointwise:
@@ -262,12 +286,8 @@ class GridToSparseWithAltitudeAdjustment(InterpolateToReferenceCoords):
     super().__init__(method=method, dims=dims, wrap_longitude=wrap_longitude,
                      extrapolate_out_of_bounds=extrapolate_out_of_bounds)
 
-  def interpolate(self, ds, reference=None):
-    # Per-variable interpolation with name awareness.
-    return {
-        k: self.interpolate_data_array(v, reference[k], name=k)
-        for k, v in ds.items()
-    }
+  def _interpolate_named(self, da, reference, name):
+    return self.interpolate_data_array(da, reference, name=name)
 
   def interpolate_data_array(self, da, reference=None, name=None):
     if name in ['2m_temperature', '10m_wind_speed']:
