@@ -305,3 +305,75 @@ def test_dot_all_bool_counts_instead_of_or():
   out = darray.dot(a, b, dim='x')
   # ANDed indicator count, not logical OR: one overlapping True.
   assert float(np.asarray(out.values)) == 1.0
+
+
+class TestConcatNonDimCoords:
+  """Regression: differing non-dim coords gain the concat dim (xr.concat)."""
+
+  def _part(self, mask_val: bool, x=3):
+    import numpy as np
+    from weatherbenchx_tpu.darray import Coord, DimArray
+    mask = np.full((x,), mask_val)
+    return DimArray(np.arange(x, dtype=np.float32), ('x',),
+                    {'x': np.arange(x), 'mask': Coord(('x',), mask)})
+
+  def test_identical_coords_stay_unstacked(self):
+    import numpy as np
+    from weatherbenchx_tpu import darray
+    a, b = self._part(True), self._part(True)
+    out = darray.concat([a, b], 'new')
+    assert out.coords['mask'].dims == ('x',)
+    assert out.coords['x'].dims == ('x',)
+
+  def test_differing_coords_stack_along_concat_dim(self):
+    import numpy as np
+    from weatherbenchx_tpu import darray
+    a, b = self._part(True), self._part(False)
+    out = darray.concat([a, b], 'new')
+    mc = out.coords['mask']
+    assert mc.dims == ('new', 'x')
+    np.testing.assert_array_equal(
+        np.asarray(mc.values),
+        np.stack([np.full(3, True), np.full(3, False)]))
+
+  def test_differing_coords_with_multi_size_parts_repeat(self):
+    import numpy as np
+    from weatherbenchx_tpu import darray
+    from weatherbenchx_tpu.darray import Coord, DimArray
+
+    def part(n, mask_val):
+      mask = np.full((3,), mask_val)
+      return DimArray(np.zeros((n, 3), np.float32), ('t', 'x'),
+                      {'t': np.arange(n), 'x': np.arange(3),
+                       'mask': Coord(('x',), mask)})
+
+    out = darray.concat([part(2, True), part(3, False)], 't')
+    mc = out.coords['mask']
+    assert mc.dims == ('t', 'x')
+    vals = np.asarray(mc.values)
+    assert vals.shape == (5, 3)
+    assert vals[:2].all() and not vals[2:].any()
+
+  def test_coord_missing_in_one_part_keeps_first(self):
+    import numpy as np
+    from weatherbenchx_tpu import darray
+    from weatherbenchx_tpu.darray import DimArray
+    a = self._part(True)
+    b = DimArray(np.arange(3, dtype=np.float32), ('x',),
+                 {'x': np.arange(3)})
+    out = darray.concat([a, b], 'new')
+    assert out.coords['mask'].dims == ('x',)
+
+  def test_device_valued_distinct_coords_stack(self):
+    import jax.numpy as jnp
+    import numpy as np
+    from weatherbenchx_tpu import darray
+    from weatherbenchx_tpu.darray import Coord, DimArray
+
+    def part(v):
+      return DimArray(jnp.zeros((3,)), ('x',),
+                      {'x': np.arange(3),
+                       'mask': Coord(('x',), jnp.full((3,), v, bool))})
+
+    out = darray.concat([part(True), part(False)], 'new')
+    assert out.coords['mask'].dims == ('new', 'x')

@@ -368,3 +368,72 @@ class TestDecisionSupport:
     jd = categorical.JaccardDistant('number', {'v': c}).compute(
         {'v': p}, tgts)['v']
     assert not np.asarray(jd.values).any()
+
+
+class TestMultiSizeNeighborhoodMask:
+  """Regression: per-size validity masks must survive multi-size concat."""
+
+  def _masked_grid(self):
+    rng = np.random.default_rng(5)
+    data = (rng.uniform(size=(9, 12)) > 0.5).astype(np.float32)
+    mask = np.ones((9, 12), dtype=bool)
+    mask[4, 6] = False  # one invalid cell mid-grid
+    coords = {'latitude': np.linspace(-60, 60, 9),
+              'longitude': np.arange(12) * 30.0,
+              'mask': Coord(('latitude', 'longitude'), mask)}
+    return DimArray(data, ('latitude', 'longitude'), coords)
+
+  def test_per_size_masks_differ_along_new_dim(self):
+    da = self._masked_grid()
+    out = spatial.neighborhood_averaging(da, [1, 3], wrap_longitude=True)
+    mask_c = out.coords['mask']
+    assert 'neighborhood_size' in mask_c.dims
+    m = np.asarray(mask_c.values)
+    m = np.moveaxis(m, mask_c.dims.index('neighborhood_size'), 0)
+    # Size-3 mask is strictly smaller: the invalid cell's neighborhood
+    # (and the convolution's zeroed latitude edges) also become invalid.
+    assert m[0].sum() > m[1].sum()
+    # Each slice equals the single-size computation's mask.
+    for i, n in enumerate([1, 3]):
+      single = spatial.neighborhood_averaging(da, n, wrap_longitude=True)
+      np.testing.assert_array_equal(
+          m[i], np.asarray(single.coords['mask'].values))
+
+  def test_fss_multi_size_aggregates_each_size_with_its_own_mask(self):
+    da = self._masked_grid()
+    tgt = self._masked_grid()
+    fss_multi = {'fss': spatial.FSS(neighborhood_size_in_pixels=[1, 3],
+                                    wrap_longitude=True)}
+    agg = aggregation.Aggregator(
+        reduce_dims=['latitude', 'longitude'], masked=True)
+    multi = aggregation.compute_metric_values_for_single_chunk(
+        fss_multi, agg, {'v': da}, {'v': tgt})['fss.v']
+    for i, n in enumerate([1, 3]):
+      single = aggregation.compute_metric_values_for_single_chunk(
+          {'fss': spatial.FSS(neighborhood_size_in_pixels=n,
+                              wrap_longitude=True)},
+          agg, {'v': da}, {'v': tgt})['fss.v']
+      np.testing.assert_allclose(
+          np.asarray(multi.isel({'neighborhood_size': i}).values),
+          np.asarray(single.values), rtol=1e-6)
+
+
+class TestEnsembleQuantilesDimGuard:
+  def _da(self, dims, shape):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    return DimArray(rng.standard_normal(shape).astype(np.float32), dims,
+                    {d: np.arange(s) for d, s in zip(dims, shape)})
+
+  def test_custom_quantile_dim_with_existing_quantile_dim_ok(self):
+    # A dim literally named 'quantile' is fine when quantile_dim='q'.
+    da = self._da(('quantile', 'number'), (2, 5))
+    out = wrappers.EnsembleQuantiles(
+        'predictions', [0.5], quantile_dim='q').transform_fn(da)
+    assert 'q' in out.dims and 'quantile' in out.dims
+
+  def test_existing_configured_dim_raises(self):
+    da = self._da(('q', 'number'), (2, 5))
+    with pytest.raises(ValueError, match="'q'"):
+      wrappers.EnsembleQuantiles(
+          'predictions', [0.5], quantile_dim='q').transform_fn(da)

@@ -301,3 +301,126 @@ class TestRaggedEnsembles:
     pv, tv = np.asarray(p.values), np.asarray(t.values)
     expect = np.abs(pv[:, None, :] - tv[None, :, :]).mean(axis=(0, 1))
     np.testing.assert_allclose(np.asarray(out.values), expect, atol=1e-6)
+
+
+class TestReviewRegressions:
+  """Regressions for the round-3 metrics-layer review findings."""
+
+  def _pair(self, ens=5):
+    rng = np.random.default_rng(7)
+    p = DimArray(rng.standard_normal((ens, 6)).astype(np.float32),
+                 ('number', 'x'),
+                 {'number': np.arange(ens), 'x': np.arange(6)})
+    t = DimArray(rng.standard_normal((6,)).astype(np.float32),
+                 ('x',), {'x': np.arange(6)})
+    return p, t
+
+  def test_skipna_unique_names_do_not_collide(self):
+    for cls, kwargs in [
+        (probabilistic.CRPSSkill, {}),
+        (probabilistic.CRPSSpread, {}),
+    ]:
+      a = cls(skipna_ensemble=False, **kwargs)
+      b = cls(skipna_ensemble=True, **kwargs)
+      assert a.unique_name != b.unique_name
+      # Default keeps reference name parity (no suffix).
+      assert 'skipna' not in a.unique_name
+
+    inner = probabilistic.EnsembleAveragedStatistic
+    from weatherbenchx_tpu.metrics import deterministic as det
+    a = inner(det.SquaredError(), ensemble_dim='number',
+              skipna_ensemble=False)
+    b = inner(det.SquaredError(), ensemble_dim='number',
+              skipna_ensemble=True)
+    assert a.unique_name != b.unique_name
+    assert a.unique_name == 'SquaredError_each_number'
+
+  def test_crps_ensemble_skipna_variants_coexist(self):
+    p, t = self._pair()
+    pv = np.asarray(p.values).copy()
+    pv[0, 0] = np.nan
+    p = DimArray(pv, p.dims, p.coords)
+    metrics = {
+        'crps': probabilistic.CRPSEnsemble(skipna_ensemble=False),
+        'crps_skipna': probabilistic.CRPSEnsemble(skipna_ensemble=True),
+    }
+    out = compute_all(metrics, {'v': p}, {'v': t}, reduce_dims=[])
+    plain = np.asarray(out['crps.v'].values)
+    skipna = np.asarray(out['crps_skipna.v'].values)
+    assert np.isnan(plain[0]) and not np.isnan(skipna[0])
+    # Non-NaN points agree.
+    np.testing.assert_allclose(plain[1:], skipna[1:], rtol=1e-5)
+
+  def test_crps_ensemble_distance_forwards_skipna(self):
+    p, t = self._pair(ens=5)
+    # Ensemble targets with one NaN member at x=0 in BOTH sides.
+    rng = np.random.default_rng(11)
+    tv = rng.standard_normal((4, 6)).astype(np.float32)
+    tv[1, 0] = np.nan
+    t_ens = DimArray(tv, ('number', 'x'),
+                     {'number': np.arange(4), 'x': np.arange(6)})
+    pv = np.asarray(p.values).copy()
+    pv[2, 0] = np.nan
+    p = DimArray(pv, p.dims, p.coords)
+    m = probabilistic.CRPSEnsembleDistance(skipna_ensemble=True)
+    out = compute_all({'crps_d': m}, {'v': p}, {'v': t_ens},
+                      reduce_dims=[])['crps_d.v']
+    vals = np.asarray(out.values)
+    assert not np.isnan(vals).any(), (
+        'skipna_ensemble=True must skip NaN members in the skill and '
+        'target-spread terms too')
+
+  def test_rank_histogram_propagates_nan(self):
+    p, t = self._pair(ens=4)
+    tv = np.asarray(t.values).copy()
+    tv[2] = np.nan
+    t = DimArray(tv, t.dims, t.coords)
+    out = probabilistic.RankHistogram().compute({'v': p}, {'v': t})['v']
+    vals = np.asarray(out.transpose('x', 'rank').values)
+    assert np.isnan(vals[2]).all(), 'NaN target must not be counted'
+    assert not np.isnan(vals[[0, 1, 3, 4, 5]]).any()
+    # Non-NaN rows are still one-hot.
+    np.testing.assert_allclose(
+        vals[[0, 1, 3, 4, 5]].sum(axis=-1), 1.0)
+
+    # NaN ensemble member likewise.
+    pv = np.asarray(p.values).copy()
+    pv[1, 4] = np.nan
+    p2 = DimArray(pv, p.dims, p.coords)
+    t2 = DimArray(np.asarray(self._pair(ens=4)[1].values), t.dims, t.coords)
+    out2 = probabilistic.RankHistogram().compute({'v': p2}, {'v': t2})['v']
+    vals2 = np.asarray(out2.transpose('x', 'rank').values)
+    assert np.isnan(vals2[4]).all()
+
+  def test_rev_drops_true_negatives_but_values_unchanged(self):
+    rev = probabilistic.RelativeEconomicValue(ensemble_size=4)
+    assert 'TrueNegatives' not in rev.statistics
+    # REV still finalizes correctly (existing numeric tests cover values);
+    # smoke the full path here.
+    rng = np.random.default_rng(3)
+    p = DimArray(rng.uniform(size=(50,)).astype(np.float32), ('x',),
+                 {'x': np.arange(50)})
+    t = DimArray((rng.uniform(size=(50,)) > 0.5).astype(np.float32),
+                 ('x',), {'x': np.arange(50)})
+    out = compute_all({'rev': rev}, {'v': p}, {'v': t},
+                      reduce_dims=['x'])['rev.v']
+    assert np.isfinite(np.asarray(out.values)).any()
+
+  def test_conflicting_statistics_same_name_raise(self):
+    from weatherbenchx_tpu.metrics import deterministic as det
+    m1 = det.ErrorExceedance([1.0])
+    m2 = det.ErrorExceedance([2.0])
+    with pytest.raises(ValueError, match='unique_name'):
+      mbase.unique_statistics_for_metrics({'m1': m1, 'm2': m2})
+    # Same parameters dedupe fine.
+    m3 = det.ErrorExceedance([1.0])
+    stats = mbase.unique_statistics_for_metrics({'m1': m1, 'm3': m3})
+    assert len(stats) == 1
+
+  def test_rev_different_ensemble_sizes_raise_not_silent(self):
+    metrics = {
+        'rev4': probabilistic.RelativeEconomicValue(ensemble_size=4),
+        'rev8': probabilistic.RelativeEconomicValue(ensemble_size=8),
+    }
+    with pytest.raises(ValueError, match='unique_name'):
+      mbase.unique_statistics_for_metrics(metrics)

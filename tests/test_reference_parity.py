@@ -1236,23 +1236,25 @@ class TestExtendedCoverageParity:
     tvars = {'t': grid_var(127)}
     rp, tp = both(ref, variables)
     rt, tt = both(ref, tvars)
-    r_metrics = {
-        'member_rmse': ref.probabilistic.EnsembleAveragedMetric(
-            ref.deterministic.RMSE(), ensemble_dim='number'),
-        'member_rmse_skipna': ref.probabilistic.EnsembleAveragedMetric(
-            ref.deterministic.RMSE(), ensemble_dim='number',
-            skipna_ensemble=True),
-    }
-    t_metrics = {
-        'member_rmse': t_probabilistic.EnsembleAveragedMetric(
-            t_deterministic.RMSE(), ensemble_dim='number'),
-        'member_rmse_skipna': t_probabilistic.EnsembleAveragedMetric(
-            t_deterministic.RMSE(), ensemble_dim='number',
-            skipna_ensemble=True),
-    }
-    r = run_ref(ref, r_metrics, ref_agg(ref), rp, rt)
-    t = run_tpu(t_metrics, tpu_agg(), tp, tt)
-    compare_results(r, t)
+    # One variant per evaluation: in the reference both variants share a
+    # unique_name and silently deduplicate to ONE statistic (upstream
+    # ``probabilistic.py:50-52`` omits skipna_ensemble from the name); this
+    # framework either disambiguates the names or raises, so value parity
+    # is only well-defined per variant.
+    for skipna in (False, True):
+      r_metrics = {
+          'member_rmse': ref.probabilistic.EnsembleAveragedMetric(
+              ref.deterministic.RMSE(), ensemble_dim='number',
+              skipna_ensemble=skipna),
+      }
+      t_metrics = {
+          'member_rmse': t_probabilistic.EnsembleAveragedMetric(
+              t_deterministic.RMSE(), ensemble_dim='number',
+              skipna_ensemble=skipna),
+      }
+      r = run_ref(ref, r_metrics, ref_agg(ref), rp, rt)
+      t = run_tpu(t_metrics, tpu_agg(), tp, tt)
+      compare_results(r, t)
 
   def test_time_unit_set_binnings(self, ref):
     """ByTimeUnitSets + ByTimeUnitFromSeconds (reference

@@ -793,8 +793,51 @@ def concat(arrays: Sequence[DimArray], dim: str) -> DimArray:
           coords[name] = Coord(c.dims, jnp.concatenate(
               [jnp.asarray(p) for p in parts], axis=cax))
     else:
-      coords[name] = c
+      # A non-dim coord that differs between parts (e.g. the per-size
+      # validity mask FSS's neighborhood averaging computes) gains the
+      # concat dim, like xr.concat's coords='different' behavior. Values
+      # that can't be compared without a device sync (tracers/device
+      # arrays) stack whenever the parts are distinct objects; identical
+      # host values (and shared objects) keep a single copy.
+      parts = [a.coords.get(name) for a in arrays]
+      if any(p is None for p in parts):
+        coords[name] = c
+        continue
+      vals = [p.values for p in parts]
+      if all(p.dims == c.dims for p in parts) and _coord_parts_identical(vals):
+        coords[name] = c
+      else:
+        # Each part's coord covers all of that part's slices along dim.
+        sizes = [a.sizes[dim] for a in arrays]
+        if all(_is_host_value(v) for v in vals):
+          expanded = [np.broadcast_to(np.asarray(v), (n,) + np.shape(v))
+                      for v, n in zip(vals, sizes)]
+          stacked = np.concatenate(expanded, axis=0)
+        else:
+          expanded = [jnp.broadcast_to(jnp.asarray(v), (n,) + jnp.shape(v))
+                      for v, n in zip(vals, sizes)]
+          stacked = jnp.concatenate(expanded, axis=0)
+        coords[name] = Coord((dim,) + c.dims, stacked)
   return DimArray(data, arrays[0].dims, coords)
+
+
+def _coord_parts_identical(vals: Sequence[Any]) -> bool:
+  """Whether per-part coord values are certainly all the same."""
+  first = vals[0]
+  if all(v is first for v in vals):
+    return True
+  if not all(_is_host_value(v) for v in vals):
+    return False  # device/tracer values: not provable without a sync
+  first = np.asarray(first)
+  for v in vals[1:]:
+    v = np.asarray(v)
+    if v.shape != first.shape or v.dtype != first.dtype:
+      return False
+    if not (np.array_equal(v, first)
+            or (v.dtype.kind == 'f'
+                and np.array_equal(v, first, equal_nan=True))):
+      return False
+  return True
 
 
 def dot(*arrays: DimArray, dim: Sequence[str] | str) -> DimArray:

@@ -106,6 +106,15 @@ class Statistic(Metric):
   ) -> Mapping[Hashable, DimArray]:
     """Computes statistic values for a predictions/targets chunk."""
 
+  def _dedup_identity(self) -> Mapping[str, Any]:
+    """State compared when another statistic claims the same unique_name.
+
+    Override to exclude parameters that select only the algorithm, not the
+    value (e.g. ``CRPSSpread.use_sort``), so equivalent instances still
+    deduplicate.
+    """
+    return vars(self)
+
   def prepare_chunk(
       self,
       predictions: Mapping[Hashable, DimArray],
@@ -191,16 +200,84 @@ class PerVariableMetric(Metric):
 NoOpMetric = lambda statistic: statistic
 
 
+def _provably_different(a: Any, b: Any, _depth: int = 0) -> bool:
+  """True when two parameter values are demonstrably unequal.
+
+  Conservative: unknown/opaque values (callables, device arrays, tracers)
+  compare as equal so the collision guard below never raises spuriously.
+  """
+  if a is b or _depth > 8:
+    return False
+  if type(a) is not type(b):
+    return True
+  if isinstance(a, (bool, int, float, complex, str, bytes)) or a is None:
+    return a != b
+  if isinstance(a, np.ndarray):
+    if a.shape != b.shape or a.dtype != b.dtype:
+      return True
+    if np.array_equal(a, b):
+      return False
+    if a.dtype.kind == 'f' and np.array_equal(a, b, equal_nan=True):
+      return False
+    return True
+  if isinstance(a, (list, tuple)):
+    return (len(a) != len(b)
+            or any(_provably_different(x, y, _depth + 1)
+                   for x, y in zip(a, b)))
+  if isinstance(a, dict):
+    return (set(a) != set(b)
+            or any(_provably_different(a[k], b[k], _depth + 1) for k in a))
+  if isinstance(a, Coord):
+    return (a.dims != b.dims
+            or _provably_different(a.values, b.values, _depth + 1))
+  if isinstance(a, DimArray):
+    if a.dims != b.dims:
+      return True
+    if isinstance(a.data, np.ndarray) and isinstance(b.data, np.ndarray):
+      return _provably_different(a.data, b.data, _depth + 1)
+    return False  # device/tracer payloads: not provable
+  if isinstance(a, Statistic):
+    return _provably_different(a._dedup_identity(), b._dedup_identity(),
+                               _depth + 1)
+  if hasattr(a, '__dict__'):
+    # Metrics, input transforms: compare constructor state.
+    return _provably_different(vars(a), vars(b), _depth + 1)
+  return False
+
+
+def unique_statistics_for_metrics(
+    metrics: Mapping[str, Metric]) -> Mapping[str, 'Statistic']:
+  """Deduplicates statistics across metrics by unique_name, loudly.
+
+  The reference deduplicates silently (``metrics/base.py:252-269``), so two
+  statistics that share a unique_name but differ in value-affecting
+  parameters (e.g. ``ErrorExceedance`` with different thresholds, which has
+  no parameter-encoding unique_name upstream either) silently compute only
+  one of them. Here that is an error instead.
+  """
+  out: dict[str, Statistic] = {}
+  for m in metrics.values():
+    for stat in m.statistics.values():
+      prev = out.get(stat.unique_name)
+      if prev is not None and _provably_different(prev, stat):
+        raise ValueError(
+            f'Two statistics with different parameters share the unique_name '
+            f'{stat.unique_name!r} ({type(prev).__name__} vs '
+            f'{type(stat).__name__}). Statistics are deduplicated across '
+            f'metrics by unique_name, so only one of them would be computed. '
+            f'Disambiguate them, e.g. with wrappers.RenamedStatistic or a '
+            f'unique_name_suffix parameter.')
+      out[stat.unique_name] = stat
+  return out
+
+
 def generate_unique_statistics_for_all_metrics(
     metrics: Mapping[str, Metric],
     predictions: Mapping[Hashable, DimArray],
     targets: Mapping[Hashable, DimArray],
 ) -> Iterator[tuple[str, Mapping[Hashable, DimArray]]]:
   """Yields (unique_name, values) for each deduplicated statistic."""
-  unique_statistics: dict[str, Statistic] = {}
-  for m in metrics.values():
-    for _, stat in m.statistics.items():
-      unique_statistics[stat.unique_name] = stat
+  unique_statistics = unique_statistics_for_metrics(metrics)
   for k, stat in unique_statistics.items():
     try:
       yield k, stat.compute(predictions, targets)

@@ -5,7 +5,6 @@ Reference semantics: ``weatherbenchX/metrics/categorical.py:25-971``.
 
 from typing import Hashable, Mapping, Sequence, Union, final
 
-import jax.numpy as jnp
 import numpy as np
 
 from weatherbenchx_tpu import darray

@@ -51,7 +51,13 @@ class EnsembleAveragedStatistic(base.Statistic):
 
   @property
   def unique_name(self) -> str:
-    return self._wrapped_statistic.unique_name + '_each_' + self._ensemble_dim
+    # The reference omits skipna_ensemble (``probabilistic.py:50-52``),
+    # silently deduplicating skipna and non-skipna variants; appending it
+    # only when non-default keeps name parity for reference-written states.
+    name = self._wrapped_statistic.unique_name + '_each_' + self._ensemble_dim
+    if self._skipna_ensemble:
+      name += '_skipna_ensemble'
+    return name
 
   def prepare_chunk(self, predictions, targets):
     return self._wrapped_statistic.prepare_chunk(predictions, targets)
@@ -104,7 +110,12 @@ class CRPSSkill(base.PerVariableStatistic):
 
   @property
   def unique_name(self) -> str:
-    return f'CRPSSkill_{self._ensemble_dim}'
+    # skipna_ensemble appended only when non-default: the reference omits it
+    # entirely (``probabilistic.py:128-130``), colliding the two variants.
+    name = f'CRPSSkill_{self._ensemble_dim}'
+    if self._skipna_ensemble:
+      name += '_skipna_ensemble'
+    return name
 
   def _compute_per_variable(self, predictions, targets):
     reduce_dims = [self._ensemble_dim]
@@ -150,17 +161,6 @@ class CRPSSkill(base.PerVariableStatistic):
     return DimArray(total / (mx * my), tuple(rest), coords)
 
 
-def rankdata(x, axis: int):
-  """Ordinal ranks (1-based) along an axis — jnp double-argsort.
-
-  Matches scipy.stats.rankdata(method='ordinal') given stable sorting
-  (reference ``probabilistic.py:148-158``).
-  """
-  x = jnp.asarray(x)
-  return jnp.argsort(jnp.argsort(x, axis=axis, stable=True), axis=axis,
-                     stable=True) + 1
-
-
 class CRPSSpread(base.PerVariableStatistic):
   """Sample estimate of the CRPS spread term E|X - X'|.
 
@@ -179,8 +179,18 @@ class CRPSSpread(base.PerVariableStatistic):
 
   @property
   def unique_name(self) -> str:
+    # skipna_ensemble appended only when non-default (reference omits it,
+    # ``probabilistic.py:180-183``, colliding the two variants).
     fair_str = 'fair' if self._fair else 'unfair'
-    return f'CRPSSpread_{self._ensemble_dim}_{fair_str}_{self._which}'
+    name = f'CRPSSpread_{self._ensemble_dim}_{fair_str}_{self._which}'
+    if self._skipna_ensemble:
+      name += '_skipna_ensemble'
+    return name
+
+  def _dedup_identity(self):
+    # use_sort selects the algorithm (pairwise vs PWM), not the value, so
+    # both settings legitimately share a unique_name.
+    return {k: v for k, v in vars(self).items() if k != '_use_sort'}
 
   def _compute_per_variable(self, predictions, targets):
     if self._which == 'predictions':
@@ -417,14 +427,23 @@ class CRPSEnsembleDistance(base.PerVariableMetric):
 
   @property
   def statistics(self) -> Mapping[str, base.Statistic]:
+    # skipna_ensemble is forwarded to ALL three terms. The reference only
+    # forwards it to the prediction-spread term (``probabilistic.py:634-650``)
+    # despite its docstring promising skipping for "the ensemble MAE and
+    # MAD", so there E|X-Y| and E|Y-Y'| still go NaN — a deliberate
+    # divergence fixing that upstream inconsistency (values differ only
+    # when skipna_ensemble=True and NaN members are present).
     return {
-        'CRPSSkill': CRPSSkill(ensemble_dim=self._ensemble_dim),
+        'CRPSSkill': CRPSSkill(
+            ensemble_dim=self._ensemble_dim,
+            skipna_ensemble=self._skipna_ensemble),
         'CRPSSpread': CRPSSpread(
             ensemble_dim=self._ensemble_dim, use_sort=self._use_sort,
             fair=self._fair, skipna_ensemble=self._skipna_ensemble),
         'CRPSTargetSpread': CRPSSpread(
             ensemble_dim=self._ensemble_dim, use_sort=self._use_sort,
-            fair=self._fair, which='targets'),
+            fair=self._fair, which='targets',
+            skipna_ensemble=self._skipna_ensemble),
     }
 
   def _values_from_mean_statistics_per_variable(self, s):
@@ -487,6 +506,17 @@ class EnsembleErrorExceedance(deterministic.ErrorExceedance):
   def __init__(self, thresholds, ensemble_dim: str = ENSEMBLE_DIM):
     super().__init__(thresholds=thresholds)
     self._ensemble_dim = ensemble_dim
+
+  @property
+  def unique_name(self) -> str:
+    # The reference keys this by bare class name (``probabilistic.py:713``),
+    # colliding instances over different ensemble dims; appended only when
+    # non-default to keep name parity. Differing thresholds under the same
+    # name are caught by base.unique_statistics_for_metrics.
+    name = 'EnsembleErrorExceedance'
+    if self._ensemble_dim != ENSEMBLE_DIM:
+      name += f'_{self._ensemble_dim}'
+    return name
 
   def _compute_per_variable(self, predictions, targets):
     out = super()._compute_per_variable(predictions, targets)
@@ -677,11 +707,14 @@ class RelativeEconomicValue(base.Metric):
         which='predictions', threshold_value=list(self._thresholds),
         threshold_dim='threshold',
         unique_name_suffix=self._unique_name_suffix)
+    # No TrueNegatives: the finalizer never reads it (the mean contingency
+    # normalizes to 1, so TN is derivable). The reference computes and
+    # stores it anyway (``probabilistic.py:1049-1070``) — dropped here to
+    # save a full threshold-dimensioned statistic's compute, HBM, and
+    # AggregationState storage per variable.
     return {
         'TruePositives': wrappers.WrappedStatistic(
             categorical.TruePositives(), binarize),
-        'TrueNegatives': wrappers.WrappedStatistic(
-            categorical.TrueNegatives(), binarize),
         'FalsePositives': wrappers.WrappedStatistic(
             categorical.FalsePositives(), binarize),
         'FalseNegatives': wrappers.WrappedStatistic(
@@ -761,4 +794,10 @@ class RankHistogram(base.PerVariableStatistic):
     ranks = (predictions < targets).astype(np.int32).sum(self._ensemble_dim)
     categories = DimArray(np.arange(num_bins), ('rank',),
                           {'rank': np.arange(num_bins)})
-    return (ranks == categories).astype(np.float32)
+    counts = (ranks == categories).astype(np.float32)
+    # NaN-loud divergence from the reference (``probabilistic.py:1205-1222``),
+    # where a NaN target or member compares False and silently contributes a
+    # (mis-ranked) count — inflating the rank-0 bin by the number of missing
+    # observations with no way for masked/skipna aggregation to exclude them.
+    missing = targets.isnull() | predictions.isnull().any(self._ensemble_dim)
+    return counts.where(~missing)

@@ -122,10 +122,10 @@ class EnsembleQuantiles(InputTransform):
   def transform_fn(self, da, name=None):
     if self._ensemble_dim not in da.dims and self._skip_if_ensemble_dim_missing:
       return da
-    if 'quantile' in da.dims:
+    if self._quantile_dim in da.dims:
       raise ValueError(
-          'Input DimArray already has a `quantile` dimension. Please rename '
-          'it before applying the EnsembleQuantiles wrapper.')
+          f'Input DimArray already has a {self._quantile_dim!r} dimension. '
+          'Please rename it before applying the EnsembleQuantiles wrapper.')
     return da.quantile(self._quantiles, dim=self._ensemble_dim,
                        skipna=self._skipna, quantile_dim=self._quantile_dim)
 

@@ -135,11 +135,7 @@ def restore_time_coords(da: DimArray) -> DimArray:
 
 
 def _unique_stats(metrics) -> list:
-  out: dict[str, metrics_base.Statistic] = {}
-  for m in metrics.values():
-    for stat in m.statistics.values():
-      out[stat.unique_name] = stat
-  return list(out.values())
+  return list(metrics_base.unique_statistics_for_metrics(metrics).values())
 
 
 @dataclasses.dataclass
