@@ -841,3 +841,58 @@ class TestScorecardWorkflow:
                    "id=\"markers\"", "id=\"year\"", "id=\"resolution\"",
                    'units'):
       assert needle in page, needle
+
+
+def test_finalize_recovers_store_never_consolidated(tmp_path):
+  """Crash BEFORE the first finalize: coordinate arrays must already be on
+  disk (they are written eagerly, not in finalize), so a resumed run that
+  replays zero chunks can still consolidate a complete store."""
+  import json
+  ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
+  metrics = {'rmse': deterministic.RMSE()}
+  times = tc.TimeChunks(init, lead, init_time_chunk_size=4,
+                        lead_time_chunk_size=2)
+  out = str(tmp_path / 'nofin.zarr')
+  pipe = unaggregated.UnaggregatedPipeline(
+      metrics=metrics,
+      predictions_loader=loaders.PredictionsFromDataset(
+          path=ppath, variables=['2m_temperature']),
+      targets_loader=loaders.TargetsFromDataset(
+          path=tpath, variables=['2m_temperature']),
+      times=times, out_path=out)
+  store = unaggregated.ZarrStatsStore(times, out)
+  for i, offsets, (p, t) in pipe._stream():
+    store.write_chunk(i, offsets, pipe._chunk_stats(p, t))
+  # No finalize: the run "crashed" here. A fresh store (a resumed run that
+  # replays zero chunks) consolidates from disk.
+  resumed = unaggregated.ZarrStatsStore(times, out)
+  assert resumed.finalize() == out
+  meta = json.load(open(os.path.join(out, '.zmetadata')))['metadata']
+  for cname in ('latitude', 'longitude', 'valid_time',
+                'init_time', 'lead_time'):
+    assert f'{cname}/.zarray' in meta, cname
+  da = unaggregated.load_unaggregated(out)['SquaredError.2m_temperature']
+  assert da.sizes['init_time'] == len(init)
+  assert {'latitude', 'longitude', 'valid_time'} <= set(da.coords)
+  assert np.isfinite(np.asarray(da.values)).all()
+
+
+def test_latency_wrapper_forwards_all_pipeline_options(tmp_path):
+  """ConstantLatencyWrapper replays the load_chunk pipeline itself, so it
+  must inherit EVERY pipeline option of the wrapped loader — notably the
+  sparse retrace-bounding pad_index_multiple."""
+  from weatherbenchx_tpu.data import latency_wrappers
+
+  ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
+  inner = loaders.PredictionsFromDataset(
+      path=ppath, variables=['2m_temperature'],
+      add_nan_mask=True, pad_index_multiple=64, add_values_to_coords=True)
+  wrapper = latency_wrappers.ConstantLatencyWrapper(
+      inner, latency=np.timedelta64(0, 'h'), nominal_init_times=init)
+  assert wrapper._pad_index_multiple == 64
+  assert wrapper._add_values_to_coords is True
+  assert wrapper._add_nan_mask is True
+  chunk = wrapper.load_chunk(init[:1], lead)
+  da = chunk['2m_temperature']
+  assert da.has_coord('values_as_coord')  # stage actually ran
+  assert da.has_coord('mask')

@@ -7,6 +7,8 @@ serialized AggregationState, atol=1e-5. Here "distributed" additionally
 means GSPMD over an 8-device virtual CPU mesh.
 """
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -812,3 +814,156 @@ def test_select_on_reduced_dim_through_pipeline():
         np.asarray(pipe_values[k].transpose(*direct[k].dims).data,
                    np.float64),
         np.asarray(direct[k].data, np.float64), atol=1e-5, err_msg=k)
+
+
+class TestCheckpointCrashAtomicity:
+  """A crash BETWEEN bucket writes and the manifest write must leave the
+  previous (manifest, buckets) set fully loadable — bucket files alternate
+  generations, so a save never overwrites what the current manifest
+  references."""
+
+  def _mk(self, ckpt, pred_ds, tgt_ds, init_times, lead_times):
+    agg = aggregation.Aggregator(
+        reduce_dims=['init_time', 'lead_time', 'latitude', 'longitude'])
+    times = time_chunks_lib.TimeChunks(
+        init_times, lead_times, init_time_chunk_size=4)
+    return pipeline_lib.EvaluationPipeline(
+        metrics=METRICS, aggregator=agg,
+        predictions_loader=loaders.PredictionsFromDataset(
+            ds=pred_ds, rename_dimensions=None),
+        targets_loader=loaders.TargetsFromDataset(
+            ds=tgt_ds, rename_dimensions=None),
+        times=times, checkpoint_path=ckpt, checkpoint_every=1)
+
+  def test_generations_alternate_and_manifest_tracks(self, tmp_path):
+    import json
+    pred_ds, tgt_ds, init_times, lead_times = _source_datasets(seed=11)
+    ckpt = str(tmp_path / 'ck')
+    pipe = self._mk(ckpt, pred_ds, tgt_ds, init_times, lead_times)
+    stream = pipe._chunk_stream()
+    i, offsets, (p, t) = next(stream)
+    state = pipe._evaluator.eval_chunk(p, t)
+    pipe._save_checkpoint({(0, -1): state}, 1)
+    m1 = json.load(open(ckpt + '.manifest.json'))
+    pipe._save_checkpoint({(0, -1): state}, 2)
+    m2 = json.load(open(ckpt + '.manifest.json'))
+    assert m1['generation'] != m2['generation']
+    paths1 = {b['path'] for b in m1['buckets']}
+    paths2 = {b['path'] for b in m2['buckets']}
+    assert paths1.isdisjoint(paths2)
+    for path in paths1 | paths2:
+      assert os.path.exists(path), path
+
+  def test_crashed_save_preserves_previous_checkpoint(self, tmp_path):
+    pred_ds, tgt_ds, init_times, lead_times = _source_datasets(seed=12)
+    ckpt = str(tmp_path / 'ck')
+    pipe = self._mk(ckpt, pred_ds, tgt_ds, init_times, lead_times)
+    stream = pipe._chunk_stream()
+    i, offsets, (p, t) = next(stream)
+    state1 = pipe._evaluator.eval_chunk(p, t)
+    pipe._save_checkpoint({(0, -1): state1}, 1)
+    want = {k: np.asarray(v.values)
+            for k, v in state1.to_host().to_dataset().items()}
+
+    # Second save crashes AFTER its bucket files hit disk but BEFORE the
+    # manifest commit.
+    j, offs2, (p2, t2) = next(stream)
+    state2 = aggregation.AggregationState.sum(
+        [state1.to_host(), pipe._evaluator.eval_chunk(p2, t2).to_host()])
+    orig = pipeline_lib.fileio.write_text_atomic
+    try:
+      def crash(*a, **kw):
+        raise RuntimeError('simulated preemption')
+      pipeline_lib.fileio.write_text_atomic = crash
+      with pytest.raises(RuntimeError):
+        pipe._save_checkpoint({(0, -1): state2}, 2)
+    finally:
+      pipeline_lib.fileio.write_text_atomic = orig
+
+    # A fresh pipeline resumes from checkpoint 1, bit-identically.
+    fresh = self._mk(ckpt, pred_ds, tgt_ds, init_times, lead_times)
+    buckets, next_chunk = fresh._load_checkpoint()
+    assert next_chunk == 1
+    got = {k: np.asarray(v.values)
+           for k, v in buckets[(0, -1)].to_host().to_dataset().items()}
+    assert set(got) == set(want)
+    for k in want:
+      np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+class TestLoaderThreadSafety:
+  def test_preprocessing_fn_applied_once_under_concurrency(self):
+    import threading
+    pred_ds, _, _, _ = _source_datasets(seed=13)
+    calls = []
+
+    def preprocess(ds):
+      calls.append(1)
+      return {k: v + 100.0 for k, v in ds.items()}
+
+    loader = loaders.PredictionsFromDataset(
+        ds=pred_ds, rename_dimensions=None, preprocessing_fn=preprocess)
+    barrier = threading.Barrier(8)
+    errors = []
+
+    def prepare():
+      try:
+        barrier.wait()
+        loader.maybe_prepare_dataset()
+      except Exception as e:  # pragma: no cover
+        errors.append(e)
+
+    threads = [threading.Thread(target=prepare) for _ in range(8)]
+    for th in threads:
+      th.start()
+    for th in threads:
+      th.join()
+    assert not errors
+    assert len(calls) == 1, f'preprocessing_fn ran {len(calls)} times'
+    # Values shifted exactly once.
+    np.testing.assert_allclose(
+        np.asarray(loader._ds['2m_temperature'].values),
+        np.asarray(pred_ds['2m_temperature'].values) + 100.0)
+
+
+class TestCrossUnitTimeLookups:
+  def test_targets_valid_time_in_seconds_unit(self):
+    pred_ds, tgt_ds, init_times, lead_times = _source_datasets(seed=14)
+    da = tgt_ds['2m_temperature']
+    coarse = {'2m_temperature': da.assign_coords(
+        valid_time=darray_coord(
+            da.coords['valid_time'].dims,
+            np.asarray(da.coords['valid_time'].values)
+            .astype('datetime64[s]')))}
+    want = loaders.TargetsFromDataset(
+        ds=tgt_ds, rename_dimensions=None).load_chunk(
+            init_times[:3], lead_times)['2m_temperature']
+    got = loaders.TargetsFromDataset(
+        ds=coarse, rename_dimensions=None).load_chunk(
+            init_times[:3], lead_times)['2m_temperature']
+    np.testing.assert_array_equal(np.asarray(got.values),
+                                  np.asarray(want.values))
+
+
+def darray_coord(dims, values):
+  from weatherbenchx_tpu.darray import Coord
+  return Coord(dims, values)
+
+
+def test_restore_time_coords_covers_nonstandard_names():
+  """Every coord _convert_chunk turned into int64 seconds must come back as
+  datetime/timedelta — including non-canonical names like a sparse
+  observation-time coordinate (evaluator.py registry)."""
+  from weatherbenchx_tpu.darray import Coord
+
+  pred_ds, tgt_ds, init_times, lead_times = _source_datasets(seed=15)
+  da = pred_ds['2m_temperature']
+  obs_times = (np.asarray(da.coords['init_time'].values)
+               + np.timedelta64(37, 'm'))
+  da = da.assign_coords(timeObs=Coord(('init_time',), obs_times))
+  converted = evaluator_lib.prepare_chunk({'2m_temperature': da})
+  out = evaluator_lib.restore_time_coords(converted['2m_temperature'])
+  v = np.asarray(out.coords['timeObs'].values)
+  assert v.dtype.kind == 'M', v.dtype
+  np.testing.assert_array_equal(
+      v, obs_times.astype('datetime64[s]').astype('datetime64[ns]'))

@@ -40,11 +40,21 @@ class ConstantLatencyWrapper(base.DataLoader):
     self.latency = latency
     self.nominal_init_times = np.asarray(nominal_init_times)
     self._concat_dim = concat_dim
+    # The wrapper calls the wrapped loader's _load_chunk_from_source
+    # directly and replays the shared load_chunk pipeline itself, so EVERY
+    # pipeline option must be forwarded — dropping pad_index_multiple, for
+    # example, would silently lose the sparse retrace-bounding padding (one
+    # XLA recompile per ragged chunk). The reference wrapper forwards only
+    # interpolation/compute/nan-mask (``latency_wrappers.py:60-75``);
+    # add_values_to_coords and the TPU-specific padding are load-bearing
+    # here.
     super().__init__(
         interpolation=data_loader._interpolation,
         compute=data_loader._compute,
         add_nan_mask=data_loader._add_nan_mask,
         process_chunk_fn=data_loader._process_chunk_fn,
+        add_values_to_coords=data_loader._add_values_to_coords,
+        pad_index_multiple=data_loader._pad_index_multiple,
     )
 
   def get_available_init_time(

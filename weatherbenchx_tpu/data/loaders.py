@@ -11,6 +11,7 @@ Canonical dim names follow the ECMWF convention after renaming:
 ``latitude``/``longitude`` for space, ``number`` for ensemble members.
 """
 
+import threading
 from typing import Any, Callable, Hashable, Iterable, Mapping, Optional, Union
 
 import numpy as np
@@ -88,14 +89,24 @@ class DatasetBackedLoader(base.DataLoader):
     self._rename_variables = rename_variables
     self._preprocessing_fn = preprocessing_fn
     self._preprocessed = False
+    self._prepare_lock = threading.Lock()
     super().__init__(**kwargs)
 
   def maybe_prepare_dataset(self) -> None:
     """Opens and preprocesses the dataset once per process/worker.
 
     The per-worker lazy open mirrors reference
-    ``xarray_loaders.py:116-141``.
+    ``xarray_loaders.py:116-141``. Thread-safe: the pipeline's prefetch
+    threads call load_chunk concurrently from the very first chunks, and
+    an unguarded lazy init would apply preprocessing_fn (a non-idempotent
+    user function, e.g. a unit shift) twice to the same dataset.
     """
+    if self._preprocessed:
+      return
+    with self._prepare_lock:
+      self._prepare_dataset_locked()
+
+  def _prepare_dataset_locked(self) -> None:
     if self._preprocessed:
       return
     if self._ds is None:
@@ -187,7 +198,10 @@ class TargetsFromDataset(DatasetBackedLoader):
     valid_time = (init_times[:, None].astype('datetime64[ns]')
                   + lead_times[None, :].astype('timedelta64[ns]'))
     for k, da in self._ds.items():
-      coord = da.coord_values('valid_time')
+      # Normalize to ns before keying: np.datetime64 scalars of different
+      # units compare equal but HASH differently, so a [s]/[h]-unit store
+      # coord would miss every (ns) lookup key.
+      coord = np.asarray(da.coord_values('valid_time')).astype('datetime64[ns]')
       lookup = {v: i for i, v in enumerate(coord)}
       try:
         idx = np.array([[lookup[v] for v in row] for row in valid_time])
@@ -338,7 +352,8 @@ class ProbabilisticClimatologyFromDataset(DatasetBackedLoader):
         for year in years])  # (member, init, lead)
     out = {}
     for k, da in self._ds.items():
-      coord = da.coord_values('valid_time')
+      # ns-normalized keys: cross-unit datetime64 scalars hash differently.
+      coord = np.asarray(da.coord_values('valid_time')).astype('datetime64[ns]')
       lookup = {v: i for i, v in enumerate(coord)}
       idx = np.vectorize(lambda t: lookup[np.datetime64(t, 'ns')])(
           member_times)

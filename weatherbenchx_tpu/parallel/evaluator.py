@@ -36,6 +36,15 @@ from weatherbenchx_tpu.metrics import base as metrics_base
 _DATETIME_COORDS = ('init_time', 'valid_time')
 _TIMEDELTA_COORDS = ('lead_time',)
 
+# name → numpy dtype kind ('M' datetime / 'm' timedelta) for EVERY coord
+# _convert_chunk turned into int64 seconds, so restore_time_coords can
+# reverse the conversion for non-canonical names too (e.g. a sparse
+# 'timeObs' coordinate variable) instead of leaving raw epoch ints in
+# user-visible unaggregated output. Process-wide: conversion always happens
+# before restoration in the same process, and a name is only ever one kind.
+_CONVERTED_TIME_COORDS: dict[str, str] = (
+    {n: 'M' for n in _DATETIME_COORDS} | {n: 'm' for n in _TIMEDELTA_COORDS})
+
 
 def prepare_chunk(
     data: Mapping[Hashable, DimArray],
@@ -88,6 +97,7 @@ def _convert_chunk(data, stats, is_predictions, targets, keep_host_coords):
           secs = v.astype('datetime64[s]').astype(np.int64)
         else:
           secs = v.astype('timedelta64[s]').astype(np.int64)
+        _CONVERTED_TIME_COORDS.setdefault(str(name), v.dtype.kind)
         pending.append(secs)
         slots.append((var, name, c.dims))
         new_coords[name] = c  # placeholder, replaced by _apply_moved
@@ -126,9 +136,10 @@ def restore_time_coords(da: DimArray) -> DimArray:
     v = c.values
     if not isinstance(v, np.ndarray):
       v = np.asarray(v)
-    if name in _DATETIME_COORDS and v.dtype.kind in 'iu':
+    kind = _CONVERTED_TIME_COORDS.get(str(name))
+    if kind == 'M' and v.dtype.kind in 'iu':
       v = v.astype('datetime64[s]').astype('datetime64[ns]')
-    elif name in _TIMEDELTA_COORDS and v.dtype.kind in 'iu':
+    elif kind == 'm' and v.dtype.kind in 'iu':
       v = v.astype('timedelta64[s]').astype('timedelta64[ns]')
     new_coords[name] = Coord(c.dims, v)
   return DimArray(np.asarray(da.data), da.dims, new_coords)

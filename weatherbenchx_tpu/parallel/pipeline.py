@@ -58,6 +58,74 @@ def atomic_write_dataset(path: str, dataset: Mapping[str, DimArray]) -> None:
   fileio.save_dataset_atomic(path, dataset)
 
 
+def load_chunk_pair(
+    predictions_loader: data_base.DataLoader,
+    targets_loader: data_base.DataLoader,
+    chunk: time_chunks_lib.TimeChunk,
+    obs: Optional[observability.Metrics] = None,
+):
+  """Loads one (predictions, targets) chunk pair on the host CPU backend.
+
+  Loader-side eager ops (selection, interpolation gathers) run on the
+  local CPU backend: dispatching them to the accelerator costs a
+  round-trip per op and wastes device time. The jitted eval step
+  transfers the prepared chunk to the mesh in one hop.
+  """
+  init_times, lead_times = chunk
+  t0 = time.monotonic()
+  with jax.default_device(_cpu_device()):
+    targets = targets_loader.load_chunk(init_times, lead_times)
+    t1 = time.monotonic()
+    predictions = predictions_loader.load_chunk(
+        init_times, lead_times, reference=targets)
+  t2 = time.monotonic()
+  if obs is not None:
+    obs.record('load_targets_seconds', t1 - t0)
+    obs.record('load_predictions_seconds', t2 - t1)
+  logger.info('loaded chunk: targets %.0fms predictions %.0fms',
+              (t1 - t0) * 1e3, (t2 - t1) * 1e3)
+  return predictions, targets
+
+
+def stream_chunk_pairs(
+    load_fn: Callable,
+    times: time_chunks_lib.TimeChunks,
+    prefetch: int = 2,
+    distributed: bool = False,
+    start_chunk: int = 0,
+):
+  """Yields (index, offsets, load_fn(chunk)) with threaded prefetch.
+
+  Shared by the aggregated and unaggregated pipelines (the Beam fan-out +
+  worker-local prefetch analog). In distributed mode each process keeps
+  the chunk indices with ``index % process_count == process_index``.
+  """
+  items = list(enumerate(times.iter_with_chunk_offsets()))
+  if distributed:
+    pc, pi = jax.process_count(), jax.process_index()
+    items = [it for it in items if it[0] % pc == pi]
+  items = [it for it in items if it[0] >= start_chunk]
+  if not items:
+    return
+  with futures.ThreadPoolExecutor(max_workers=max(prefetch, 1)) as ex:
+    pending = []
+    it = iter(items)
+    for _ in range(max(prefetch, 1)):
+      try:
+        i, (offsets, chunk) = next(it)
+        pending.append((i, offsets, ex.submit(load_fn, chunk)))
+      except StopIteration:
+        break
+    while pending:
+      i, offsets, fut = pending.pop(0)
+      yield i, offsets, fut.result()
+      try:
+        j, (offs2, chunk2) = next(it)
+        pending.append((j, offs2, ex.submit(load_fn, chunk2)))
+      except StopIteration:
+        pass
+
+
 class _InflightWindow:
   """Backpressure window over asynchronously-dispatched chunks.
 
@@ -193,23 +261,8 @@ class EvaluationPipeline:
   # -- chunk loading ---------------------------------------------------------
 
   def _load(self, chunk: time_chunks_lib.TimeChunk):
-    init_times, lead_times = chunk
-    t0 = time.monotonic()
-    # Loader-side eager ops (selection, interpolation gathers) run on the
-    # local CPU backend: dispatching them to the accelerator costs a
-    # round-trip per op and wastes device time. The jitted eval step
-    # transfers the prepared chunk to the mesh in one hop.
-    with jax.default_device(_cpu_device()):
-      targets = self.targets_loader.load_chunk(init_times, lead_times)
-      t1 = time.monotonic()
-      predictions = self.predictions_loader.load_chunk(
-          init_times, lead_times, reference=targets)
-    t2 = time.monotonic()
-    self._obs.record('load_targets_seconds', t1 - t0)
-    self._obs.record('load_predictions_seconds', t2 - t1)
-    logger.info('loaded chunk: targets %.0fms predictions %.0fms',
-                (t1 - t0) * 1e3, (t2 - t1) * 1e3)
-    return predictions, targets
+    return load_chunk_pair(self.predictions_loader, self.targets_loader,
+                           chunk, obs=self._obs)
 
   def _chunk_stream(self, start_chunk: int = 0):
     """Yields (index, offsets, (predictions, targets)) with async prefetch.
@@ -218,30 +271,11 @@ class EvaluationPipeline:
     submitted, so resuming a mostly-done run doesn't re-read (and discard)
     every completed chunk from storage.
     """
-    items = list(enumerate(self.times.iter_with_chunk_offsets()))
-    if self.distributed:
-      pc, pi = jax.process_count(), jax.process_index()
-      items = [it for it in items if it[0] % pc == pi]
-    items = [it for it in items if it[0] >= start_chunk]
-    if not items:
-      return
-    with futures.ThreadPoolExecutor(max_workers=max(self.prefetch, 1)) as ex:
-      pending = []
-      it = iter(items)
-      for _ in range(max(self.prefetch, 1)):
-        try:
-          i, (offsets, chunk) = next(it)
-          pending.append((i, offsets, ex.submit(self._load, chunk)))
-        except StopIteration:
-          break
-      while pending:
-        i, offsets, fut = pending.pop(0)
-        yield i, offsets, fut.result()
-        try:
-          j, (offs2, chunk2) = next(it)
-          pending.append((j, offs2, ex.submit(self._load, chunk2)))
-        except StopIteration:
-          pass
+    # self._load looked up per call so tests/wrappers can substitute it.
+    yield from stream_chunk_pairs(
+        lambda chunk: self._load(chunk), self.times,
+        prefetch=self.prefetch, distributed=self.distributed,
+        start_chunk=start_chunk)
 
   def _prepared_stream(self, start_chunk: int = 0):
     """Chunk stream with host preparation + device staging pipelined.
@@ -287,8 +321,17 @@ class EvaluationPipeline:
     return f'{self._ckpt_prefix()}.manifest.json'
 
   def _save_checkpoint(self, buckets, next_chunk: int) -> None:
+    # Bucket files alternate between two generations so a save never
+    # overwrites the files the CURRENT manifest points at: a crash anywhere
+    # before the final atomic manifest replace leaves the previous
+    # (manifest, buckets) set fully intact. Overwriting in place instead
+    # would let a crash between bucket writes and the manifest write leave
+    # the OLD next_chunk pointing at NEW bucket sums — resume would then
+    # re-add already-counted chunks.
+    gen = 1 - getattr(self, '_ckpt_gen', 1)
     manifest = {
         'next_chunk': next_chunk,
+        'generation': gen,
         'process_index': jax.process_index() if self.distributed else 0,
         'process_count': jax.process_count() if self.distributed else 1,
         'buckets': [],
@@ -297,7 +340,7 @@ class EvaluationPipeline:
       # .wbx: thread-parallel raw block writes (native core) — checkpoints
       # are the pipeline's hottest host I/O. Remote checkpoint paths write
       # portable npz bytes through fsspec instead.
-      path = f'{self._ckpt_prefix()}.bucket{k}.wbx'
+      path = f'{self._ckpt_prefix()}.g{gen}.bucket{k}.wbx'
       ds = state.to_host().to_dataset()
       if fileio.is_remote(path):
         fileio.write_bytes_atomic(path, io_lib.dumps_dataset(ds))
@@ -316,11 +359,15 @@ class EvaluationPipeline:
       manifest['buckets'].append(
           {'key': list(key), 'path': path, 'dtypes': dtypes})
     fileio.write_text_atomic(self._ckpt_manifest(), json.dumps(manifest))
+    self._ckpt_gen = gen  # flip only once the manifest commit succeeded
 
   def _load_checkpoint(self):
     if not self.checkpoint_path or not fileio.exists(self._ckpt_manifest()):
       return {}, 0
     manifest = json.loads(fileio.read_text(self._ckpt_manifest()))
+    # Next save writes the OTHER generation, preserving the files this
+    # manifest references until the new manifest lands.
+    self._ckpt_gen = manifest.get('generation', 1)
     want_count = jax.process_count() if self.distributed else 1
     have_count = manifest.get('process_count', 1)
     if have_count != want_count:
@@ -388,6 +435,11 @@ class EvaluationPipeline:
       # Statistics were computed from the lean (retrace-free) pair; put the
       # stripped per-row host coords (station names, row labels) back so the
       # sink's output stays interpretable.
+      # One overlapped device→host fetch of the whole stats tree: fetching
+      # leaf-by-leaf inside restore_time_coords would pay a blocking
+      # round trip per statistic×variable×coord (~25 ms each on a
+      # remote-attached chip).
+      stats = jax.device_get(stats)
       flat = {}
       for stat_name, stat_vars in stats.items():
         for var_name, da in stat_vars.items():
@@ -557,8 +609,8 @@ def _restore_state_to_device(
     pending_names = []
     for name, c in x.coords.items():
       v = np.asarray(c.values)
-      if (name in evaluator_lib._DATETIME_COORDS
-          or name in evaluator_lib._TIMEDELTA_COORDS) and v.dtype.kind in 'iu':
+      if (evaluator_lib._CONVERTED_TIME_COORDS.get(str(name))
+          and v.dtype.kind in 'iu'):
         pending_names.append(name)
       coords[name] = Coord(c.dims, v)
     return DimArray(d, x.dims, coords), pending_names

@@ -62,6 +62,21 @@ class ZarrStatsStore:
     self._distributed = distributed
     self._writers: dict[str, zarr_io.ZarrArrayWriter] = {}
     self._coord_arrays: dict[str, Coord] = {}
+    self._coord_meta: dict[str, dict] = {}
+    # Coordinate arrays are written EAGERLY (here and in _make_writer), not
+    # in finalize: a run that crashes after all cells are written and then
+    # resumes replaying zero chunks has empty _writers/_coord_arrays, and
+    # finalize must still be able to consolidate a complete store from
+    # disk. In distributed mode every process writes identical bytes.
+    self._write_coord('init_time', Coord(('init_time',), self._init_times))
+    self._write_coord('lead_time', Coord(('lead_time',), self._lead_times))
+
+  def _write_coord(self, cname: str, c: Coord) -> None:
+    self._coord_meta.update(zarr_io._write_array(
+        self._path, cname, np.asarray(c.values), c.dims,
+        [self._init_chunk if d == 'init_time' else
+         self._lead_chunk if d == 'lead_time' else s
+         for d, s in zip(c.dims, np.shape(c.values))]))
 
   def _full_size(self, dim: str, chunk_size: int) -> tuple[int, int]:
     if dim == 'init_time':
@@ -93,6 +108,7 @@ class ZarrStatsStore:
         self._coord_arrays[cname] = Coord(('init_time', 'lead_time'), full)
       else:
         self._coord_arrays[cname] = Coord(c.dims, np.asarray(c.values))
+      self._write_coord(cname, self._coord_arrays[cname])
     return zarr_io.ZarrArrayWriter(
         self._path, key, shape, chunks, np.asarray(da.values).dtype,
         da.dims, extra_attrs={'coordinates': ' '.join(aux)} if aux else None,
@@ -143,15 +159,7 @@ class ZarrStatsStore:
     metadata: dict = {'.zgroup': {'zarr_format': 2}, '.zattrs': {}}
     fileio.write_bytes(os.path.join(path, '.zgroup'),
                        json.dumps(metadata['.zgroup']).encode())
-    coords = dict(self._coord_arrays)
-    coords.setdefault('init_time', Coord(('init_time',), self._init_times))
-    coords.setdefault('lead_time', Coord(('lead_time',), self._lead_times))
-    for cname, c in coords.items():
-      metadata.update(zarr_io._write_array(
-          path, cname, np.asarray(c.values), c.dims,
-          [self._init_chunk if d == 'init_time' else
-           self._lead_chunk if d == 'lead_time' else s
-           for d, s in zip(c.dims, np.shape(c.values))]))
+    metadata.update(self._coord_meta)  # coord arrays were written eagerly
     for key, w in self._writers.items():
       metadata.update(w.metadata)
     # Arrays written by a previous (crashed or resumed) run exist on disk
@@ -215,6 +223,9 @@ class UnaggregatedPipeline:
   def _chunk_stats(self, predictions, targets) -> dict[str, DimArray]:
     p, t = self._evaluator.prepare_pair(predictions, targets)
     stats = self._stats_fn(p, t, self._evaluator.resources())
+    # One overlapped device→host fetch of the whole stats tree (vs a
+    # blocking round trip per leaf inside restore_time_coords).
+    stats = jax.device_get(stats)
     flat = {}
     for stat_name, stat_vars in stats.items():
       for var_name, da in stat_vars.items():
@@ -222,15 +233,14 @@ class UnaggregatedPipeline:
             evaluator_lib.restore_time_coords(da))
     return flat
 
+  def _load(self, chunk):
+    return pipeline_lib.load_chunk_pair(
+        self.predictions_loader, self.targets_loader, chunk)
+
   def _stream(self):
-    loader = pipeline_lib.EvaluationPipeline(
-        metrics=self.metrics,
-        aggregator=aggregation_lib.Aggregator(reduce_dims=()),
-        predictions_loader=self.predictions_loader,
-        targets_loader=self.targets_loader,
-        times=self.times, prefetch=self.prefetch,
+    return pipeline_lib.stream_chunk_pairs(
+        self._load, self.times, prefetch=self.prefetch,
         distributed=self.distributed)
-    return loader._chunk_stream()
 
   def run(self) -> str:
     if self.out_path.rstrip('/').endswith('.zarr'):
