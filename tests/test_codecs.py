@@ -370,3 +370,73 @@ class TestNativeEncoder:
       native.encode_cells([p], 'blosc', [arr], typesize=4)
       raw = open(p, 'rb').read()
     assert bytes(codecs.blosc_decompress(raw)) == arr.tobytes()
+
+
+class TestNativeDecoderRobustness:
+  def _blosc_store(self, tmp_path):
+    # Compressible data: an incompressible chunk would be written as a
+    # memcpy chunk with no block starts to corrupt.
+    data = np.tile(np.arange(8, dtype=np.float32), (6, 1)) * 0 + 1.5
+    da = DimArray(data, ('t', 'x'), {'t': Coord(('t',), np.arange(6)),
+                                     'x': Coord(('x',), np.arange(8))})
+    root = str(tmp_path / 'negb.zarr')
+    zarr_io.save_dataset_zarr(root, {'v': da}, chunks={'t': 6},
+                              compressor='blosc')
+    return root, data
+
+  def test_negative_bstart_clean_error_not_oob(self, tmp_path):
+    """A corrupt negative block-start must yield a clean malformed-chunk
+    error in the NATIVE decoder — sign-extension into size_t would wrap
+    the bounds check and read out of bounds (crash/garbage)."""
+    import os
+    from weatherbenchx_tpu import native
+    if not native.zarrcodec_available():
+      pytest.skip('native toolchain unavailable')
+    root, _ = self._blosc_store(tmp_path)
+    cell = os.path.join(root, 'v', '0.0')
+    raw = bytearray(open(cell, 'rb').read())
+    assert not raw[2] & 0x2, 'need a compressed (non-memcpy) chunk'
+    raw[16:20] = b'\xfc\xff\xff\xff'  # bstarts[0] = -4
+    open(cell, 'wb').write(bytes(raw))
+    ds = zarr_io.open_dataset_zarr(root)
+    with pytest.raises((OSError, ValueError)):
+      np.asarray(ds['v'].values)
+
+
+class TestNativeEncodeLevelFidelity:
+  """Explicit compression levels (incl. 0) pass through the native encode
+  path instead of being remapped to the codec default."""
+
+  def _write(self, tmp_path, name, level, monkeypatch=None, native_off=False):
+    from weatherbenchx_tpu import native
+    if native_off:
+      monkeypatch.setattr(native, 'zarrcodec_available', lambda: False)
+    rng = np.random.default_rng(3)
+    # Compressible data so level 0 (stored) differs in size from level 9.
+    data = np.repeat(rng.standard_normal(64), 64).astype(np.float64)
+    w = zarr_io.ZarrArrayWriter(
+        str(tmp_path), name, data.shape, (32,), data.dtype, ('x',),
+        compressor='zlib', compression_level=level)
+    w.write_full(data)
+    import os
+    sizes = sorted(os.path.getsize(os.path.join(str(tmp_path), name, k))
+                   for k in os.listdir(os.path.join(str(tmp_path), name))
+                   if not k.startswith('.'))
+    return data, sizes
+
+  def test_level0_matches_python_and_differs_from_default(
+      self, tmp_path, monkeypatch):
+    from weatherbenchx_tpu import native
+    if not native.zarrcodec_available():
+      pytest.skip('native toolchain unavailable')
+    data, sizes_native0 = self._write(tmp_path, 'n0', 0)
+    _, sizes_py0 = self._write(tmp_path, 'p0', 0, monkeypatch,
+                               native_off=True)
+    assert sizes_native0 == sizes_py0  # level honored on both paths
+    _, sizes_native9 = self._write(tmp_path, 'n9', 9)
+    assert sum(sizes_native0) > sum(sizes_native9)  # 0 really means stored
+    for name in ('n0', 'p0', 'n9'):
+      src = zarr_io.ZarrChunkSource(
+          str(tmp_path / name),
+          __import__('json').load(open(tmp_path / name / '.zarray')))
+      np.testing.assert_array_equal(src.read((slice(None),)), data)

@@ -119,3 +119,39 @@ class TestWbxContainer:
     r_wbx = best_of(lambda: io_lib.load_dataset(wbx), n=5)
     r_npz = best_of(lambda: io_lib.load_dataset(npz), n=5)
     assert r_wbx < r_npz * 1.5, (r_wbx, r_npz)
+
+
+def test_loads_dataset_parses_wbx_bytes(tmp_path):
+  """fileio.load_dataset_any on a remote .wbx fetches whole-object bytes;
+  loads_dataset must parse the block container (not feed it to the npz
+  parser and fail with a misleading pickle error)."""
+  from weatherbenchx_tpu import io as io_lib
+  from weatherbenchx_tpu.darray import Coord, DimArray
+  ds = {'v': DimArray(np.arange(12, dtype=np.float32).reshape(3, 4),
+                      ('t', 'x'),
+                      {'t': Coord(('t',), np.arange(3)),
+                       'x': Coord(('x',), np.arange(4))})}
+  path = str(tmp_path / 'blob.wbx')
+  io_lib.save_dataset(path, ds)
+  out = io_lib.loads_dataset(open(path, 'rb').read())
+  np.testing.assert_array_equal(np.asarray(out['v'].values),
+                                np.asarray(ds['v'].values))
+  # Arrays are writable (decoupled from the source bytes).
+  np.asarray(out['v'].values)[0, 0] = -1.0
+
+
+def test_wbx_python_fallback_returns_writable_arrays(tmp_path, monkeypatch):
+  """The pure-Python .wbx read path must match the native path's
+  mutability contract (in-place updates of restored states)."""
+  from weatherbenchx_tpu import io as io_lib, native
+  from weatherbenchx_tpu.darray import Coord, DimArray
+  ds = {'v': DimArray(np.arange(6, dtype=np.float64), ('x',),
+                      {'x': Coord(('x',), np.arange(6))})}
+  path = str(tmp_path / 'w.wbx')
+  io_lib.save_dataset(path, ds)
+  monkeypatch.setattr(native, 'available', lambda: False)
+  out = io_lib.load_dataset_wbx(path)
+  arr = np.asarray(out['v'].values)
+  assert arr.flags.writeable
+  arr += 1.0
+  np.testing.assert_array_equal(arr, np.arange(6, dtype=np.float64) + 1)

@@ -401,3 +401,16 @@ def test_xarray_scipy_backend_conventions(tmp_path):
                dtype='datetime64[ns]'))
   np.testing.assert_array_equal(
       np.asarray(da.coords['station'].values), ['KJFK', 'KLAX'])
+
+
+def test_netcdf_shared_coord_with_nat_saves(tmp_path):
+  """Same NaT-tolerant coordinate-consistency contract as the zarr writer
+  (shared helper in cf.py)."""
+  times = np.array(['2020-01-01', 'NaT'], dtype='datetime64[ns]')
+  mk = lambda seed: DimArray(
+      np.random.default_rng(seed).standard_normal(2).astype(np.float32),
+      ('valid_time',), {'valid_time': Coord(('valid_time',), times.copy())})
+  path = str(tmp_path / 'nat.nc')
+  netcdf_io.save_dataset_netcdf(path, {'a': mk(1), 'b': mk(2)})
+  ds = netcdf_io.load_dataset_netcdf(path)
+  assert set(ds) == {'a', 'b'}

@@ -157,3 +157,38 @@ def test_float_cf_time_nan_decodes_to_nat():
     assert out.dtype.kind == 'M'
     assert out[0] == np.datetime64('2020-01-01', 'ns')
     assert np.isnat(out[1])
+
+
+def test_shared_coord_with_nat_saves(tmp_path):
+  """NaT == NaT for the coordinate-consistency check: a shared time coord
+  with missing entries must not spuriously fail the save (cf.py)."""
+  times = np.array(['2020-01-01', 'NaT', '2020-01-03'],
+                   dtype='datetime64[ns]')
+  mk = lambda seed: DimArray(
+      np.random.default_rng(seed).standard_normal(3).astype(np.float32),
+      ('valid_time',), {'valid_time': Coord(('valid_time',), times.copy())})
+  root = str(tmp_path / 'nat.zarr')
+  zarr_io.save_dataset_zarr(root, {'a': mk(1), 'b': mk(2)})
+  ds = zarr_io.open_dataset_zarr(root)
+  got = np.asarray(ds['a'].coords['valid_time'].values)
+  assert np.isnat(got[1])
+  np.testing.assert_array_equal(got.view('i8'), times.view('i8'))
+
+
+def test_cf_time_int_overflow_raises():
+  """Coarse-unit int CF times past the datetime64[ns] range must raise,
+  not wrap into wrong-era timestamps."""
+  from weatherbenchx_tpu.zarr_io import _decode_cf_time
+  # ~year 2262 boundary: 9.3e9 seconds overflows int64 ns.
+  vals = np.array([0, 10_000_000_000], dtype=np.int64)
+  with pytest.raises(OverflowError):
+    _decode_cf_time(vals, {'units': 'seconds since 1970-01-01'})
+  # In-range values still decode exactly.
+  ok = _decode_cf_time(np.array([0, 86400], dtype=np.int64),
+                       {'units': 'seconds since 1970-01-01'})
+  np.testing.assert_array_equal(
+      ok, np.array(['1970-01-01', '1970-01-02'], dtype='datetime64[ns]'))
+  # min-int64 is the NaT sentinel and passes through.
+  nat = _decode_cf_time(np.array([np.iinfo(np.int64).min], dtype=np.int64),
+                        {'units': 'days since 1970-01-01'})
+  assert np.isnat(nat[0])

@@ -89,8 +89,26 @@ def dumps_dataset(dataset: Dataset) -> bytes:
 
 
 def loads_dataset(data: bytes) -> dict[str, DimArray]:
-  """Inverse of dumps_dataset."""
+  """Inverse of dumps_dataset; also parses .wbx container bytes.
+
+  The wbx branch makes remote ``.wbx`` paths work through
+  ``fileio.load_dataset_any`` (one whole-object fetch) instead of feeding
+  block-container bytes to the npz parser and failing with a misleading
+  pickle error.
+  """
   import io as _pyio
+  if data[:8] == _WBX_MAGIC:
+    manifest_offset = int(np.frombuffer(data[8:16], np.uint64)[0])
+    manifest = json.loads(data[manifest_offset:].decode())
+
+    def get(key):
+      b = manifest['blocks'][key]
+      dtype = np.dtype(b['dtype'])
+      n = int(np.prod(b['shape'], dtype=np.int64))
+      arr = np.frombuffer(data, dtype, count=n, offset=b['offset'])
+      return arr.reshape(tuple(b['shape'])).copy()  # writable
+
+    return _assemble(manifest, get)
   with np.load(_pyio.BytesIO(data), allow_pickle=False) as npz:
     meta = json.loads(bytes(npz['__meta__']).decode())
     return _assemble(meta, lambda key: npz[key].copy())
@@ -231,10 +249,15 @@ def load_dataset_wbx(path: str, threads: int = 8) -> dict[str, DimArray]:
     with open(path, 'rb') as f:
       for k in nonempty:
         f.seek(blocks[k]['offset'])
-        data = f.read(blocks[k]['nbytes'])
-        buffers[k] = np.frombuffer(
-            data, dtype=np.dtype(blocks[k]['dtype'])).reshape(
-                tuple(blocks[k]['shape']))
+        # readinto the preallocated buffer: writable (frombuffer over the
+        # read bytes would be read-only — the native path returns writable
+        # arrays, and in-place updates of loaded states must work on both)
+        # and one copy fewer.
+        got = f.readinto(buffers[k])
+        if got != buffers[k].nbytes:
+          raise ValueError(
+              f'{path}: block {k!r} truncated '
+              f'({got} of {buffers[k].nbytes} bytes)')
   return _assemble(manifest, lambda key: buffers[key])
 
 

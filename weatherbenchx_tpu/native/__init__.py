@@ -35,11 +35,17 @@ class _Module:
     self.name = name
 
   def _build(self) -> bool:
+    # uuid-suffixed tmp: concurrent first-use builds across processes
+    # (multi-host pod, pytest-xdist) must not interleave writes into one
+    # shared tmp file — a torn .so with a fresh mtime would pin every
+    # future process to the Python fallback until deleted by hand.
+    import uuid
+    tmp = f'{self._so}.tmp.{uuid.uuid4().hex[:12]}'
     cmd = (['g++', '-O3', '-shared', '-fPIC', '-pthread', '-std=c++17',
-            self._src, '-o', self._so + '.tmp'] + self._extra_link)
+            self._src, '-o', tmp] + self._extra_link)
     try:
       subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-      os.replace(self._so + '.tmp', self._so)
+      os.replace(tmp, self._so)
       return True
     except (subprocess.SubprocessError, OSError) as e:
       err = getattr(e, 'stderr', b'') or b''
@@ -173,12 +179,20 @@ def decode_cells(paths, codec, buffers, threads: int = 8) -> None:
                   f'{_DECODE_ERRS.get(err, err)}')
 
 
+# "Use the codec default" level sentinel (mirrors zarrcodec.cpp
+# kDefaultLevel): explicit 0 (zlib stored) and negative values (zstd fast
+# levels) are valid settings that must pass through, matching codecs.py.
+_LEVEL_DEFAULT = -(2**31)
+
+
 def encode_cells(paths, codec, buffers, typesize: int,
-                 level: int = 0, threads: int = 8) -> None:
+                 level=None, threads: int = 8) -> None:
   """Parallel encode+write of cell buffers (inverse of decode_cells).
 
   Supported codecs: None/'zlib'/'zstd'/'blosc' (blosc is lz4+shuffle,
   numcodecs-compatible). Buffers must be C-contiguous, identical nbytes.
+  ``level=None`` means the codec's default (zlib 1, zstd 3 — same as
+  ``codecs.encode_cell``); 0 and negative values are honored.
   """
   lib = _zarrcodec.load()
   if lib is None:
@@ -192,7 +206,9 @@ def encode_cells(paths, codec, buffers, typesize: int,
   c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
   addrs = _as_void_pp([b.ctypes.data for b in buffers])
   rc = lib.wbx_encode_cells(n, c_paths, _CODEC_IDS[codec], addrs,
-                            cell_nbytes, typesize, level or 0, threads)
+                            cell_nbytes, typesize,
+                            _LEVEL_DEFAULT if level is None else int(level),
+                            threads)
   if rc != 0:
     i, err = divmod(rc - 1, 16)
     raise OSError(f'encode_cells: cell {paths[i]!r}: '

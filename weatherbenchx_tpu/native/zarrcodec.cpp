@@ -82,6 +82,12 @@ inline int32_t le32(const uint8_t* p) {
   return v;  // x86/TPU hosts are little-endian
 }
 
+inline uint32_t le32u(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
 // Inverse byte shuffle: stream j holds byte-plane j of the block.
 void unshuffle(const uint8_t* in, uint8_t* out, size_t nbytes,
                int typesize) {
@@ -152,7 +158,9 @@ int decode_blosc(const std::vector<uint8_t>& raw, uint8_t* dst,
         typesize <= kMaxSplits && bsize / typesize >= kMinBuffer)
       nsplits = typesize;
     int32_t neblock = bsize / nsplits;
-    size_t pos = le32(bstarts + 4 * b);
+    // Unsigned read: a corrupt negative bstart sign-extended into size_t
+    // would wrap the pos+4 bounds check below and read out of bounds.
+    uint64_t pos = le32u(bstarts + 4 * b);
     uint8_t* block_out = shuffled ? tmp.data() : dst + int64_t(b) * blocksize;
     for (int s = 0; s < nsplits; ++s) {
       if (pos + 4 > raw.size()) return E_FORMAT;
@@ -236,6 +244,10 @@ void append_le32(std::vector<uint8_t>* out, int32_t v) {
 // rules as codecs.blosc_compress, decodable by real c-blosc/numcodecs.
 int encode_blosc(const uint8_t* src, int64_t nbytes, int typesize,
                  std::vector<uint8_t>* out) {
+  // The c-blosc1 format stores nbytes/cbytes/bstarts as int32: cells that
+  // don't fit MUST be refused loudly (the Python mirror raises
+  // struct.error) — truncating would write a silently-corrupt chunk.
+  if (nbytes > INT32_MAX - 16) return E_SIZE;
   typesize = (typesize > 0 && typesize <= 255) ? typesize : 1;
   int32_t blocksize = nbytes ? choose_blocksize(nbytes, typesize) : 0;
   int nblocks = nbytes ? static_cast<int>((nbytes + blocksize - 1)
@@ -275,6 +287,10 @@ int encode_blosc(const uint8_t* src, int64_t nbytes, int typesize,
     }
     int nsplits = (split && bsize == blocksize) ? typesize : 1;
     int32_t neblock = bsize / nsplits;
+    // Incompressible data can push header+body past int32 before the
+    // final cbytes check; fall back to the (in-range) memcpy chunk.
+    if (static_cast<int64_t>(header_size + body.size()) > INT32_MAX)
+      return write_memcpy_chunk();
     bstarts[b] = static_cast<int32_t>(header_size + body.size());
     for (int s = 0; s < nsplits; ++s) {
       const uint8_t* sp = block + int64_t(s) * neblock;
@@ -305,6 +321,11 @@ int encode_blosc(const uint8_t* src, int64_t nbytes, int typesize,
   return OK;
 }
 
+// "Use the codec default" sentinel for the level argument: explicit 0
+// (zlib stored) and negative values (zstd fast levels) are valid user
+// settings that must pass through, matching the Python codec path.
+constexpr int kDefaultLevel = INT32_MIN;
+
 int encode_one(const char* path, int codec, const uint8_t* src,
                int64_t nbytes, int typesize, int level) {
   std::vector<uint8_t> out;
@@ -316,7 +337,7 @@ int encode_one(const char* path, int codec, const uint8_t* src,
       uLongf dst_n = compressBound(nbytes);
       out.resize(dst_n);
       if (compress2(out.data(), &dst_n, src, nbytes,
-                    level > 0 ? level : 1) != Z_OK)
+                    level == kDefaultLevel ? 1 : level) != Z_OK)
         return E_ENCODE;
       out.resize(dst_n);
       break;
@@ -325,7 +346,7 @@ int encode_one(const char* path, int codec, const uint8_t* src,
       size_t bound = ZSTD_compressBound(nbytes);
       out.resize(bound);
       size_t n = ZSTD_compress(out.data(), bound, src, nbytes,
-                               level > 0 ? level : 3);
+                               level == kDefaultLevel ? 3 : level);
       if (ZSTD_isError(n)) return E_ENCODE;
       out.resize(n);
       break;

@@ -30,6 +30,7 @@ from typing import Any, Mapping, Optional
 
 import numpy as np
 
+from weatherbenchx_tpu import cf
 from weatherbenchx_tpu import io as io_lib
 from weatherbenchx_tpu.darray import Coord, DimArray
 from weatherbenchx_tpu.zarr_io import _decode_cf_time
@@ -162,15 +163,9 @@ def save_dataset_netcdf(path_or_file, dataset: Dataset) -> None:
         cvals = np.asarray(c.values)
         if cname not in tuple(da.dims):
           aux.append(str(cname))
-        if cname in coords_written:
-          prev_dims, prev_vals = coords_written[cname]
-          if prev_dims != tuple(c.dims) or not np.array_equal(
-              prev_vals, cvals, equal_nan=cvals.dtype.kind == 'f'):
-            raise ValueError(
-                f'coordinate {cname!r} differs between variables; a '
-                'netCDF file stores one variable per name')
+        if not cf.check_shared_coord(coords_written, cname, c.dims, cvals,
+                                     'a netCDF file'):
           continue
-        coords_written[cname] = (tuple(c.dims), cvals)
         put_var(str(cname), cvals, c.dims)
       extra = {'coordinates': ' '.join(aux)} if aux else None
       put_var(str(var_name), np.asarray(da.values), da.dims,
@@ -251,20 +246,13 @@ def _assemble(raw: dict[str, tuple]) -> dict[str, DimArray]:
     data, dims = _decode_var(name, np.asarray(data), tuple(dims), attrs)
     arrays[name] = (data, dims, {k: _attr_str(v) for k, v in attrs.items()})
 
-  referenced: set[str] = set()
-  for _, (_, dims, attrs) in arrays.items():
-    referenced.update(str(attrs.get('coordinates', '')).split())
-  coord_names = {n for n, (_, dims, _) in arrays.items()
-                 if n in dims} | (referenced & set(arrays))
-
+  coord_names = cf.infer_coord_names(arrays)
   coords_all = {n: Coord(arrays[n][1], arrays[n][0]) for n in coord_names}
   out: dict[str, DimArray] = {}
   for name, (data, dims, attrs) in arrays.items():
     if name in coord_names:
       continue
-    coords = {cn: c for cn, c in coords_all.items()
-              if set(c.dims) <= set(dims)}
-    out[name] = DimArray(data, dims, coords)
+    out[name] = DimArray(data, dims, cf.subset_coords(coords_all, dims))
   return out
 
 

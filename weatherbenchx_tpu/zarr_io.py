@@ -32,6 +32,7 @@ from typing import Any, Mapping, Optional, Sequence
 
 import numpy as np
 
+from weatherbenchx_tpu import cf
 from weatherbenchx_tpu import codecs as wbx_codecs
 from weatherbenchx_tpu import fileio
 from weatherbenchx_tpu import lazy
@@ -156,7 +157,11 @@ class ZarrArrayWriter:
       # duplicate the whole array in host RAM (window slices copy).
       cell_nbytes = int(np.prod(self.chunks, dtype=np.int64)
                         ) * self.dtype.itemsize
-      batch = max(int((512 << 20) // max(cell_nbytes, 1)), 2 * _READ_THREADS)
+      # At least 1 cell per batch, never more than the 512 MB staging
+      # budget allows: flooring at 2*threads instead would stage
+      # threads×2 full cell copies regardless of cell size (multi-GiB
+      # cells → host OOM, the exact case the batching protects against).
+      batch = max(int((512 << 20) // max(cell_nbytes, 1)), 1)
       for i in range(0, len(cells), batch):
         group = cells[i:i + batch]
         blocks = [self._pad_to_cell(values[self._cell_window(c)])
@@ -165,7 +170,7 @@ class ZarrArrayWriter:
             self._adir, '.'.join(str(int(j)) for j in c) or '0')
             for c in group]
         native.encode_cells(paths, self._codec, blocks,
-                            self.dtype.itemsize, self._level or 0,
+                            self.dtype.itemsize, self._level,
                             threads=_READ_THREADS)
       return
     list(_read_pool().map(
@@ -222,15 +227,8 @@ def save_dataset_zarr(
       cvals = np.asarray(c.values)
       if cname not in tuple(da.dims):
         aux.append(str(cname))
-      if cname in written:
-        prev_dims, prev_vals = written[cname]
-        if prev_dims != tuple(c.dims) or not np.array_equal(
-            prev_vals, cvals, equal_nan=cvals.dtype.kind == 'f'):
-          raise ValueError(
-              f'coordinate {cname!r} differs between variables; zarr '
-              'stores one array per name')
+      if not cf.check_shared_coord(written, cname, c.dims, cvals, 'zarr'):
         continue
-      written[cname] = (tuple(c.dims), cvals)
       metadata.update(_write_array(
           path, str(cname), cvals, c.dims,
           chunk_spec(c.dims, cvals.shape), compressor=compressor))
@@ -414,7 +412,22 @@ def _decode_cf_time(values: np.ndarray, attrs: dict) -> np.ndarray:
       out = (whole.astype(np.int64) * scale[unit]
              + frac_ns.astype(np.int64))
       return np.where(nan_mask | (whole == np.float64(nat)), nat, out)
-    return vals.astype(np.int64) * scale[unit]
+    ints = vals.astype(np.int64)
+    s = scale[unit]
+    if s > 1 and ints.size:
+      # Coarse units far from the epoch overflow int64 nanoseconds; raise
+      # (like xarray's out-of-range ns conversion) rather than silently
+      # wrapping into wrong-era timestamps. min-int64 is the NaT sentinel
+      # and passes through.
+      nat = np.int64(np.iinfo(np.int64).min)
+      finite = np.where(ints == nat, 0, ints)
+      lim = np.iinfo(np.int64).max // s
+      if int(finite.max()) > lim or int(finite.min()) < -lim:
+        raise OverflowError(
+            f'CF time values in {unit!r} exceed the datetime64[ns] range '
+            '(~years 1678-2262); cannot decode without overflow')
+      return np.where(ints == nat, nat, finite * s)
+    return ints * s
 
   if ' since ' in units:
     unit, origin = units.split(' since ', 1)
@@ -463,12 +476,7 @@ def open_dataset_zarr(path: str) -> dict[str, DimArray]:
     arrays[name] = (ZarrChunkSource(os.path.join(path, name), zarray),
                     dims, attrs)
 
-  referenced: set[str] = set()
-  for name, (_, dims, attrs) in arrays.items():
-    referenced.update(str(attrs.get('coordinates', '')).split())
-  coord_names = {n for n, (_, dims, _) in arrays.items()
-                 if n in dims} | (referenced & set(arrays))
-
+  coord_names = cf.infer_coord_names(arrays)
   coords_all = {}
   for cname in coord_names:
     src, cdims, cattrs = arrays[cname]
@@ -479,7 +487,6 @@ def open_dataset_zarr(path: str) -> dict[str, DimArray]:
   for name, (src, dims, attrs) in arrays.items():
     if name in coord_names:
       continue
-    coords = {cn: c for cn, c in coords_all.items()
-              if set(c.dims) <= set(dims)}
-    out[name] = DimArray(lazy.LazyArray(src), dims, coords)
+    out[name] = DimArray(lazy.LazyArray(src), dims,
+                         cf.subset_coords(coords_all, dims))
   return out
