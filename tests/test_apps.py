@@ -896,3 +896,136 @@ def test_latency_wrapper_forwards_all_pipeline_options(tmp_path):
   da = chunk['2m_temperature']
   assert da.has_coord('values_as_coord')  # stage actually ran
   assert da.has_coord('mask')
+
+
+class TestCLIConfigResolution:
+  """Registry/flag interaction fixes (duplicate kwargs, quirk survival)."""
+
+  def test_default_era5_target_kwargs_do_not_collide(self, tmp_path,
+                                                     monkeypatch):
+    """--target=era5 (the default) carries preprocessing_fn in its registry
+    data_loader_kwargs; the CLI must merge with setdefault, not pass a
+    second explicit preprocessing_fn (TypeError)."""
+    from weatherbenchx_tpu.apps import configs as configs_lib
+    from weatherbenchx_tpu.apps import run_benchmark_evaluation as rbe
+
+    ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
+    era5 = dict(configs_lib.target_configs['era5_64x32'], path=tpath)
+    monkeypatch.setitem(configs_lib.target_configs, 'era5_64x32', era5)
+    outdir = str(tmp_path / 'out')
+    rbe.main([
+        '--prediction=hres', f'--prediction_path={ppath}',
+        f'--climatology_path={cpath}',  # NO --target_path: registry kwargs
+        '--resolution=64x32', '--year=2020',
+        '--init_time_start=2020-01-01', '--init_time_stop=2020-01-03',
+        '--lead_time_stop_days=2', '--lead_time_frequency=12',
+        '--variables=2m_temperature', f'--output_dir={outdir}',
+    ])
+    out = io_lib.load_dataset(
+        os.path.join(outdir, 'hres_vs_era5_64x32_2020-init12h.npz'))
+    assert np.isfinite(np.asarray(out['rmse.2m_temperature'].values)).all()
+
+  def test_prediction_path_preserves_registry_quirks(self, tmp_path):
+    """--prediction_path overrides ONLY the path: keisler's nan-mask +
+    skipna aggregation must survive, or NaN model outputs silently poison
+    every metric."""
+    from weatherbenchx_tpu.apps import run_benchmark_evaluation as rbe
+
+    ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
+    pred = io_lib.load_dataset(ppath)
+    data = np.asarray(pred['2m_temperature'].values).copy()
+    data[0, 0, 3, 4] = np.nan  # a keisler-style NaN output
+    pred['2m_temperature'] = pred['2m_temperature'].copy(data=data)
+    ppath_nan = str(tmp_path / 'pred_nan.npz')
+    io_lib.save_dataset(ppath_nan, pred)
+    outdir = str(tmp_path / 'out_keisler')
+    rbe.main([
+        '--prediction=keisler', f'--prediction_path={ppath_nan}',
+        f'--target_path={tpath}', f'--climatology_path={cpath}',
+        '--resolution=64x32', '--year=2020',
+        '--init_time_start=2020-01-01', '--init_time_stop=2020-01-03',
+        '--lead_time_stop_days=2', '--lead_time_frequency=12',
+        '--variables=2m_temperature', f'--output_dir={outdir}',
+    ])
+    out = io_lib.load_dataset(
+        os.path.join(outdir, 'keisler_vs_era5_64x32_2020-init12h.npz'))
+    assert np.isfinite(np.asarray(out['rmse.2m_temperature'].values)).all()
+
+  def test_climatology_prediction_entries_sort_latitude(self):
+    from weatherbenchx_tpu.apps import configs as configs_lib
+    for key, cfg in configs_lib.climatology_configs.items():
+      fn = cfg.get('data_loader_kwargs', {}).get('preprocessing_fn')
+      assert fn is configs_lib.sort_latitude, key
+
+  def test_single_member_configs_parse_any_model_name(self, monkeypatch):
+    from weatherbenchx_tpu.apps import configs as configs_lib
+    monkeypatch.setitem(
+        configs_lib.probabilistic_prediction_configs, 'gencast_64x32_2020',
+        {'path': 'x.zarr', 'variables': ['geopotential']})
+    out = configs_lib.single_member_configs()
+    assert 'gencast_single_member_64x32_2020' in out
+    assert out['gencast_single_member_64x32_2020']['path'] == 'x.zarr'
+    # Existing conventions unchanged.
+    assert 'ens_single_member_64x32_2020' in out
+    assert 'neuralgcm_ens_single_member_64x32_2020' in out
+
+
+class TestCombineCrossModelAlignment:
+  def test_models_with_different_lead_extents_outer_join(self, tmp_path):
+    """hres (short leads) + fuxi-style (long leads) in one combo must
+    outer-join lead_time labels like the reference's xr.merge."""
+    from weatherbenchx_tpu.apps import combine_results
+    from weatherbenchx_tpu.darray import Coord
+
+    def result(leads_h, value):
+      leads = np.array(leads_h, dtype='timedelta64[h]').astype(
+          'timedelta64[ns]')
+      return {'rmse.2m_temperature': DimArray(
+          np.full(len(leads), value, np.float32), ('lead_time',),
+          {'lead_time': Coord(('lead_time',), leads)})}
+
+    a, b = str(tmp_path / 'a.npz'), str(tmp_path / 'b.npz')
+    io_lib.save_dataset(a, result([0, 12, 24], 1.0))
+    io_lib.save_dataset(b, result([0, 12, 24, 36, 48], 2.0))
+    out = combine_results.combine_model_results({'hres': a, 'fuxi': b})
+    da = out['2m_temperature']
+    assert da.sizes['lead_time'] == 5
+    hres = np.asarray(da.sel(model='hres', metric='RMSE').values)
+    fuxi = np.asarray(da.sel(model='fuxi', metric='RMSE').values)
+    np.testing.assert_array_equal(hres[:3], [1.0, 1.0, 1.0])
+    assert np.isnan(hres[3:]).all()
+    np.testing.assert_array_equal(fuxi, [2.0] * 5)
+
+
+class TestScorecardLeadAlignment:
+  def test_variables_with_different_leads_plot_on_union_axis(self, tmp_path):
+    import json as json_lib
+    import re as re_lib
+    from weatherbenchx_tpu.apps import combine_results, scorecard_html
+    from weatherbenchx_tpu.darray import Coord
+
+    def var(leads_h, value):
+      leads = np.array(leads_h, dtype='timedelta64[h]').astype(
+          'timedelta64[ns]')
+      return DimArray(
+          np.full((1, 1, len(leads)), value, np.float32),
+          ('model', 'metric', 'lead_time'),
+          {'model': Coord(('model',), np.array(['hres'])),
+           'metric': Coord(('metric',), np.array(['RMSE'])),
+           'lead_time': Coord(('lead_time',), leads)})
+
+    sc = {'2m_temperature': var([0, 12, 24], 1.0),
+          'total_precipitation_24hr': var([24], 3.0)}
+    path = str(tmp_path / 'sc.npz')
+    io_lib.save_dataset(path, sc)
+    html = scorecard_html.render_scorecard_html(path)
+    m = re_lib.search(r'const DATA = (\{.*?\});\n', html, re_lib.DOTALL)
+    data = json_lib.loads(m.group(1)) if m else None
+    if data is None:  # fallback: DATA embedded differently
+      m = re_lib.search(r'DATA = (\{.*\})', html)
+      data = json_lib.loads(m.group(1))
+    assert data['lead_hours'] == [0, 12, 24]
+    precip = data['values']['total_precipitation_24hr']['RMSE']
+    row = precip['all']['all']['all'][0]
+    # The 24h-only value sits at the 24h column, not column 0.
+    assert row == [None, None, 3.0]

@@ -172,11 +172,31 @@ def combine_model_results(
   for var in variables:
     metric_names = sorted({
         m for model in models for m in per_model[model].get(var, {})})
+    # Outer-join labeled dims across models BEFORE stacking: models are
+    # evaluated separately and may carry different lead_time extents or
+    # level sets (hres 10-day leads vs fuxi 15-day); the reference's
+    # xr.merge outer-joins across models the same way — without this the
+    # concat crashes (or NaN-templates mis-shape).
+    var_arrays = [da for model in models
+                  for da in per_model[model].get(var, {}).values()]
+    targets = {}
+    for d in {d for da in var_arrays for d in da.dims}:
+      u = _union_coord(var_arrays, d)
+      if u is not None:
+        targets[d] = u
+
+    def align(da):
+      for d, labels in targets.items():
+        da = _reindex_dim(da, d, labels)
+      return da
+
     model_stacks = []
     for model in models:
       stack = []
       for metric in metric_names:
         da = per_model[model].get(var, {}).get(metric)
+        if da is not None:
+          da = align(da)
         if da is None:
           # NaN fill for a (model, variable, metric) hole. The template
           # must come from the SAME (variable, metric) of another model:
@@ -184,9 +204,9 @@ def combine_model_results(
           # and would mis-shape the stack. One always exists —
           # metric_names only contains metrics present under this
           # variable for at least one model.
-          template = next(
+          template = align(next(
               per_model[m][var][metric] for m in models
-              if metric in per_model[m].get(var, {}))
+              if metric in per_model[m].get(var, {})))
           da = template.copy(data=np.full(template.shape, np.nan))
         stack.append(da)
       model_stacks.append(darray.concat(stack, 'metric').assign_coords(

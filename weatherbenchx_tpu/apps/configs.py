@@ -74,10 +74,6 @@ def _entry(path: str, variables, **extra) -> dict[str, Any]:
   return {'path': path, 'variables': list(variables), **extra}
 
 
-def _per_year(years, entry) -> dict[str, dict[str, Any]]:
-  return {y: dict(entry) for y in years}
-
-
 deterministic_prediction_configs: dict[str, dict[str, Any]] = {}
 probabilistic_prediction_configs: dict[str, dict[str, Any]] = {}
 
@@ -144,11 +140,20 @@ for _r in ('64x32', '240x121'):
                   'realization': 'number', 'time': 'init_time',
                   'prediction_timedelta': 'lead_time'}}))
 
-# Ground-truth registry. ERA5 stores have descending latitudes; SEEPS and
-# the region land bins assume ascending, so sort on load.
-_SORT_LAT = {'preprocessing_fn': (
-    lambda ds: {k: (v.sortby('latitude') if 'latitude' in v.dims else v)
-                for k, v in ds.items()})}
+def sort_latitude(ds):
+  """Sorts every variable's latitude ascending.
+
+  ERA5-derived stores are latitude-descending; SEEPS, the region land
+  bins, and the aligned-grid contract assume ascending (the reference
+  sorts too, ``run_benchmark_evaluation.py:208-214``). THE shared sort —
+  the CLI and the registry entries below all use this one function.
+  """
+  return {k: (v.sortby('latitude') if 'latitude' in v.dims else v)
+          for k, v in ds.items()}
+
+
+# Ground-truth registry.
+_SORT_LAT = {'preprocessing_fn': sort_latitude}
 target_configs: dict[str, dict[str, Any]] = {}
 for _r in RESOLUTIONS:
   _g = _GRID[_r]
@@ -171,9 +176,14 @@ for _r in RESOLUTIONS:
   for _period, _years in (('1990-2017', (2016, 2018)),
                           ('1990-2019', (2020, 2022))):
     for _y in _years:
+      # _SORT_LAT: these entries double as the --prediction=climatology /
+      # probabilistic_climatology loader config, where an unsorted
+      # (descending-lat) prediction would silently compare flipped rows
+      # against the sorted target.
       climatology_configs[f'era5_{_r}_{_y}'] = _entry(
           f'{WB2}/era5-hourly-climatology/{_period}_6h_{_g}.zarr',
-          STANDARD_VARIABLES + PRECIPITATION_VARIABLES)
+          STANDARD_VARIABLES + PRECIPITATION_VARIABLES,
+          data_loader_kwargs=dict(_SORT_LAT))
   # Resolution-only key: default to the recent period.
   climatology_configs[f'era5_{_r}'] = climatology_configs[f'era5_{_r}_2020']
 
@@ -187,9 +197,12 @@ def single_member_configs() -> dict[str, dict[str, Any]]:
   """
   out = {}
   for key, cfg in probabilistic_prediction_configs.items():
-    model, rest = key.split('_', 1) if key.startswith('ens_') else (
-        'neuralgcm_ens', key[len('neuralgcm_ens_'):])
-    out[f'{model}_single_member_{rest}'] = {
+    # Keys are '{model}_{resolution}_{year}': split on the known suffix so
+    # multi-word model names (neuralgcm_ens, future additions) parse
+    # correctly instead of being mangled by prefix matching.
+    model, res, year = key.rsplit('_', 2)
+    assert res in RESOLUTIONS, key
+    out[f'{model}_single_member_{res}_{year}'] = {
         **cfg,
         'data_loader_kwargs': {
             **cfg.get('data_loader_kwargs', {}),

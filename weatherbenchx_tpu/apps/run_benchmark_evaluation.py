@@ -112,7 +112,15 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                 if args.prediction_path else registry_cfg)
     is_probabilistic = args.prediction == 'probabilistic_climatology'
   elif args.prediction_path:
-    pred_cfg = {'path': args.prediction_path, 'data_loader_kwargs': {}}
+    # Override ONLY the path: the registry entry's per-model quirks
+    # (keisler's add_nan_mask + skipna, level defaults, renames) must
+    # survive a local-file override, same as the special-kind branch.
+    if is_probabilistic:
+      registry_cfg = configs_lib.probabilistic_prediction_configs[pred_key]
+    else:
+      registry_cfg = configs_lib.deterministic_prediction_configs.get(
+          pred_key, {'data_loader_kwargs': {}})
+    pred_cfg = dict(registry_cfg, path=args.prediction_path)
   elif is_probabilistic:
     pred_cfg = configs_lib.probabilistic_prediction_configs[pred_key]
   elif pred_key in configs_lib.deterministic_prediction_configs:
@@ -200,25 +208,20 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
   prediction_loader = prediction_cls(
       path=pred_cfg['path'], variables=variables, **loader_kwargs)
 
-  def _sort_latitude(ds):
-    # Some datasets store latitude descending; region land bins and the
-    # aligned-grid contract assume ascending (reference sorts targets too,
-    # ``run_benchmark_evaluation.py:208-214``).
-    return {k: (v.sortby('latitude') if 'latitude' in v.dims else v)
-            for k, v in ds.items()}
-
+  # Targets always sort latitude ascending (the era5 registry entry
+  # already carries the same preprocessing_fn — setdefault, not a second
+  # explicit kwarg, so the two never collide).
+  tgt_kwargs = dict(tgt_cfg.get('data_loader_kwargs', {}))
+  tgt_kwargs.setdefault('preprocessing_fn', configs_lib.sort_latitude)
   target_loader = loaders.TargetsFromDataset(
       path=tgt_cfg['path'], variables=variables, sel_kwargs=sel_kwargs,
-      preprocessing_fn=_sort_latitude,
-      **tgt_cfg.get('data_loader_kwargs', {}))
+      **tgt_kwargs)
 
   # 4. Metrics. The probabilistic set needs no climatology — don't open
   # (or require) one for it. SEEPS/ACC require ascending latitudes on the
   # climatology.
   if not is_probabilistic:
-    climatology = _open_dataset(clim_cfg['path'])
-    climatology = {k: v.sortby('latitude') if 'latitude' in v.dims else v
-                   for k, v in climatology.items()}
+    climatology = configs_lib.sort_latitude(_open_dataset(clim_cfg['path']))
     if levels:
       # Subset the EVALUATED variables to the evaluated levels: anomaly
       # statistics broadcast against the climatology, so an unsubset

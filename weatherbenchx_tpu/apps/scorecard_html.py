@@ -334,13 +334,24 @@ def render_scorecard_html(scorecard_path: str) -> str:
            if 'year' in first.dims else ['all'])
   resolutions = ([str(r) for r in first.coord_values('resolution')]
                  if 'resolution' in first.dims else ['all'])
-  if 'lead_time' in first.dims:
-    lead_values = first.coord_values('lead_time')
-    if lead_values.dtype.kind == 'm':
-      lead_hours = (lead_values.astype('timedelta64[h]')
-                    .astype(np.int64).tolist())
-    else:
-      lead_hours = [int(l) for l in lead_values]
+  # Lead axis = the UNION across variables, each variable scattered onto
+  # it by label: combine_result_files aligns each variable to its own
+  # lead_time extent, so e.g. a 24h-only precipitation variable must plot
+  # at 24h on the shared axis, not at whatever hour shares its column
+  # index in the first variable.
+  def _var_lead_hours(da):
+    if 'lead_time' not in da.dims:
+      return None
+    lv = da.coord_values('lead_time')
+    if lv.dtype.kind == 'm':
+      return lv.astype('timedelta64[h]').astype(np.int64).tolist()
+    return [int(l) for l in lv]
+
+  per_var_leads = {v: _var_lead_hours(sc[v]) for v in variables}
+  union_leads = sorted({h for hs in per_var_leads.values() if hs
+                        for h in hs})
+  if union_leads:
+    lead_hours = union_leads
     lead_labels = [f'{h}h' for h in lead_hours]
   else:
     lead_hours = [0]
@@ -349,6 +360,9 @@ def render_scorecard_html(scorecard_path: str) -> str:
   values: dict = {}
   for variable in variables:
     da = sc[variable]
+    hs = per_var_leads[variable]
+    # This variable's column index on the shared lead axis.
+    var_cols = [lead_hours.index(h) for h in hs] if hs else [0]
     level_values = (list(da.coord_values('level'))
                     if 'level' in da.dims else [None])
     values[variable] = {}
@@ -378,9 +392,13 @@ def render_scorecard_html(scorecard_path: str) -> str:
                 arr = arr[:, None]
               key = ('all' if years == ['all'] and resolutions == ['all']
                      else f'{year}|{resolution}')
-              by_yr[key] = [
-                  [None if not np.isfinite(x) else float(x) for x in row]
-                  for row in arr]
+              rows = []
+              for row in arr:
+                full = [None] * len(lead_hours)
+                for c, x in zip(var_cols, row):
+                  full[c] = None if not np.isfinite(x) else float(x)
+                rows.append(full)
+              by_yr[key] = rows
           by_region[region] = by_yr
         by_level[level] = by_region
       values[variable][metric] = by_level

@@ -6,12 +6,11 @@ index-matrix gathers — both single einsum/gather ops that run on device.
 """
 
 import functools
-from typing import Hashable, Mapping, final
+from typing import Mapping, final
 
 import numpy as np
 
 from weatherbenchx_tpu import aggregation
-from weatherbenchx_tpu import darray
 from weatherbenchx_tpu import tree
 from weatherbenchx_tpu.darray import DimArray
 from weatherbenchx_tpu.metrics import base as metrics_base

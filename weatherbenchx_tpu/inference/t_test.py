@@ -24,19 +24,6 @@ from weatherbenchx_tpu.inference import autodiff
 from weatherbenchx_tpu.inference import base
 
 
-def _check_constant(da: DimArray, dim: str, error_suffix: str = ''):
-  v = np.asarray(da.values)
-  ax = da.dims.index(dim)
-  first = np.take(v, [0], axis=ax)
-  if v.dtype.kind == 'f':
-    ok = np.allclose(first, v)
-  else:
-    ok = np.all(first == v)
-  if not ok:
-    raise ValueError(
-        f'Found non-constant values along dimension {dim}. {error_suffix}')
-
-
 def _check_uniform_step(da: DimArray, dim: str) -> None:
   coord = da.coords.get(dim)
   if coord is None:

@@ -18,7 +18,11 @@ def uniform_filter1d_wrap(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
   x = jnp.moveaxis(x, axis, -1)
   pad = [(0, 0)] * (x.ndim - 1) + [(half, half)]
   xp = jnp.pad(x, pad, mode='wrap')
-  csum = jnp.cumsum(xp.astype(jnp.float32), axis=-1)
+  # Accumulate in at least float32 but never BELOW the input precision: a
+  # float64 FSS field under jax_enable_x64 keeps the reference's (scipy
+  # float64 convolution) accuracy instead of losing it to an f32 cumsum.
+  acc = jnp.promote_types(x.dtype, jnp.float32)
+  csum = jnp.cumsum(xp.astype(acc), axis=-1)
   zero = jnp.zeros(csum.shape[:-1] + (1,), csum.dtype)
   csum = jnp.concatenate([zero, csum], axis=-1)
   out = (csum[..., size:] - csum[..., :-size]) / size
@@ -43,7 +47,8 @@ def convolve2d_wrap_longitude(
     raise ValueError('neighborhood_size must be odd.')
   half = (neighborhood_size - 1) // 2
   out = uniform_filter1d_wrap(
-      x.astype(jnp.float32), neighborhood_size, axis=-2)
+      x.astype(jnp.promote_types(x.dtype, jnp.float32)),
+      neighborhood_size, axis=-2)
   out = uniform_filter1d_wrap(out, neighborhood_size, axis=-1)
   lat = jnp.arange(out.shape[-2])
   valid_lat = (lat >= half) & (lat < out.shape[-2] - half)
