@@ -238,3 +238,23 @@ class TestSupportGating:
     br150, bc150 = crps_pairwise._block_shape(150, 721, 1440)
     assert br50 * bc50 * 50 <= crps_pairwise._BLOCK_ELEMS
     assert br150 * bc150 <= br50 * bc50
+
+
+class TestEnsembleOnlyInputs:
+  """ndim==1 inputs skip the custom partitioner (its einsum-style sharding
+  rule would have no data factors) and use the plain jnp fallback."""
+
+  def test_spread_1d(self):
+    x = np.random.default_rng(0).standard_normal(7).astype(np.float32)
+    expected = np.abs(x[:, None] - x[None, :]).sum()
+    got = crps_pairwise.pairwise_spread_sum(jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-5)
+
+  def test_cross_1d(self):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(5).astype(np.float32)
+    y = rng.standard_normal(3).astype(np.float32)
+    expected = np.abs(x[:, None] - y[None, :]).sum()
+    got = crps_pairwise.pairwise_cross_sum(
+        jnp.asarray(x), jnp.asarray(y), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-5)

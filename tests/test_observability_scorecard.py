@@ -112,3 +112,16 @@ class TestScorecardHTML:
     assert list(data['values']['z']['RMSE'].keys()) == ['500', '700', '850']
     assert data['values']['z']['RMSE']['700']['tropics']['all'] == [[5.0, 7.0]]
     assert data['lead_hours'] == [0, 6]
+
+
+class TestTimingsSnapshot:
+  def test_timings_returns_isolated_snapshot(self):
+    from weatherbenchx_tpu import observability
+
+    m = observability.Metrics()
+    m.record('load', 1.0)
+    snap = m.timings
+    m.record('load', 100.0)
+    assert snap['load'].count == 1
+    assert snap['load'].total == 1.0
+    assert m.timings['load'].count == 2

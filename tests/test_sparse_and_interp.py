@@ -456,3 +456,114 @@ class TestLatencyWrappers:
         np.array([6], dtype='timedelta64[h]').astype('timedelta64[ns]'))
     # B's data has +0.5 marker.
     assert chunk['t'].values.item() % 1 == 0.5
+
+
+class TestInterpReviewFixes:
+  """Regression tests for the round-3 interpolation-layer review findings."""
+
+  def test_altitude_adjustment_empty_reference(self):
+    """Zero-station reference: the inherited empty guard must win — no
+    KeyError from the missing interpolated grid_elevation coord."""
+    da = grid_da(fn=lambda lat, lon: 280.0 + 0 * lat * lon)
+    grid_elev = grid_da(fn=lambda lat, lon: 100.0 + 0 * lat * lon)
+    ref = DimArray(
+        np.zeros(0), ('index',),
+        {'latitude': Coord(('index',), np.zeros(0)),
+         'longitude': Coord(('index',), np.zeros(0)),
+         'elevation': Coord(('index',), np.zeros(0))})
+    interp = interpolations.GridToSparseWithAltitudeAdjustment(
+        'linear', grid_elevation=grid_elev)
+    out = interp.interpolate({'2m_temperature': da},
+                             {'2m_temperature': ref})['2m_temperature']
+    assert out.sizes['index'] == 0
+
+  def test_pointwise_rejects_unknown_method(self):
+    da = grid_da()
+    stations = {
+        'latitude': DimArray(np.array([0.0]), ('index',),
+                             {'index': np.arange(1)}),
+        'longitude': DimArray(np.array([45.0]), ('index',),
+                              {'index': np.arange(1)})}
+    with pytest.raises(ValueError, match='Unsupported interpolation method'):
+      interpolations.interpolate_to_coords(da, stations, 'cubic')
+
+  def test_outer_rejects_unknown_method(self):
+    da = grid_da()
+    with pytest.raises(ValueError, match='Unsupported interpolation method'):
+      interpolations.interpolate_to_coords(
+          da, {'latitude': np.array([0.0])}, 'cubic')
+
+  def test_non_monotonic_source_raises(self):
+    """Wrap-around-unsorted longitudes must fail loudly, not corrupt."""
+    lons = np.array([350.0, 355.0, 0.0, 5.0, 10.0, 15.0, 20.0, 25.0])
+    da = DimArray(np.arange(8.0), ('longitude',), {'longitude': lons})
+    with pytest.raises(ValueError, match='strictly monotonic'):
+      interpolations.interpolate_to_coords(
+          da, {'longitude': np.array([2.0])}, 'linear')
+
+  def test_duplicate_source_coord_raises(self):
+    lats = np.array([0.0, 10.0, 10.0, 30.0])
+    da = DimArray(np.arange(4.0), ('latitude',), {'latitude': lats})
+    with pytest.raises(ValueError, match='strictly monotonic'):
+      interpolations.interpolate_to_coords(
+          da, {'latitude': np.array([5.0])}, 'linear')
+
+  def test_bool_mask_coord_survives_regridding(self):
+    """A boolean validity-mask coord over interpolated dims is kept (as
+    bool), valid only where every contributing source point is valid."""
+    da = grid_da(nlat=5, nlon=8, fn=lambda lat, lon: lat + 0 * lon)
+    mask = np.ones((5, 8), dtype=bool)
+    mask[2, :] = False  # invalid latitude row at 0 deg
+    da = da.assign_coords(mask=Coord(('latitude', 'longitude'), mask))
+    out = interpolations.interpolate_to_coords(
+        da, {'latitude': np.array([-90.0, -22.5, 45.0])}, 'linear')
+    assert 'mask' in out.coords
+    mv = np.asarray(out.coords['mask'].values)
+    assert mv.dtype == np.bool_
+    # -90 sits on a fully valid row; -22.5 is halfway between the valid
+    # -45 row and the invalid 0 row; 45 is exactly on a valid row.
+    assert mv[0].all()
+    assert not mv[1].any()
+    assert mv[2].all()
+
+  def test_dropna_integer_variable(self, tmp_path):
+    """dropna=True with an int64 column must keep all rows, not crash."""
+    import pandas as pd
+
+    times = np.arange('2020-01-01T00', '2020-01-01T12',
+                      np.timedelta64(6, 'h'), dtype='datetime64[ns]')
+    rows = []
+    for t in times:
+      for s in range(3):
+        rows.append({
+            'timeNominal': pd.Timestamp(t),
+            'stationName': f'ST{s}',
+            'latitude': 10.0 * s,
+            'longitude': 20.0 * s,
+            'cloudCount': np.int64(s),  # integer variable, no NaN notion
+            'temperature': np.nan if s == 1 else 270.0,
+        })
+    df = pd.DataFrame(rows)
+    fn = os.path.join(str(tmp_path / 'obs'), 'year=2020', 'month=1',
+                      '2020-01.parquet')
+    os.makedirs(os.path.dirname(fn), exist_ok=True)
+    df.to_parquet(fn)
+
+    loader = sparse_parquet.SparseObservationsFromParquet(
+        path=str(tmp_path / 'obs'), partitioned_by='month',
+        time_dim='timeNominal', variables=['cloudCount'],
+        coordinate_variables=['latitude', 'longitude', 'stationName'],
+        dropna=True)
+    init = np.array(['2020-01-01T00'], dtype='datetime64[ns]')
+    lead = np.array([6], dtype='timedelta64[h]').astype('timedelta64[ns]')
+    chunk = loader.load_chunk(init, lead)
+    assert chunk['cloudCount'].sizes['index'] == 3  # nothing dropped
+
+    # Mixed float+int without split: only the float NaN row drops.
+    loader2 = sparse_parquet.SparseObservationsFromParquet(
+        path=str(tmp_path / 'obs'), partitioned_by='month',
+        time_dim='timeNominal', variables=['temperature', 'cloudCount'],
+        coordinate_variables=['latitude', 'longitude', 'stationName'],
+        dropna=True, split_variables=False)
+    chunk2 = loader2.load_chunk(init, lead)
+    assert chunk2['cloudCount'].sizes['index'] == 2

@@ -281,9 +281,22 @@ class SparseObservationsFromParquet(base.DataLoader):
     return self._drop_missing(chunk) if self._dropna else chunk
 
   def _drop_missing(self, chunk: dict) -> dict:
-    """NaN-row removal: per variable when split, else rows missing anywhere."""
-    finite = {v: ~np.isnan(np.asarray(da.values))
-              for v, da in chunk.items()}
+    """NaN-row removal: per variable when split, else rows missing anywhere.
+
+    Dtype-aware like the reference's ``xr.Dataset.dropna``: floats drop
+    NaN rows, datetimes drop NaT rows, and integer/string variables (e.g.
+    count or flag columns) have no missing sentinel — every row kept.
+    """
+
+    def present(values) -> np.ndarray:
+      arr = np.asarray(values)
+      if np.issubdtype(arr.dtype, np.floating):
+        return ~np.isnan(arr)
+      if arr.dtype.kind in 'mM':
+        return ~np.isnat(arr)
+      return np.ones(arr.shape, dtype=bool)
+
+    finite = {v: present(da.values) for v, da in chunk.items()}
     if self._split_variables:
       return {v: da.isel(index=np.flatnonzero(finite[v]))
               for v, da in chunk.items()}

@@ -12,7 +12,7 @@ from typing import Hashable, Iterable, Mapping, Optional, Sequence, Union
 import jax.numpy as jnp
 import numpy as np
 
-from weatherbenchx_tpu import tree
+from weatherbenchx_tpu import darray
 from weatherbenchx_tpu.darray import Coord, DimArray
 from weatherbenchx_tpu.metrics import spatial
 from weatherbenchx_tpu.metrics import wrappers
@@ -75,8 +75,6 @@ class MultipleInterpolation(Interpolation):
 
 def pad_longitude(da: DimArray) -> DimArray:
   """Pads one wrapped cell on each side of longitude for wrap interp."""
-  from weatherbenchx_tpu import darray
-
   left = da.isel(longitude=[-1])
   lv = left.coord_values('longitude') - 360
   left = left.assign_coords(longitude=Coord(('longitude',), lv))
@@ -148,14 +146,20 @@ def interpolate_to_coords(
       # Interpolate numeric coords along with the data. Integer aux coords
       # (e.g. an int DEM grid_elevation) are promoted to float for the
       # lerp, matching xarray's interp promotion — silently dropping them
-      # would e.g. crash the altitude adjustment downstream.
+      # would e.g. crash the altitude adjustment downstream. Boolean coords
+      # (validity masks) are lerped in float and kept boolean: a target
+      # point stays valid only when every contributing source point is
+      # valid, so partially-invalid neighborhoods never claim validity.
       v = np.asarray(c.values) if c.is_host else c.values
       dtype = getattr(v, 'dtype', None)
-      if dtype is not None and np.issubdtype(dtype, np.number):
+      is_bool = dtype is not None and np.issubdtype(dtype, np.bool_)
+      if dtype is not None and (np.issubdtype(dtype, np.number) or is_bool):
         cv = jnp.asarray(v)
         if not np.issubdtype(dtype, np.floating):
           cv = cv.astype(jnp.float32)
         cdata, cdims = interp_array(cv, c.dims)
+        if is_bool:
+          cdata = cdata >= 1.0 - 1e-6
         coords[name] = Coord(cdims, cdata)
   # Target coords.
   if pointwise:
@@ -295,7 +299,10 @@ class GridToSparseWithAltitudeAdjustment(InterpolateToReferenceCoords):
           self._grid_elevation.dims,
           np.asarray(self._grid_elevation.values)))
     out = super().interpolate_data_array(da, reference)
-    if name in ['2m_temperature', '10m_wind_speed']:
+    # An empty reference chunk short-circuits interpolation (the inherited
+    # guard returns the expanded empty reference), so the interpolated
+    # elevation coords never exist — and there is nothing to adjust.
+    if name in ['2m_temperature', '10m_wind_speed'] and out.size > 0:
       elevation = DimArray(out.coords['elevation'].values,
                            out.coords['elevation'].dims)
       grid_elev = DimArray(out.coords['grid_elevation'].values,
@@ -306,7 +313,6 @@ class GridToSparseWithAltitudeAdjustment(InterpolateToReferenceCoords):
       if name == '2m_temperature':
         out = out + sparse_higher_m * LAPSE_RATE_K_PER_M
       else:  # 10m_wind_speed
-        from weatherbenchx_tpu import darray
         ones = darray.ones_like(sparse_higher_m, dtype=np.float32)
         dz = sparse_higher_m - 100
         factor = ones.where(sparse_higher_m < 100, 1 + 0.002 * dz)
@@ -330,8 +336,6 @@ class NeighborhoodThresholdProbabilities(Interpolation):
     self._wrap_longitude = wrap_longitude
 
   def interpolate_data_array(self, da, reference=None):
-    from weatherbenchx_tpu import darray
-
     da = wrappers.binarize_thresholds(
         da, thresholds=self._thresholds, threshold_dim=self._threshold_dim)
     out = [spatial.neighborhood_averaging_for_single_size(

@@ -84,8 +84,12 @@ class Metrics:
 
   @property
   def timings(self) -> Mapping[str, Distribution]:
+    # Snapshot the Distribution objects too: handing out the live instances
+    # would let a concurrent update() mutate count/total field-by-field
+    # under a reader computing mean/std from a torn pair.
     with self._lock:
-      return dict(self._timings)
+      return {name: dataclasses.replace(dist)
+              for name, dist in self._timings.items()}
 
   def summary(self) -> str:
     lines = []

@@ -222,6 +222,11 @@ def _make_partitioned(interpret: bool, ndim: int):
 
 @functools.lru_cache(maxsize=None)
 def _partitioned(interpret: bool, ndim: int):
+  if ndim == 1:
+    # Ensemble-only input: no data dims to shard, and the einsum-style
+    # sharding rule would degenerate to an empty RHS — skip the custom
+    # partitioner (the scalar jnp fallback inside the impl handles it).
+    return jax.jit(lambda x: _pairwise_spread_sum_impl(x, interpret))
   return jax.jit(_make_partitioned(interpret, ndim))
 
 
@@ -258,6 +263,8 @@ def _make_cross_partitioned(interpret: bool, ndim: int):
 
 @functools.lru_cache(maxsize=None)
 def _cross_partitioned(interpret: bool, ndim: int):
+  if ndim == 1:
+    return jax.jit(lambda x, y: _pairwise_cross_sum_impl(x, y, interpret))
   return jax.jit(_make_cross_partitioned(interpret, ndim))
 
 

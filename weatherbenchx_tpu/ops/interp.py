@@ -35,6 +35,13 @@ def fractional_indices(
   s = source[::-1] if descending else source
   if s.size == 0:
     raise ValueError('Cannot interpolate along an empty dim.')
+  if s.size > 1 and not np.all(np.diff(s) > 0):
+    # searchsorted on a non-monotonic grid returns meaningless indices (and
+    # duplicate values divide by zero) — fail loudly instead of silently
+    # corrupting every interpolated value. Callers sort first (CropToBox
+    # does, wrap-around-unsorted longitudes are the typical culprit).
+    raise ValueError(
+        'Interpolation source coordinate must be strictly monotonic.')
   if s.size == 1:
     # Degenerate single-point grid (e.g. chunked init/lead dims of size 1
     # interpolated pointwise with method='nearest'): everything maps to it.
@@ -61,7 +68,6 @@ def interp_1d_along_axis(
     idx: np.ndarray,
     frac: np.ndarray,
     method: str,
-    frac_bcast_shape: tuple = None,
 ) -> jnp.ndarray:
   """Linear/nearest interp along one axis at (idx, frac) positions."""
   n = data.shape[axis]
@@ -117,6 +123,11 @@ def interp_pointwise(
   of the targets' common shape; the multilinear combination sums the 2^k
   corner gathers (k = number of interpolated dims, typically 2).
   """
+  if method not in ('nearest', 'linear'):
+    # The gather kernels implement nearest/(multi)linear only; anything
+    # else (e.g. the reference's scipy 'cubic') must fail loudly rather
+    # than silently lerping.
+    raise ValueError(f'Unsupported interpolation method: {method}')
   interp_dims = list(dim_targets.keys())
   k = len(interp_dims)
   other_dims = [d for d in dims if d not in interp_dims]
