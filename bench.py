@@ -50,9 +50,11 @@ def _numpy_baseline_time(pred, tgt, w, ens, iters=3):
       ranks = np.arange(1, m + 1).reshape((m,) + (1,) * (pred.ndim - 1))
       spread = 2 * ((2 * ranks - m - 1) * sorted_pred).sum(axis=0) / (
           m * (m - 1))
-      crps = skill - 0.5 * spread
       se = (pred.mean(axis=0) - tgt) ** 2
-      stats = [crps, se]
+      # Aggregate the same THREE statistics the TPU path aggregates
+      # (CRPSSkill, CRPSSpread, UnbiasedEnsembleMeanSquaredError) so the
+      # per-stat normalization is identical on both sides of the ratio.
+      stats = [skill, spread, se]
     else:
       err = pred - tgt
       stats = [err, np.abs(err), err ** 2]
@@ -245,7 +247,7 @@ def full_suite(latency, time_budget_s=240.0):
   from weatherbenchx_tpu.apps import configs as configs_lib
   from weatherbenchx_tpu.darray import DimArray
   from weatherbenchx_tpu.metrics import (categorical, deterministic,
-                                         probabilistic, spatial, wrappers)
+                                         probabilistic, spatial)
   from weatherbenchx_tpu.parallel import evaluator as evaluator_lib
 
   t_start = time.perf_counter()

@@ -377,3 +377,22 @@ class TestConcatNonDimCoords:
 
     out = darray.concat([part(True), part(False)], 'new')
     assert out.coords['mask'].dims == ('new', 'x')
+
+
+class TestMapStructureValidation:
+  def test_mismatched_dict_keys_raise(self):
+    from weatherbenchx_tpu import tree
+    with pytest.raises(ValueError, match='identical keys'):
+      tree.map_structure(lambda a, b: a + b, {'x': 1}, {'x': 1, 'y': 2})
+    with pytest.raises(ValueError, match='identical keys'):
+      tree.map_structure(lambda a, b: a + b, {'x': 1, 'y': 2}, {'x': 1})
+
+  def test_mismatched_sequence_lengths_raise(self):
+    from weatherbenchx_tpu import tree
+    with pytest.raises(ValueError, match='equal length'):
+      tree.map_structure(lambda a, b: a + b, [1, 2, 3], [1, 2])
+
+  def test_matching_structures_ok(self):
+    from weatherbenchx_tpu import tree
+    assert tree.map_structure(
+        lambda a, b: a + b, {'x': (1, 2)}, {'x': (10, 20)}) == {'x': (11, 22)}

@@ -74,3 +74,12 @@ class TestTimeChunks:
     offsets = [o for o, _ in times.iter_with_chunk_offsets()]
     assert [(o.init_time, o.lead_time) for o in offsets] == [
         (0, 0), (0, 2), (2, 0), (2, 2)]
+
+
+def test_zero_chunk_size_rejected():
+  init = np.array(['2020-01-01'], dtype='datetime64[ns]')
+  lead = np.array([0], dtype='timedelta64[h]').astype('timedelta64[ns]')
+  with pytest.raises(ValueError, match='positive int or None'):
+    TimeChunks(init, lead, init_time_chunk_size=0)
+  with pytest.raises(ValueError, match='positive int or None'):
+    TimeChunks(init, slice(None), lead_time_chunk_size=0)

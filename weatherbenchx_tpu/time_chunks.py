@@ -31,8 +31,11 @@ class TimeChunkOffsets:
 
 
 def _check_chunk_size(name: str, size: int | None) -> None:
-  if size is not None and size < 0:
-    raise ValueError(f'{name} must be a non-negative int or None; got {size}')
+  # 0 is rejected rather than treated as falsy/None: a caller that computed
+  # a zero chunk size has a bug, and truthiness-based guards downstream
+  # (the slice-incompatibility check) would silently bypass it.
+  if size is not None and size < 1:
+    raise ValueError(f'{name} must be a positive int or None; got {size}')
 
 
 def _split(values: np.ndarray, size: int | None) -> tuple[list, int]:

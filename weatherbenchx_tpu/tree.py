@@ -33,6 +33,15 @@ def map_structure(func: Callable[..., Any], *structures: Any) -> Any:
 
   first = structures[0]
   if isinstance(first, dict):
+    # Parallel structures must agree on keys — zip-style silent truncation
+    # or ignoring extra keys would silently drop data (the reference's
+    # xarray_tree.map_structure validates key equality the same way).
+    for s in structures[1:]:
+      if not isinstance(s, dict) or s.keys() != first.keys():
+        raise ValueError(
+            'map_structure requires parallel dict structures with '
+            f'identical keys; got {sorted(first.keys())} vs '
+            f'{sorted(s.keys()) if isinstance(s, dict) else type(s).__name__}')
     result = {}
     for k in first.keys():
       v = map_structure(func, *[s[k] for s in structures])
@@ -41,6 +50,12 @@ def map_structure(func: Callable[..., Any], *structures: Any) -> Any:
       result[k] = v
     return result
   if isinstance(first, (list, tuple)):
+    for s in structures[1:]:
+      if not isinstance(s, (list, tuple)) or len(s) != len(first):
+        raise ValueError(
+            'map_structure requires parallel sequences of equal length; '
+            f'got {len(first)} vs '
+            f'{len(s) if isinstance(s, (list, tuple)) else type(s).__name__}')
     return type(first)(map_structure(func, *s) for s in zip(*structures))
   return func(*structures)
 
