@@ -4,7 +4,7 @@ The reference workflow (``statistical_inference/``): run the pipeline with
 init_time preserved (the experimental unit), save the state, then compute
 point estimates, confidence intervals, and a paired baseline comparison.
 
-Run: python [--cpu] examples/significance_testing.py
+Run: python examples/significance_testing.py [--cpu]
 """
 
 import os

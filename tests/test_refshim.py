@@ -1,0 +1,104 @@
+"""Self-tests for the parity xarray shim (tools/refshim).
+
+The shim's design rule is "raise loudly, never be silently wrong" — a
+parity pass must never come from shim behavior that diverges from real
+xarray without an error. These regressions pin the silent-wrongness bugs
+found in review: mask/value misalignment in combine_by_coords, boolean
+indexers read as integer indices, label-conflicting Dataset assignment,
+empty-dim reductions collapsing everything, wrong-length coords, and
+numpy-forced broadcasting breaking jax-tracer transparency.
+"""
+
+import os
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+SHIM_ROOT = str(pathlib.Path(__file__).resolve().parent.parent
+                / 'tools' / 'refshim')
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SHIM_ROOT), reason='refshim not present')
+
+
+@pytest.fixture()
+def xr():
+  saved = {k: v for k, v in sys.modules.items()
+           if k == 'xarray' or k.startswith('xarray.')}
+  for k in saved:
+    del sys.modules[k]
+  sys.path.insert(0, SHIM_ROOT)
+  try:
+    import xarray as shim_xr
+    assert 'wbx-refshim' in shim_xr.__version__
+    yield shim_xr
+  finally:
+    sys.path.remove(SHIM_ROOT)
+    for k in [k for k in sys.modules
+              if k == 'xarray' or k.startswith('xarray.')]:
+      del sys.modules[k]
+    sys.modules.update(saved)
+
+
+class TestShimSilentWrongnessRegressions:
+
+  def test_combine_by_coords_transposed_operand(self, xr):
+    """The not-NaN mask must be built in the OUTPUT's dim order."""
+    a = xr.DataArray(np.array([[0., np.nan, 4.], [np.nan, 3., 5.]]),
+                     dims=('x', 'y'), coords={'x': [0, 1], 'y': [0, 1, 2]})
+    b = xr.DataArray(
+        np.array([[np.nan, -1.], [2., np.nan], [np.nan, np.nan]]),
+        dims=('y', 'x'), coords={'y': [0, 1, 2], 'x': [0, 1]})
+    out = xr.combine_by_coords([a, b])
+    np.testing.assert_allclose(out.values, [[0, 2, 4], [-1, 3, 5]])
+
+  def test_isel_boolean_mask(self, xr):
+    da = xr.DataArray(np.array([10, 20, 30]), dims=('x',),
+                      coords={'x': [0, 1, 2]})
+    got = da.isel(x=np.array([True, False, True]))
+    assert got.values.tolist() == [10, 30]
+    assert got.coords['x'].values.tolist() == [0, 2]
+    with pytest.raises(IndexError):
+      da.isel(x=np.array([True, False]))
+
+  def test_empty_dim_reduce_is_noop(self, xr):
+    da = xr.DataArray(np.arange(6.).reshape(2, 3), dims=('x', 'y'))
+    assert da.sum([]).shape == (2, 3)
+    assert float(da.sum().values) == 15.0  # full reduce still works
+    assert da.sum('x').shape == (3,)
+
+  def test_wrong_length_dim_coord_rejected(self, xr):
+    da = xr.DataArray(np.array([10, 20, 30]), dims=('x',),
+                      coords={'x': [0, 1, 2]})
+    with pytest.raises(ValueError, match='conflicting size'):
+      da.assign_coords(x=[9, 8])
+
+  def test_dataset_setitem_conflicting_labels_raises(self, xr):
+    da = xr.DataArray(np.array([10, 20, 30]), dims=('x',),
+                      coords={'x': [0, 1, 2]})
+    ds = xr.Dataset({'a': da})
+    with pytest.raises(ValueError, match='conflicting labels'):
+      ds['b'] = xr.DataArray(np.array([1, 2, 3]), dims=('x',),
+                             coords={'x': [5, 6, 7]})
+    # Matching labels assign fine.
+    ds['c'] = xr.DataArray(np.array([7, 8, 9]), dims=('x',),
+                           coords={'x': [0, 1, 2]})
+    assert ds['c'].values.tolist() == [7, 8, 9]
+
+  def test_broadcast_apply_ufunc_tracer_transparent(self, xr):
+    """xr.broadcast + apply_ufunc must pass jax tracers through (the
+    reference's REV optimal-threshold finalizer runs under linearize)."""
+    import jax
+
+    def f(v):
+      d = xr.DataArray(v, dims=('x',), coords={'x': [0, 1, 2]})
+      e = xr.DataArray(np.array([1., 2., 3.]), dims=('x',),
+                       coords={'x': [0, 1, 2]})
+      b, c = xr.broadcast(d, e)
+      out = xr.apply_ufunc(lambda p, q: p * q, b, c)
+      return out._data.sum()
+
+    g = jax.grad(f)(np.array([1., 1., 1.]))
+    np.testing.assert_allclose(np.asarray(g), [1., 2., 3.])

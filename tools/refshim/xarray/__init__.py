@@ -84,6 +84,22 @@ def _is_scalar(v) -> bool:
   return np.ndim(v) == 0 and not isinstance(v, (list, tuple, DataArray))
 
 
+def _check_coord_shape(owner, key, dims, vals):
+  """Rejects coords whose length disagrees with the owner's dim sizes.
+
+  xarray raises on a wrong-length dim coord; accepting one here would
+  create an internally inconsistent array whose sel/align misbehaves far
+  from the cause (shim rule: raise loudly, never be silently wrong).
+  """
+  sizes = owner.sizes
+  shape = np.shape(vals)
+  for ax, d in enumerate(dims):
+    if d in sizes and ax < len(shape) and shape[ax] != sizes[d]:
+      raise ValueError(
+          f'conflicting size for coord {key!r} along dim {d!r}: '
+          f'{shape[ax]} vs {sizes[d]}')
+
+
 class _Coords(Mapping):
   """Mapping view over a DataArray/Dataset's coords, mutable via __setitem__."""
 
@@ -104,6 +120,7 @@ class _Coords(Mapping):
       # xarray's (dims, values) coord tuple form.
       dims = (value[0],) if isinstance(value[0], str) else tuple(value[0])
       vals = _as_values(value[1])
+      _check_coord_shape(owner, key, dims, vals)
       owner._coords[key] = (dims, vals)
       return
     else:
@@ -117,6 +134,7 @@ class _Coords(Mapping):
       else:
         raise NotImplementedError(
             f'cannot infer dims for coord {key!r} with shape {vals.shape}')
+    _check_coord_shape(owner, key, tuple(dims), vals)
     owner._coords[key] = (tuple(dims), vals)
 
   def __delitem__(self, key):
@@ -625,6 +643,12 @@ class DataArray:
       raise NotImplementedError('keepdims=')
     kwargs.pop('where', None)
     dims = self._reduce_dims(dim)
+    if dim is not None and not isinstance(dim, str) and not dims:
+      # Explicit empty dim collection: reduce over nothing — a no-op in
+      # xarray, NOT a reduce-over-everything (which `axis=None` would do).
+      return DataArray._construct(
+          self._data, self._dims, dict(self._coords), self._name,
+          self._attrs if _OPTIONS['keep_attrs'] else {})
     for d in dims:
       if d not in self._dims:
         raise ValueError(f'dim {d!r} not found in {self._dims}')
@@ -762,19 +786,25 @@ class DataArray:
     data = self._data
     out_dims = []
     idx = []
-    scalar_sel = {}
     for d in self._dims:
       k = indexers.get(d, slice(None))
       if isinstance(k, DataArray):
         k = k._data.item() if k.ndim == 0 else k._data
       if _is_scalar(k) and not isinstance(k, slice):
         idx.append(int(k))
-        scalar_sel[d] = int(k)
       elif isinstance(k, slice):
         idx.append(k)
         out_dims.append(d)
       else:
-        idx.append(np.asarray(k))
+        k = np.asarray(k)
+        if k.dtype == bool:
+          # Boolean indexers are selection masks, not integer indices.
+          if k.shape != (self.sizes[d],):
+            raise IndexError(
+                f'boolean indexer for dim {d!r} has shape {k.shape}, '
+                f'expected ({self.sizes[d]},)')
+          k = np.flatnonzero(k)
+        idx.append(k)
         out_dims.append(d)
     # Apply orthogonal indexing one axis at a time to avoid advanced-index
     # broadcasting interactions.
@@ -795,7 +825,6 @@ class DataArray:
     coords = {}
     for cname, (cdims, cvals) in self._coords.items():
       csel = []
-      cdrop = False
       new_cdims = []
       for cd in cdims:
         k = indexers.get(cd, slice(None))
@@ -807,7 +836,10 @@ class DataArray:
           if isinstance(k, slice):
             csel.append(k)
           else:
-            csel.append(np.asarray(k))
+            k = np.asarray(k)
+            if k.dtype == bool:
+              k = np.flatnonzero(k)
+            csel.append(k)
           new_cdims.append(cd)
       cv = cvals
       off = 0
@@ -822,7 +854,7 @@ class DataArray:
           off += 1
         else:
           cv = np.take(cv, k, axis=ax - off)
-      if not cdrop and not (drop and not new_cdims and cdims):
+      if not (drop and not new_cdims and cdims):
         coords[cname] = (tuple(new_cdims), cv)
     return DataArray._construct(res, tuple(out_dims), coords, self._name,
                                 self._attrs)
@@ -1463,6 +1495,22 @@ class Dataset(Mapping):
       for cname, (cdims, cvals) in value._coords.items():
         if cname not in self._coords:
           self._coords[cname] = (cdims, cvals)
+        else:
+          # xarray ALIGNS on conflicting labels (usually yielding all-NaN
+          # data); the shim instead refuses — storing the new variable
+          # positionally under the old labels would be silently wrong.
+          ecdims, ecvals = self._coords[cname]
+          if ecdims == cdims:
+            a, b = np.asarray(ecvals), np.asarray(cvals)
+            try:
+              same = np.array_equal(a, b, equal_nan=True)
+            except TypeError:
+              same = np.array_equal(a, b)
+            if not same:
+              raise ValueError(
+                  f'conflicting labels for coord {cname!r} in Dataset '
+                  'assignment; align the inputs first (shim raises '
+                  'instead of label-aligning)')
     elif isinstance(value, tuple) and len(value) in (2, 3):
       dims = (value[0],) if isinstance(value[0], str) else tuple(value[0])
       self._vars[key] = (dims, np.asarray(value[1]),
@@ -1889,11 +1937,18 @@ def broadcast(*args, exclude=None):
     tail = [d for d in o._dims if d in exclude]
     tgt = [d for d in dims if d not in tail] + tail
     full_shape = tuple(sizes[d] if d in sizes else o.sizes[d] for d in tgt)
-    arr = np.broadcast_to(_reshape_for(o, tgt), full_shape)
+    rsh = _reshape_for(o, tgt)
+    if _is_jaxish(rsh):
+      # jax tracers (the REV optimal-threshold finalizer runs under
+      # jax.linearize through this shim) cannot go through numpy.
+      import jax.numpy as jnp
+      arr = jnp.broadcast_to(rsh, full_shape)
+    else:
+      arr = np.broadcast_to(rsh, full_shape).copy()
     coords = _merge_coords(*(p._coords for p in das), result_dims=set(tgt))
     coords.update({k: v for k, v in o._coords.items()
                    if set(v[0]).issubset(tgt)})
-    out.append(DataArray._construct(arr.copy(), tuple(tgt), coords, o._name,
+    out.append(DataArray._construct(arr, tuple(tgt), coords, o._name,
                                     o._attrs))
   return tuple(out)
 
@@ -1983,12 +2038,9 @@ def merge(objects, compat='no_conflicts', join='outer', fill_value=np.nan):
 def where(cond, x, y, keep_attrs=None):
   if not isinstance(cond, DataArray):
     cond = DataArray(np.asarray(cond))
-  if not isinstance(x, DataArray):
-    xda = DataArray(np.asarray(x))
-  else:
-    xda = x
-  return xda.where(cond, y) if isinstance(x, DataArray) else _where_scalar(
-      cond, x, y)
+  if isinstance(x, DataArray):
+    return x.where(cond, y)
+  return _where_scalar(cond, x, y)
 
 
 def _where_scalar(cond, x, y):
@@ -2074,12 +2126,22 @@ def apply_ufunc(func, *args, input_core_dims=None, output_core_dims=((),),
   moved = []
   for da, core in zip(das, input_core_dims):
     order = [d for d in broadcast_dims if d in da._dims] + list(core)
-    arr = np.transpose(da._data, [da._dims.index(d) for d in order])
+    arr = da._data
+    perm = [da._dims.index(d) for d in order]
+    if perm != list(range(arr.ndim)):
+      # Array METHODS so jax tracers pass through (np.transpose would
+      # force a concrete-array conversion).
+      arr = arr.transpose(perm) if isinstance(arr, np.ndarray) else \
+          arr.transpose(*perm)
     # Expand to full broadcast shape.
     full = tuple(sizes[d] if d in da._dims else 1 for d in broadcast_dims
                  ) + arr.shape[len(order) - len(core):]
     arr = arr.reshape(full)
-    arr = np.broadcast_to(arr, bshape + arr.shape[len(broadcast_dims):])
+    if _is_jaxish(arr):
+      import jax.numpy as jnp
+      arr = jnp.broadcast_to(arr, bshape + arr.shape[len(broadcast_dims):])
+    else:
+      arr = np.broadcast_to(arr, bshape + arr.shape[len(broadcast_dims):])
     moved.append(arr)
   out_core = [tuple(c) for c in output_core_dims]
   if len(out_core) != 1:
@@ -2089,11 +2151,18 @@ def apply_ufunc(func, *args, input_core_dims=None, output_core_dims=((),),
     flats = [m.reshape(flat_shape + m.shape[len(bshape):]) for m in moved]
     results = []
     for i in range(flat_shape[0]):
-      results.append(np.asarray(func(*(f[i] for f in flats), **kwargs)))
+      r = func(*(f[i] for f in flats), **kwargs)
+      results.append(r if _is_jaxish(r) else np.asarray(r))
     res0 = results[0]
-    res = np.stack(results).reshape(bshape + res0.shape)
+    if any(_is_jaxish(r) for r in results):
+      import jax.numpy as jnp
+      res = jnp.stack(results).reshape(bshape + res0.shape)
+    else:
+      res = np.stack(results).reshape(bshape + res0.shape)
   else:
-    res = np.asarray(func(*moved, **kwargs))
+    res = func(*moved, **kwargs)
+    if not _is_jaxish(res):
+      res = np.asarray(res)
   out_dims = tuple(broadcast_dims) + out_core[0]
   if res.ndim != len(out_dims):
     raise ValueError(
@@ -2121,11 +2190,18 @@ def combine_by_coords(objects, fill_value=np.nan, join='outer', **kwargs):
     out = aligned[0]
     filled = np.array(out._data)
     for o in aligned[1:]:
-      mask = ~np.asarray(o.isnull()._data) if o.dtype.kind in 'fc' else \
-          np.ones(o.shape, bool)
-      ov = _reshape_for(o, out._dims)
-      filled = np.where(np.broadcast_to(mask.reshape(ov.shape), filled.shape),
-                        np.broadcast_to(ov, filled.shape), filled)
+      # Compute the not-missing mask from the ALREADY-RESHAPED values so
+      # mask and data share the output's dim order (a mask built in o's
+      # own dim order and merely reshaped would misalign under transposed
+      # inputs, silently corrupting the combine).
+      ov = np.broadcast_to(_reshape_for(o, out._dims), filled.shape)
+      if o.dtype.kind in 'fc':
+        mask = ~np.isnan(ov)
+      elif o.dtype.kind in 'mM':
+        mask = ~np.isnat(ov)
+      else:
+        mask = np.ones(filled.shape, bool)
+      filled = np.where(mask, ov, filled)
     return DataArray._construct(filled, out._dims, out._coords, out._name)
   raise NotImplementedError('combine_by_coords of Datasets')
 

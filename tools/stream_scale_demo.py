@@ -71,17 +71,25 @@ def make_ens_store(fmt: str = 'zarr', compressor='blosc'):
   tgt = {'2m_temperature': DimArray(
       filled((ENS_N_INIT,)), ('valid_time', 'latitude', 'longitude'),
       {'valid_time': valid_times, 'latitude': lats, 'longitude': lons})}
-  zarr_io.save_dataset_zarr(tgt_path, tgt, chunks={'valid_time': 4},
-                            compressor=compressor)
+  if fmt == 'zarr':
+    zarr_io.save_dataset_zarr(tgt_path, tgt, chunks={'valid_time': 4},
+                              compressor=compressor)
+  else:
+    from weatherbenchx_tpu import io as io_lib
+    io_lib.save_dataset(tgt_path, tgt)
   del tgt
   pred = {'2m_temperature': DimArray(
       filled((ENS_MEMBERS, ENS_N_INIT, 1)),
       ('number', 'init_time', 'lead_time', 'latitude', 'longitude'),
       {'number': np.arange(ENS_MEMBERS), 'init_time': init_times,
        'lead_time': lead_times, 'latitude': lats, 'longitude': lons})}
-  zarr_io.save_dataset_zarr(
-      pred_path, pred, chunks={'init_time': 4, 'number': ENS_MEMBERS},
-      compressor=compressor)
+  if fmt == 'zarr':
+    zarr_io.save_dataset_zarr(
+        pred_path, pred, chunks={'init_time': 4, 'number': ENS_MEMBERS},
+        compressor=compressor)
+  else:
+    from weatherbenchx_tpu import io as io_lib
+    io_lib.save_dataset(pred_path, pred)
   gb = _store_gb(fmt, ens=True)
   print(f'wrote ensemble store ({fmt}, {compressor}): {gb:.1f} GB')
 
