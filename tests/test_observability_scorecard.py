@@ -125,3 +125,33 @@ class TestTimingsSnapshot:
     assert snap['load'].count == 1
     assert snap['load'].total == 1.0
     assert m.timings['load'].count == 2
+
+
+class TestScorecardMixedRegions:
+  def test_per_variable_region_sets_differ(self, tmp_path):
+    """Variables with disjoint/partial region sets must render: the page
+    region list is the union, and a variable simply has no entry for a
+    region it was not evaluated on (the JS shows no-data for it)."""
+    leads = np.array([6], dtype='timedelta64[h]').astype('timedelta64[ns]')
+
+    def mk(regions, vals):
+      return DimArray(
+          np.asarray(vals, np.float64).reshape(1, 1, 1, len(regions)),
+          ('model', 'metric', 'lead_time', 'region'),
+          {'model': np.array(['a']), 'metric': np.array(['RMSE']),
+           'lead_time': leads, 'region': np.array(regions)})
+
+    path = str(tmp_path / 'sc.npz')
+    io_lib.save_dataset(path, {
+        't2m': mk(['global', 'tropics'], [1.0, 2.0]),
+        'precip': mk(['global', 'tropics_land'], [3.0, 4.0]),
+    })
+    page = scorecard_html.render_scorecard_html(path)
+    data = json.loads(re.search(r'const DATA = (\{.*?\});\n', page,
+                                re.S).group(1))
+    assert data['regions'] == ['global', 'tropics_land', 'tropics']
+    t2m = data['values']['t2m']['RMSE']['all']
+    precip = data['values']['precip']['RMSE']['all']
+    assert 'tropics_land' not in t2m and 'tropics' in t2m
+    assert 'tropics' not in precip and 'tropics_land' in precip
+    assert precip['tropics_land']['all'] == [[4.0]]

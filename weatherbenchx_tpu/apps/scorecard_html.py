@@ -328,8 +328,22 @@ def render_scorecard_html(scorecard_path: str) -> str:
   models = [str(m) for m in first.coord_values('model')]
   metrics = sorted({str(m) for v in variables
                     for m in sc[v].coord_values('metric')})
-  regions = ([str(r) for r in first.coord_values('region')]
-             if 'region' in first.dims else ['all'])
+
+  def _regions_of(da):
+    return ([str(r) for r in da.coord_values('region')]
+            if 'region' in da.dims else [])
+
+  # Union across variables, first-seen order: per-variable region sets can
+  # differ (e.g. precipitation evaluated on a headline subset), and taking
+  # only the first variable's list crashed the render on any region it
+  # happened to lack.
+  regions: list = []
+  for v in variables:
+    for r in _regions_of(sc[v]):
+      if r not in regions:
+        regions.append(r)
+  if not regions:
+    regions = ['all']
   years = ([str(y) for y in first.coord_values('year')]
            if 'year' in first.dims else ['all'])
   resolutions = ([str(r) for r in first.coord_values('resolution')]
@@ -374,7 +388,10 @@ def render_scorecard_html(scorecard_path: str) -> str:
         lsel = (msel.sel(level=level_value)
                 if level_value is not None else msel)
         by_region: dict = {}
+        var_regions = set(_regions_of(da))
         for region in regions:
+          if var_regions and region not in var_regions:
+            continue  # this variable lacks the region: page shows no-data
           r0 = lsel.sel(region=region) if 'region' in lsel.dims else lsel
           by_yr: dict = {}
           for year in years:
