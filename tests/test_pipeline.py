@@ -967,3 +967,135 @@ def test_restore_time_coords_covers_nonstandard_names():
   assert v.dtype.kind == 'M', v.dtype
   np.testing.assert_array_equal(
       v, obs_times.astype('datetime64[s]').astype('datetime64[ns]'))
+
+
+class _FlakyPredictions(loaders.PredictionsFromDataset):
+  """Fault-injection loader: raises per-chunk according to a plan.
+
+  ``plan`` maps a chunk's first init_time (as datetime64) to either an int
+  N (fail the first N load attempts with OSError, then succeed) or the
+  string 'always'/'keyerror' (never succeed). Attempt counts are shared
+  across prefetch threads (GIL-atomic dict ops on distinct keys).
+  """
+
+  def __init__(self, plan, **kwargs):
+    super().__init__(**kwargs)
+    self._plan = dict(plan)
+    self.attempts = {}
+
+  def load_chunk(self, init_times, lead_times, reference=None):
+    key = np.datetime64(init_times[0], 'ns')
+    n = self.attempts.get(key, 0)
+    self.attempts[key] = n + 1
+    spec = self._plan.get(key)
+    if spec == 'keyerror':
+      raise KeyError(f'permanent bug for chunk at {key}')
+    if spec == 'always':
+      raise OSError(f'permanent transient-looking failure at {key}')
+    if isinstance(spec, int) and n < spec:
+      raise OSError(f'injected transient failure {n + 1}/{spec} at {key}')
+    return super().load_chunk(init_times, lead_times, reference)
+
+
+class TestRetryFaultInjection:
+  """In-repo elasticity story (SURVEY §2.4 row 37).
+
+  The reference delegates retries entirely to the Beam runner; here the
+  policy is explicit: transient failures retry with backoff, opted-in
+  skipping drops a permanently-failing chunk and reports it, and
+  programming errors always fail fast.
+  """
+
+  def _run(self, plan, retry, tmp_path=None, out=False):
+    pred_ds, tgt_ds, init_times, lead_times = _source_datasets()
+    agg = aggregation.Aggregator(reduce_dims=['latitude', 'longitude'])
+    times = time_chunks_lib.TimeChunks(
+        init_times, lead_times,
+        init_time_chunk_size=4, lead_time_chunk_size=None)
+    obs = __import__(
+        'weatherbenchx_tpu.observability', fromlist=['Metrics']).Metrics()
+    pipe = pipeline_lib.EvaluationPipeline(
+        metrics=METRICS, aggregator=agg,
+        predictions_loader=_FlakyPredictions(
+            plan, ds=pred_ds, rename_dimensions=None),
+        targets_loader=loaders.TargetsFromDataset(
+            ds=tgt_ds, rename_dimensions=None),
+        times=times, retry=retry, metrics_registry=obs)
+    if out:
+      out_path = str(tmp_path / 'metrics.npz')
+      values = pipe.run_and_write(out_path=out_path)
+      return pipe, obs, values, out_path
+    return pipe, obs, pipe.run().metric_values(METRICS)
+
+  def test_transient_failures_retried_result_exact(self):
+    pred_ds, tgt_ds, init_times, lead_times = _source_datasets()
+    plan = {np.datetime64(init_times[0], 'ns'): 2,
+            np.datetime64(init_times[8], 'ns'): 1}
+    retry = pipeline_lib.RetryPolicy(retries=3, backoff_s=0.0)
+    _, obs, values = self._run(plan, retry)
+    _, _, clean = self._run({}, None)
+    for k in clean:
+      np.testing.assert_allclose(values[k].values, clean[k].values,
+                                 atol=1e-6)
+    assert obs.counters['load_retries'] == 3
+    assert 'chunks_failed' not in obs.counters
+
+  def test_exhausted_retries_raise_without_skip(self):
+    pred_ds, tgt_ds, init_times, _ = _source_datasets()
+    plan = {np.datetime64(init_times[4], 'ns'): 'always'}
+    retry = pipeline_lib.RetryPolicy(retries=2, backoff_s=0.0)
+    with pytest.raises(OSError, match='permanent'):
+      self._run(plan, retry)
+
+  def test_no_policy_fails_immediately(self):
+    pred_ds, tgt_ds, init_times, _ = _source_datasets()
+    plan = {np.datetime64(init_times[0], 'ns'): 1}
+    with pytest.raises(OSError, match='injected'):
+      self._run(plan, None)
+
+  def test_skip_failed_drops_chunk_reports_and_writes_sidecar(self, tmp_path):
+    pred_ds, tgt_ds, init_times, lead_times = _source_datasets()
+    failing = np.datetime64(init_times[4], 'ns')
+    plan = {failing: 'always'}
+    retry = pipeline_lib.RetryPolicy(
+        retries=1, backoff_s=0.0, skip_failed=True)
+    pipe, obs, values, out_path = self._run(
+        plan, retry, tmp_path=tmp_path, out=True)
+
+    # Ground truth: direct computation over the surviving init_times only.
+    keep = np.concatenate([init_times[:4], init_times[8:]])
+    direct_preds = loaders.PredictionsFromDataset(
+        ds=pred_ds, rename_dimensions=None).load_chunk(keep, lead_times)
+    direct_tgts = loaders.TargetsFromDataset(
+        ds=tgt_ds, rename_dimensions=None).load_chunk(keep, lead_times)
+    agg = aggregation.Aggregator(reduce_dims=['latitude', 'longitude'])
+    direct = aggregation.compute_metric_values_for_single_chunk(
+        METRICS, agg, direct_preds, direct_tgts)
+    for k, v in direct.items():
+      got = values[k].sel(init_time=v.coord_values('init_time'))
+      np.testing.assert_allclose(
+          np.asarray(got.values, dtype=np.float64),
+          np.asarray(v.values, dtype=np.float64), atol=1e-5)
+    # The failed chunk's init_times are absent from the result.
+    assert failing not in np.asarray(
+        values['rmse.2m_temperature'].coord_values('init_time'))
+
+    assert obs.counters['chunks_failed'] == 1
+    assert obs.counters['load_retries'] == 1
+    assert len(pipe.failed_chunks) == 1
+    idx, offsets, err = pipe.failed_chunks[0]
+    assert idx == 1 and 'OSError' in err
+
+    import json as json_lib
+    with open(out_path + '.failures.json') as f:
+      sidecar = json_lib.load(f)
+    assert len(sidecar) == 1 and sidecar[0]['chunk'] == 1
+    assert 'OSError' in sidecar[0]['error']
+
+  def test_programming_errors_never_skipped(self):
+    pred_ds, tgt_ds, init_times, _ = _source_datasets()
+    plan = {np.datetime64(init_times[0], 'ns'): 'keyerror'}
+    retry = pipeline_lib.RetryPolicy(
+        retries=3, backoff_s=0.0, skip_failed=True)
+    with pytest.raises(KeyError, match='permanent bug'):
+      self._run(plan, retry)

@@ -22,6 +22,7 @@ from weatherbenchx_tpu import aggregation, binning, weighting
 from weatherbenchx_tpu import io as io_lib
 from weatherbenchx_tpu import time_chunks as time_chunks_lib
 from weatherbenchx_tpu.apps import configs as configs_lib
+from weatherbenchx_tpu.apps import run_evaluation
 from weatherbenchx_tpu.darray import DimArray
 from weatherbenchx_tpu.data import loaders
 from weatherbenchx_tpu.metrics import categorical, deterministic
@@ -74,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument('--chunks_per_dispatch', type=int, default=1,
                  help='Structurally-identical chunks evaluated per XLA '
                       'dispatch (amortizes dispatch latency)')
+  p.add_argument('--load_retries', type=int, default=0,
+                 help='Retries per chunk load on transient (I/O) failures')
+  p.add_argument('--load_retry_backoff', type=float, default=1.0)
+  p.add_argument('--skip_failed_chunks', action='store_true',
+                 help='Skip (and report) chunks whose transient failures '
+                      'survive all retries, instead of failing the run')
   p.add_argument('--zarr_compressor', default=None,
                  choices=['zlib', 'zstd', 'blosc'],
                  help='Compression for --unaggregated_zarr cells')
@@ -313,7 +320,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
       checkpoint_every=args.checkpoint_every,
       compilation_cache_dir=args.compilation_cache_dir,
       chunks_per_dispatch=args.chunks_per_dispatch,
-      chunk_stats_sink=stats_store.write_chunk if stats_store else None)
+      chunk_stats_sink=stats_store.write_chunk if stats_store else None,
+      retry=run_evaluation.retry_policy_from_args(args))
   if stats_store is not None:
     print(f'Wrote unaggregated statistics store: {stats_store.finalize()}')
   print(f'Wrote {len(values)} metric variables.')

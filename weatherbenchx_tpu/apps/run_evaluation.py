@@ -73,7 +73,24 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument('--chunks_per_dispatch', type=int, default=1,
                  help='Structurally-identical chunks evaluated per XLA '
                       'dispatch (amortizes dispatch latency)')
+  p.add_argument('--load_retries', type=int, default=0,
+                 help='Retries per chunk load on transient (I/O) failures, '
+                      'with exponential backoff')
+  p.add_argument('--load_retry_backoff', type=float, default=1.0,
+                 help='First retry delay in seconds (doubles per attempt)')
+  p.add_argument('--skip_failed_chunks', action='store_true',
+                 help='Skip (and report in <output>.failures.json) chunks '
+                      'whose transient failures survive all retries, '
+                      'instead of failing the run')
   return p
+
+
+def retry_policy_from_args(args) -> Optional[pipeline_lib.RetryPolicy]:
+  if not args.load_retries and not args.skip_failed_chunks:
+    return None
+  return pipeline_lib.RetryPolicy(
+      retries=args.load_retries, backoff_s=args.load_retry_backoff,
+      skip_failed=args.skip_failed_chunks)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
@@ -117,7 +134,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
       checkpoint_path=args.checkpoint_path,
       checkpoint_every=args.checkpoint_every,
       compilation_cache_dir=args.compilation_cache_dir,
-      chunks_per_dispatch=args.chunks_per_dispatch)
+      chunks_per_dispatch=args.chunks_per_dispatch,
+      retry=retry_policy_from_args(args))
   print(f'Wrote {len(values)} metric variables to {args.output_path}')
   for k, v in sorted(values.items()):
     print(f'  {k}: dims={v.dims} shape={v.shape}')

@@ -58,6 +58,56 @@ def atomic_write_dataset(path: str, dataset: Mapping[str, DimArray]) -> None:
   fileio.save_dataset_atomic(path, dataset)
 
 
+@dataclasses.dataclass(frozen=True)
+class RetryPolicy:
+  """Transient-failure policy for chunk loads.
+
+  The reference delegates worker fault tolerance entirely to the Beam
+  runner (Dataflow retries a failed bundle 4 times, then fails the job —
+  ``docs/source/beam_dataflow.md:20-57``; nothing in-repo). Here the
+  policy is explicit and in-repo: each chunk load retries transient
+  errors with exponential backoff, and — opt-in — chunks that still fail
+  can be skipped and reported instead of failing the run. Because the
+  accumulated ``AggregationState`` is a monoid, a run with skipped chunks
+  is exactly recoverable: re-run just the failed chunks (e.g. from the
+  failures sidecar written by ``run_and_write``) and sum the saved states.
+
+  Attributes:
+    retries: max re-attempts per chunk load after the first failure.
+    backoff_s: first retry delay; attempt k sleeps ``backoff_s * 2**k``.
+    max_backoff_s: delay cap.
+    retryable: exception classes classified as transient. Defaults to the
+      I/O family (OSError covers ConnectionError/TimeoutError and
+      fsspec/network errors); programming errors (KeyError, shape
+      mismatches, ...) are never retried or skipped — they fail fast.
+    skip_failed: if True, a chunk whose retries are exhausted is dropped
+      from the stream (recorded via the pipeline's ``failed_chunks`` and
+      the observability counter ``chunks_failed``) instead of raising.
+  """
+  retries: int = 3
+  backoff_s: float = 1.0
+  max_backoff_s: float = 30.0
+  retryable: tuple = (OSError,)
+  skip_failed: bool = False
+
+
+def _load_with_retries(load_fn, chunk, retry: RetryPolicy, obs=None):
+  attempt = 0
+  while True:
+    try:
+      return load_fn(chunk)
+    except retry.retryable as e:
+      if attempt >= retry.retries:
+        raise
+      delay = min(retry.backoff_s * (2 ** attempt), retry.max_backoff_s)
+      attempt += 1
+      if obs is not None:
+        obs.counter('load_retries')
+      logger.warning('chunk load failed (%s: %s); retry %d/%d in %.1fs',
+                     type(e).__name__, e, attempt, retry.retries, delay)
+      time.sleep(delay)
+
+
 def load_chunk_pair(
     predictions_loader: data_base.DataLoader,
     targets_loader: data_base.DataLoader,
@@ -93,13 +143,24 @@ def stream_chunk_pairs(
     prefetch: int = 2,
     distributed: bool = False,
     start_chunk: int = 0,
+    retry: Optional[RetryPolicy] = None,
+    obs: Optional[observability.Metrics] = None,
+    on_failure: Optional[Callable] = None,
 ):
   """Yields (index, offsets, load_fn(chunk)) with threaded prefetch.
 
   Shared by the aggregated and unaggregated pipelines (the Beam fan-out +
   worker-local prefetch analog). In distributed mode each process keeps
   the chunk indices with ``index % process_count == process_index``.
+
+  ``retry`` applies :class:`RetryPolicy` to each load; with
+  ``retry.skip_failed`` a chunk whose (transient-classified) failure
+  survives all retries is reported via ``on_failure(index, offsets, exc)``
+  and dropped from the stream instead of raising.
   """
+  if retry is not None and retry.retries > 0:
+    inner, load_fn = load_fn, (
+        lambda chunk: _load_with_retries(inner, chunk, retry, obs))
   items = list(enumerate(times.iter_with_chunk_offsets()))
   if distributed:
     pc, pi = jax.process_count(), jax.process_index()
@@ -118,7 +179,24 @@ def stream_chunk_pairs(
         break
     while pending:
       i, offsets, fut = pending.pop(0)
-      yield i, offsets, fut.result()
+      try:
+        result = fut.result()
+      except BaseException as e:
+        # Only transient-classified failures are skippable; programming
+        # errors always fail the run (a bug that skipped every chunk
+        # would otherwise masquerade as a clean empty result).
+        if not (retry is not None and retry.skip_failed
+                and isinstance(e, retry.retryable)):
+          raise
+        logger.error('chunk %d failed after %d retries, skipping: %s: %s',
+                     i, retry.retries, type(e).__name__, e)
+        if obs is not None:
+          obs.counter('chunks_failed')
+        if on_failure is not None:
+          on_failure(i, offsets, e)
+        result = None
+      if result is not None:
+        yield i, offsets, result
       try:
         j, (offs2, chunk2) = next(it)
         pending.append((j, offs2, ex.submit(load_fn, chunk2)))
@@ -225,6 +303,14 @@ class EvaluationPipeline:
   distributed: bool = False
   compilation_cache_dir: Optional[str] = None
   max_in_flight_bytes: int = 2 << 30
+  # Transient-failure policy for chunk loads (retry with backoff; optional
+  # skip-and-report). After a run with ``retry.skip_failed``, the chunks
+  # that were dropped are listed in ``self.failed_chunks`` as
+  # (chunk index, offsets, error string); ``run_and_write`` additionally
+  # persists them next to the metrics output so the failed slice can be
+  # re-run and monoid-summed into the saved AggregationState.
+  retry: Optional[RetryPolicy] = None
+  failed_chunks: list = dataclasses.field(default_factory=list, init=False)
   # Optional per-chunk raw-statistics sink, called as
   # sink(i, offsets, {'<stat>.<var>': DimArray}) with the SAME prepared,
   # device-placed chunk the aggregated step consumes — unaggregated output
@@ -275,7 +361,9 @@ class EvaluationPipeline:
     yield from stream_chunk_pairs(
         lambda chunk: self._load(chunk), self.times,
         prefetch=self.prefetch, distributed=self.distributed,
-        start_chunk=start_chunk)
+        start_chunk=start_chunk, retry=self.retry, obs=self._obs,
+        on_failure=lambda i, offsets, e: self.failed_chunks.append(
+            (i, offsets, f'{type(e).__name__}: {e}')))
 
   def _prepared_stream(self, start_chunk: int = 0):
     """Chunk stream with host preparation + device staging pipelined.
@@ -390,6 +478,7 @@ class EvaluationPipeline:
 
   def run(self) -> aggregation_lib.AggregationState:
     """Evaluates all chunks; returns the total AggregationState."""
+    self.failed_chunks: list = []
     buckets, start_chunk = self._load_checkpoint()
     n = len(self.times)
 
@@ -541,6 +630,18 @@ class EvaluationPipeline:
     values = state.metric_values(self.metrics)
     if out_path:
       atomic_write_dataset(out_path, values)
+      if self.failed_chunks:
+        # Sidecar listing the skipped chunks so the failed slice can be
+        # re-run and monoid-summed into the saved state.
+        fileio.write_text_atomic(
+            f'{out_path}.failures.json',
+            json.dumps([
+                {'chunk': i,
+                 'offsets': dataclasses.asdict(o) if dataclasses.is_dataclass(o)
+                 else str(o),
+                 'error': err}
+                for i, o, err in self.failed_chunks
+            ], indent=2, default=str))
     if aggregation_state_out_path:
       atomic_write_dataset(aggregation_state_out_path, state.to_dataset())
     return values

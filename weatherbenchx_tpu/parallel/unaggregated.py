@@ -23,6 +23,7 @@ import numpy as np
 from weatherbenchx_tpu import aggregation as aggregation_lib
 from weatherbenchx_tpu import fileio
 from weatherbenchx_tpu import io as io_lib
+from weatherbenchx_tpu import observability
 from weatherbenchx_tpu import time_chunks as time_chunks_lib
 from weatherbenchx_tpu import zarr_io
 from weatherbenchx_tpu.darray import Coord, DimArray
@@ -200,6 +201,11 @@ class UnaggregatedPipeline:
   dim_to_axis: Optional[Mapping[str, str]] = None
   distributed: bool = False
   compressor: Optional[str] = None  # zarr cells: None/'zlib'/'zstd'/'blosc'
+  # Transient-failure policy for chunk loads (see pipeline.RetryPolicy).
+  # With ``skip_failed`` a dropped chunk's cells keep the store's fill
+  # value (NaN) and are listed in ``failed_chunks`` after the run.
+  retry: Optional[pipeline_lib.RetryPolicy] = None
+  failed_chunks: list = dataclasses.field(default_factory=list, init=False)
 
   def __post_init__(self):
     # Reuse the evaluator's host preparation + single-put (optionally
@@ -240,9 +246,13 @@ class UnaggregatedPipeline:
   def _stream(self):
     return pipeline_lib.stream_chunk_pairs(
         self._load, self.times, prefetch=self.prefetch,
-        distributed=self.distributed)
+        distributed=self.distributed, retry=self.retry,
+        obs=observability.default_metrics,
+        on_failure=lambda i, offsets, e: self.failed_chunks.append(
+            (i, offsets, f'{type(e).__name__}: {e}')))
 
   def run(self) -> str:
+    self.failed_chunks = []
     if self.out_path.rstrip('/').endswith('.zarr'):
       return self._run_zarr()
     if self.distributed and jax.process_count() > 1:
