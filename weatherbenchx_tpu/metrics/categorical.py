@@ -152,15 +152,14 @@ class SEEPS(base.StatisticWithClimatology):
     mask = (p1 >= min_p1) & (p1 <= max_p1)
     result = result.where(mask, np.nan)
 
-    if predictions.has_coord('mask'):
-      if targets.has_coord('mask'):
-        raise ValueError(
-            'Both predictions and targets have masks. This should not happen.')
-      mask = mask & DimArray(predictions.coords['mask'].values,
-                             predictions.coords['mask'].dims)
-    elif targets.has_coord('mask'):
-      mask = mask & DimArray(targets.coords['mask'].values,
-                             targets.coords['mask'].dims)
+    if predictions.has_coord('mask') and targets.has_coord('mask'):
+      raise ValueError(
+          'SEEPS expects at most one side to carry a nan-mask coord; got '
+          'masks on both predictions and targets')
+    for side in (predictions, targets):
+      if side.has_coord('mask'):
+        mask = mask & DimArray(side.coords['mask'].values,
+                               side.coords['mask'].dims)
     mask = mask.broadcast_like(result)
     return result.assign_coords(mask=Coord(mask.dims, mask.data))
 
