@@ -324,27 +324,34 @@ def full_suite(latency, time_budget_s=240.0):
       return out
 
     fn = jax.jit(scan_eval)
-    ks = jnp.arange(1.0, k_iters + 1.0)
 
     def fetch(state):
       leaf = jax.tree_util.tree_leaves(state.sum_weights)[0]
       return float(jnp.asarray(leaf).sum())
 
-    fetch(fn(p, t, ks, ops, res))  # compile + warm
-    t0 = time.perf_counter()
-    fetch(fn(p, t, ks, ops, res))
-    best = time.perf_counter() - t0
-    dt = (best - latency) / (k_iters + 1)
     gridpoints = n_lead * nlat * nlon
-    if dt * (k_iters + 1) < 0.25 * latency:
-      # The whole scan is inside the latency noise floor: report the
-      # resolution bound instead of a garbage throughput.
-      return {'ms_per_step': f'<{latency * 1e3 / (k_iters + 1):.2f}',
-              'below_timing_resolution': True}
-    dt = max(dt, 1e-9)
-    return {'ms_per_step': round(dt * 1e3, 2),
-            'gridpoint_stats_per_sec_M': round(
-                gridpoints * n_stats / dt / 1e6, 1)}
+    while True:
+      ks = jnp.arange(1.0, k_iters + 1.0)
+      fetch(fn(p, t, ks, ops, res))  # compile + warm
+      t0 = time.perf_counter()
+      fetch(fn(p, t, ks, ops, res))
+      best = time.perf_counter() - t0
+      dt = (best - latency) / (k_iters + 1)
+      if dt * (k_iters + 1) < 0.25 * latency:
+        # The whole scan is inside the latency noise floor. Lengthen the
+        # scan (one recompile) until it clears the floor; only report the
+        # resolution bound if even a long scan can't (or the family's
+        # share of the time budget is spent).
+        if (k_iters < 256
+            and time.perf_counter() - t_start < time_budget_s):
+          k_iters *= 8
+          continue
+        return {'ms_per_step': f'<{latency * 1e3 / (k_iters + 1):.2f}',
+                'below_timing_resolution': True}
+      dt = max(dt, 1e-9)
+      return {'ms_per_step': round(dt * 1e3, 2),
+              'gridpoint_stats_per_sec_M': round(
+                  gridpoints * n_stats / dt / 1e6, 1)}
 
   def fam_det():
     preds = {'geopotential': grid(1), '2m_temperature': grid(2)}

@@ -567,3 +567,61 @@ class TestInterpReviewFixes:
         dropna=True, split_variables=False)
     chunk2 = loader2.load_chunk(init, lead)
     assert chunk2['cloudCount'].sizes['index'] == 2
+
+
+class TestParquetFileCache:
+  """cache_files: one decode per file, identical results to per-point reads."""
+
+  def _load(self, path, cache_files, tolerance=None, remove_duplicates=False):
+    loader = sparse_parquet.SparseObservationsFromParquet(
+        path=path, partitioned_by='month', time_dim='timeNominal',
+        variables=['temperature'],
+        coordinate_variables=['latitude', 'longitude', 'stationName'],
+        tolerance=tolerance,
+        remove_duplicates=remove_duplicates,
+        observation_dim='stationName' if remove_duplicates else None,
+        pick_closest_duplicate_by='timeNominal' if remove_duplicates else None,
+        cache_files=cache_files)
+    init_times = np.array(['2020-01-01T00'], dtype='datetime64[ns]')
+    lead_times = np.array([6, 12], dtype='timedelta64[h]').astype(
+        'timedelta64[ns]')
+    return loader.load_chunk(init_times, lead_times)
+
+  @pytest.mark.parametrize('kwargs', [
+      {},
+      {'tolerance': np.timedelta64(30, 'm')},
+      {'tolerance': np.timedelta64(30, 'm'), 'remove_duplicates': True},
+  ])
+  def test_cached_equals_uncached(self, tmp_path, kwargs):
+    path, _ = _write_parquet_fixture(tmp_path)
+    plain = self._load(path, cache_files=0, **kwargs)
+    cached = self._load(path, cache_files=4, **kwargs)
+    for var in plain:
+      np.testing.assert_array_equal(
+          np.asarray(plain[var].values), np.asarray(cached[var].values))
+      for cname in plain[var].coords:
+        np.testing.assert_array_equal(
+            np.asarray(plain[var].coords[cname].values),
+            np.asarray(cached[var].coords[cname].values))
+
+  def test_decodes_once_per_file(self, tmp_path, monkeypatch):
+    path, _ = _write_parquet_fixture(tmp_path)
+    import pandas as pd
+    calls = []
+    real = pd.read_parquet
+    monkeypatch.setattr(pd, 'read_parquet',
+                        lambda fn, *a, **k: calls.append(fn) or real(fn))
+    self._load(path, cache_files=4)
+    # 2 evaluation points over the same January file: one decode.
+    assert len(calls) == 1
+
+  def test_lru_evicts(self, tmp_path):
+    cache = sparse_parquet._FileFrameCache(1)
+    path, _ = _write_parquet_fixture(tmp_path)
+    fn = os.path.join(path, 'year=2020', 'month=1', '2020-01.parquet')
+    a = cache.get(fn)
+    assert cache.get(fn) is a        # hit
+    cache._frames['other'] = a       # fill past capacity
+    while len(cache._frames) > cache.max_files:
+      cache._frames.popitem(last=False)
+    assert fn not in cache._frames   # evicted oldest

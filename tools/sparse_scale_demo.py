@@ -82,6 +82,7 @@ def main():
   p.add_argument('--pad_multiple', type=int, default=8192)
   p.add_argument('--init_freq_h', type=int, default=12)
   p.add_argument('--leads_h', default='6,12,24,48')
+  p.add_argument('--cache_files', type=int, default=2)
   p.add_argument('--workdir', default='/tmp/wbx_sparse_demo')
   args = p.parse_args()
 
@@ -135,7 +136,8 @@ def main():
       tolerance=np.timedelta64(90, 'm'),
       remove_duplicates=True, pick_closest_duplicate_by='timeNominal',
       add_nan_mask=True,
-      pad_index_multiple=args.pad_multiple)
+      pad_index_multiple=args.pad_multiple,
+      cache_files=args.cache_files)
   predictions_loader = loaders.PredictionsFromDataset(
       ds=pred_ds, rename_dimensions=None,
       interpolation=interpolations.GridToSparseWithAltitudeAdjustment(

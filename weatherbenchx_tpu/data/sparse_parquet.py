@@ -94,6 +94,16 @@ class Window:
             (time_column, '<=' if self.closed_end else '<',
              pd.Timestamp(self.stop))]
 
+  def mask(self, times: np.ndarray) -> np.ndarray:
+    """In-memory row mask with the exact semantics of ``predicate``."""
+    times = np.asarray(times, dtype='datetime64[ns]')
+    start = np.datetime64(self.start, 'ns')
+    if self.stop is None:
+      return times == start
+    stop = np.datetime64(self.stop, 'ns')
+    return (times >= start) & (times <= stop if self.closed_end
+                               else times < stop)
+
   def file_range(self, slack: np.timedelta64) -> tuple:
     last = self.start if self.stop is None else self.stop
     return self.start - slack, last + slack
@@ -119,8 +129,41 @@ def _as_tolerance_pair(
   return before, after
 
 
+class _FileFrameCache:
+  """Thread-safe LRU of fully-decoded partition files.
+
+  Evaluation points within one chunk hit the same partition files over
+  and over (e.g. 24 hourly valid times per daily file); without a cache
+  each point pays a full parquet decode. Bounded by file COUNT — partition
+  files are roughly uniform in size, so this is a practical memory bound
+  chosen by the caller.
+  """
+
+  def __init__(self, max_files: int):
+    import collections
+    import threading
+    self.max_files = max_files
+    self._lock = threading.Lock()
+    self._frames: 'collections.OrderedDict' = collections.OrderedDict()
+
+  def get(self, fn: str):
+    import pandas as pd
+    with self._lock:
+      if fn in self._frames:
+        self._frames.move_to_end(fn)
+        return self._frames[fn]
+    frame = pd.read_parquet(fn)
+    with self._lock:
+      self._frames[fn] = frame
+      self._frames.move_to_end(fn)
+      while len(self._frames) > self.max_files:
+        self._frames.popitem(last=False)
+    return frame
+
+
 def _read_parquet_window(files: Sequence[str], window: Window,
-                         time_column: str):
+                         time_column: str,
+                         cache: Optional[_FileFrameCache] = None):
   """Reads and concatenates the window's rows across partition files."""
   import pandas as pd
   import pyarrow
@@ -128,6 +171,11 @@ def _read_parquet_window(files: Sequence[str], window: Window,
   predicate = window.predicate(time_column)
   frames = []
   for fn in files:
+    if cache is not None:
+      whole = cache.get(fn)
+      frames.append(whole[window.mask(whole[time_column].to_numpy())]
+                    if len(whole) else whole)
+      continue
     try:
       frames.append(pd.read_parquet(fn, filters=predicate))
     except pyarrow.lib.ArrowTypeError:
@@ -180,6 +228,7 @@ class SparseObservationsFromParquet(base.DataLoader):
       observation_dim: Optional[str] = None,
       file_tolerance: np.timedelta64 = np.timedelta64(1, 'h'),
       preprocessing_fn: Optional[Callable] = None,
+      cache_files: int = 0,
       **kwargs,
   ):
     super().__init__(compute=False, **kwargs)
@@ -202,6 +251,11 @@ class SparseObservationsFromParquet(base.DataLoader):
     self._observation_dim = observation_dim
     self._file_tolerance = file_tolerance
     self._preprocessing_fn = preprocessing_fn
+    # cache_files > 0 keeps that many fully-decoded partition files in an
+    # LRU and filters windows in memory — one decode per file per chunk
+    # instead of one per evaluation point (the per-point predicate reads
+    # re-decode the same file for every lead/init hitting it).
+    self._file_cache = _FileFrameCache(cache_files) if cache_files else None
 
   # -- one evaluation point → one table ---------------------------------------
 
@@ -222,7 +276,8 @@ class SparseObservationsFromParquet(base.DataLoader):
     window = self._window_for(valid_time, lead_interval)
     lo, hi = window.file_range(self._file_tolerance)
     files = self._layout.files_covering(self._root, lo, hi)
-    df = _read_parquet_window(files, window, self._time_dim)
+    df = _read_parquet_window(files, window, self._time_dim,
+                              cache=self._file_cache)
     if self._preprocessing_fn is not None:
       df = self._preprocessing_fn(df)
     if self._remove_duplicates:
