@@ -338,13 +338,14 @@ def full_suite(latency, time_budget_s=240.0):
       best = time.perf_counter() - t0
       dt = (best - latency) / (k_iters + 1)
       if dt * (k_iters + 1) < 0.25 * latency:
-        # The whole scan is inside the latency noise floor. Lengthen the
-        # scan (one recompile) until it clears the floor; only report the
-        # resolution bound if even a long scan can't (or the family's
-        # share of the time budget is spent).
+        # The whole scan is inside the latency noise floor. Jump straight
+        # to the longest scan (ONE recompile — remote compiles dominate,
+        # and scan length barely affects compile time); only report the
+        # resolution bound if even that can't clear the floor (or the
+        # family's share of the time budget is spent).
         if (k_iters < 256
             and time.perf_counter() - t_start < time_budget_s):
-          k_iters *= 8
+          k_iters = 256
           continue
         return {'ms_per_step': f'<{latency * 1e3 / (k_iters + 1):.2f}',
                 'below_timing_resolution': True}

@@ -616,7 +616,7 @@ class TestParquetFileCache:
     assert len(calls) == 1
 
   def test_lru_evicts(self, tmp_path):
-    cache = sparse_parquet._FileFrameCache(1)
+    cache = sparse_parquet._FileFrameCache(1, 'timeNominal')
     path, _ = _write_parquet_fixture(tmp_path)
     fn = os.path.join(path, 'year=2020', 'month=1', '2020-01.parquet')
     a = cache.get(fn)
@@ -625,3 +625,25 @@ class TestParquetFileCache:
     while len(cache._frames) > cache.max_files:
       cache._frames.popitem(last=False)
     assert fn not in cache._frames   # evicted oldest
+
+  @pytest.mark.parametrize('closed_end', [False, True])
+  @pytest.mark.parametrize('point', [False, True])
+  def test_sorted_bounds_matches_mask(self, closed_end, point):
+    rng = np.random.default_rng(7)
+    base = np.datetime64('2020-01-01T00', 'ns')
+    times = base + rng.integers(0, 3600, 500) * np.timedelta64(1, 'm')
+    # Duplicates + exact boundary hits, in shuffled (file) order.
+    times = np.concatenate([times, times[:50]])
+    rng.shuffle(times)
+    start = base + np.timedelta64(600, 'm')
+    if point:
+      window = sparse_parquet.Window(start)
+      times[7] = np.datetime64(start, 'ns')  # guarantee an exact hit
+    else:
+      window = sparse_parquet.Window(
+          start, start + np.timedelta64(90, 'm'), closed_end=closed_end)
+    order = np.argsort(times, kind='stable')
+    lo, hi = window.sorted_bounds(times[order])
+    selected = np.sort(order[lo:hi])
+    np.testing.assert_array_equal(selected, np.flatnonzero(
+        window.mask(times)))

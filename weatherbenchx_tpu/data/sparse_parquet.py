@@ -104,6 +104,18 @@ class Window:
     return (times >= start) & (times <= stop if self.closed_end
                                else times < stop)
 
+  def sorted_bounds(self, times_sorted: np.ndarray) -> tuple:
+    """``[lo, hi)`` positions selecting exactly ``mask``'s rows, given the
+    time column pre-sorted ascending (binary search instead of a scan)."""
+    start = np.datetime64(self.start, 'ns')
+    if self.stop is None:
+      return (np.searchsorted(times_sorted, start, 'left'),
+              np.searchsorted(times_sorted, start, 'right'))
+    stop = np.datetime64(self.stop, 'ns')
+    return (np.searchsorted(times_sorted, start, 'left'),
+            np.searchsorted(times_sorted, stop,
+                            'right' if self.closed_end else 'left'))
+
   def file_range(self, slack: np.timedelta64) -> tuple:
     last = self.start if self.stop is None else self.stop
     return self.start - slack, last + slack
@@ -130,35 +142,52 @@ def _as_tolerance_pair(
 
 
 class _FileFrameCache:
-  """Thread-safe LRU of fully-decoded partition files.
+  """Thread-safe LRU of fully-decoded, time-indexed partition files.
 
   Evaluation points within one chunk hit the same partition files over
   and over (e.g. 24 hourly valid times per daily file); without a cache
   each point pays a full parquet decode. Bounded by file COUNT — partition
   files are roughly uniform in size, so this is a practical memory bound
   chosen by the caller.
+
+  Each entry stores the frame plus a one-time argsort of its time column,
+  so every window extraction is a binary search (``Window.sorted_bounds``)
+  instead of an O(rows) scan — the scan dominates once files reach real
+  METAR size (tens of millions of rows/month). Selected rows are returned
+  in ORIGINAL file order, so downstream tie-breaking (duplicate removal
+  keeps the first-seen row) is identical to the uncached predicate read.
   """
 
-  def __init__(self, max_files: int):
+  def __init__(self, max_files: int, time_column: str):
     import collections
     import threading
     self.max_files = max_files
+    self.time_column = time_column
     self._lock = threading.Lock()
     self._frames: 'collections.OrderedDict' = collections.OrderedDict()
 
   def get(self, fn: str):
+    """Returns ``(frame, times_sorted, order)`` with ``order`` the argsort
+    of the file's time column (both empty for a zero-row file)."""
     import pandas as pd
     with self._lock:
       if fn in self._frames:
         self._frames.move_to_end(fn)
         return self._frames[fn]
     frame = pd.read_parquet(fn)
+    if len(frame):
+      times = np.asarray(frame[self.time_column].to_numpy(),
+                         dtype='datetime64[ns]')
+      order = np.argsort(times, kind='stable')
+      entry = (frame, times[order], order)
+    else:
+      entry = (frame, np.empty(0, 'datetime64[ns]'), np.empty(0, np.intp))
     with self._lock:
-      self._frames[fn] = frame
+      self._frames[fn] = entry
       self._frames.move_to_end(fn)
       while len(self._frames) > self.max_files:
         self._frames.popitem(last=False)
-    return frame
+    return entry
 
 
 def _read_parquet_window(files: Sequence[str], window: Window,
@@ -172,9 +201,11 @@ def _read_parquet_window(files: Sequence[str], window: Window,
   frames = []
   for fn in files:
     if cache is not None:
-      whole = cache.get(fn)
-      frames.append(whole[window.mask(whole[time_column].to_numpy())]
-                    if len(whole) else whole)
+      frame, times_sorted, order = cache.get(fn)
+      if len(frame):
+        lo, hi = window.sorted_bounds(times_sorted)
+        frame = frame.iloc[np.sort(order[lo:hi])]
+      frames.append(frame)
       continue
     try:
       frames.append(pd.read_parquet(fn, filters=predicate))
@@ -255,7 +286,8 @@ class SparseObservationsFromParquet(base.DataLoader):
     # LRU and filters windows in memory — one decode per file per chunk
     # instead of one per evaluation point (the per-point predicate reads
     # re-decode the same file for every lead/init hitting it).
-    self._file_cache = _FileFrameCache(cache_files) if cache_files else None
+    self._file_cache = (
+        _FileFrameCache(cache_files, time_dim) if cache_files else None)
 
   # -- one evaluation point → one table ---------------------------------------
 
