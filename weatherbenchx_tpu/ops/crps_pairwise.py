@@ -5,9 +5,9 @@ the O(M²) pairwise form and the O(M log M) Zamo & Naveau sort/PWM form, and
 uses the sort form in production because on CPU the pairwise form is
 hopeless. On TPU the trade inverts at production ensemble sizes: XLA's sort
 is a deep compare-exchange network (measured 43 ms/step at M=50 over
-4×721×1440 gridpoints on a v5e chip), while the half-pairwise sum is pure
-elementwise VPU work on a VMEM-resident member block (14 ms/step, at the
-f32 VPU roofline).
+4×721×1440 gridpoints on a v5e chip), while the pairwise sum is pure
+elementwise VPU work on a VMEM-resident member block (8.2 ms/step; an
+earlier pltpu.roll-based half-pairwise variant measured 14 ms).
 
 Kernel shape: the ensemble axis is the leading (outermost) block axis; the
 trailing two data axes are tiled into (sublane, lane) VMEM blocks and any
@@ -16,14 +16,14 @@ purpose — collapsing trailing axes with ``reshape`` forces a physical
 retiling of TPU tiled layouts (measured +35 ms/step on the 4D production
 array), so no caller-side flattening is allowed anywhere on this path.
 
-The inner loop exploits the circular-shift symmetry
-
-    Σ_i |x_i − x_{(i+k) mod M}|  ==  Σ_i |x_i − x_{(i+M−k) mod M}|
-
-so only ⌈(M−1)/2⌉ shifted absolute-difference passes are needed (half the
-naive M² work), each a roll along the untiled ensemble axis. NaNs propagate
-exactly like the reference's skipna=False semantics (any NaN member poisons
-its own gridpoint, and only that gridpoint).
+The inner loop enumerates each unordered pair {i, j} exactly once as
+(i, i+k): Σ_{k=1}^{M−1} |x[k:] − x[:-k]|, reduced over the member axis per
+shift and doubled. Leading-axis slices are address offsets on the untiled
+member axis, so every pass is subtract/abs/accumulate with no data
+movement (the roll variant paid a real VMEM permute per shift — see git
+history). NaNs propagate exactly like the reference's skipna=False
+semantics (any NaN member poisons its own gridpoint, and only that
+gridpoint).
 """
 
 from __future__ import annotations
@@ -63,20 +63,30 @@ def cross_supported(mx: int, my: int, dtype) -> bool:
 
 
 def _spread_kernel(x_ref, out_ref, *, m: int):
-  from jax.experimental.pallas import tpu as pltpu
-
+  # Each unordered pair {i, j} appears exactly once as (i, i+k) for
+  # k = j−i, so summing |x[k:] − x[:-k]| over k = 1..m−1 and doubling
+  # gives Σ_{i≠j}. Leading-axis slices are address offsets (the member
+  # axis is untiled), so this is pure subtract/abs/accumulate VPU work —
+  # an earlier pltpu.roll-based variant of the same sum paid a real data
+  # movement per shift and measured ~25% slower at M=50.
   x = x_ref[:]
-  acc = jnp.zeros_like(x)
-  for k in range(1, (m - 1) // 2 + 1):
-    acc = acc + jnp.abs(x - pltpu.roll(x, k, 0))
-  acc = acc * 2
-  if m % 2 == 0:
-    acc = acc + jnp.abs(x - pltpu.roll(x, m // 2, 0))
-  out_ref[:] = jnp.sum(acc, axis=0)
+  acc = jnp.zeros(x.shape[1:], x.dtype)
+  for k in range(1, m):
+    acc = acc + jnp.sum(jnp.abs(x[k:] - x[:-k]), axis=0)
+  out_ref[:] = acc * 2
 
 
 def _block_shape(m: int, r: int, c: int) -> tuple[int, int]:
-  """(sublane, lane) block extents keeping m·br·bc within the VMEM budget."""
+  """(sublane, lane) block extents keeping m·br·bc within the VMEM budget.
+
+  Measured on v5e (0.25° production shape): at M=50 the minimal (8, 128)
+  f32 tile runs the sliced kernel ~19% faster than (8, 512) — the O(M)
+  unrolled shift temporaries stay small enough to live close to the VPU —
+  while at M≤16 per-block compute is too thin and the grid overhead makes
+  larger blocks ~25% faster. Split on compute density (pairs per element).
+  """
+  if m >= 32:
+    return max(min(8, r), 1), min(-(-c // 128) * 128, 128)
   bc = min(-(-c // 128) * 128, 512)
   while bc > 128 and m * 8 * bc > _BLOCK_ELEMS:
     bc //= 2
@@ -133,10 +143,10 @@ def _pairwise_spread_sum_impl(x: jnp.ndarray, interpret: bool
 
 def _cross_kernel(x_ref, y_ref, out_ref, *, my: int):
   x = x_ref[:]
-  acc = jnp.zeros_like(x)
+  acc = jnp.zeros(x.shape[1:], x.dtype)
   for j in range(my):
-    acc = acc + jnp.abs(x - y_ref[j:j + 1])
-  out_ref[:] = jnp.sum(acc, axis=0)
+    acc = acc + jnp.sum(jnp.abs(x - y_ref[j:j + 1]), axis=0)
+  out_ref[:] = acc
 
 
 def _pairwise_cross_sum_impl(x: jnp.ndarray, y: jnp.ndarray,
