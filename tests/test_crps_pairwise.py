@@ -239,6 +239,19 @@ class TestSupportGating:
     assert br50 * bc50 * 50 <= crps_pairwise._BLOCK_ELEMS
     assert br150 * bc150 <= br50 * bc50
 
+  @pytest.mark.parametrize('m', [2, 8, 16, 31, 32, 50, 200])
+  @pytest.mark.parametrize('r,c', [(721, 1440), (3, 1440), (721, 64),
+                                   (1, 1), (8, 128)])
+  def test_block_shape_invariants(self, m, r, c):
+    br, bc = crps_pairwise._block_shape(m, r, c)
+    assert 1 <= br <= max(r, 1)
+    assert bc >= 128 or c <= bc          # full lanes unless c is smaller
+    assert bc % 128 == 0
+    assert m * br * bc <= max(crps_pairwise._BLOCK_ELEMS, m * 8 * 128)
+    if m >= 32:
+      # large ensembles pin the measured-fastest minimal tile
+      assert (br, bc) == (max(min(8, r), 1), min(-(-c // 128) * 128, 128))
+
 
 class TestEnsembleOnlyInputs:
   """ndim==1 inputs skip the custom partitioner (its einsum-style sharding
