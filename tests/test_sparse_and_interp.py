@@ -632,8 +632,9 @@ class TestParquetFileCache:
     rng = np.random.default_rng(7)
     base = np.datetime64('2020-01-01T00', 'ns')
     times = base + rng.integers(0, 3600, 500) * np.timedelta64(1, 'm')
-    # Duplicates + exact boundary hits, in shuffled (file) order.
-    times = np.concatenate([times, times[:50]])
+    # Duplicates + exact boundary hits + NaT rows, in shuffled (file) order.
+    times = np.concatenate(
+        [times, times[:50], np.full(5, np.datetime64('NaT', 'ns'))])
     rng.shuffle(times)
     start = base + np.timedelta64(600, 'm')
     if point:
