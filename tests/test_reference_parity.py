@@ -2144,3 +2144,91 @@ class TestSparseParquetParity:
         dict(r), t,
         coords=('latitude', 'longitude', 'elevation', 'stationName',
                 'valid_time', 'init_time', 'lead_time'))
+
+
+class TestRandomizedConfigParity:
+  """Seeded random configs vs the ACTUAL reference implementation.
+
+  The fixed-config classes above pin known behaviors one at a time; this
+  sweep draws random interactions — metric subset × reduce-dim subset ×
+  binning stack × weighting × skipna × NaN pattern — that no hand-picked
+  case covers (e.g. binned × skipna × unbiased ensemble-mean RMSE with a
+  NaN in a bin that another bin doesn't see). Seeds are fixed so failures
+  reproduce; widen ``range`` locally to fuzz harder.
+  """
+
+  DET_METRICS = ('rmse', 'mse', 'bias', 'mae')
+  ENS_METRICS = ('crps', 'unbiased_spread_skill', 'unbiased_mean_rmse')
+
+  def _paired_metric(self, ref, name):
+    table = {
+        'rmse': (ref.deterministic.RMSE, t_deterministic.RMSE),
+        'mse': (ref.deterministic.MSE, t_deterministic.MSE),
+        'bias': (ref.deterministic.Bias, t_deterministic.Bias),
+        'mae': (ref.deterministic.MAE, t_deterministic.MAE),
+        'crps': (lambda: ref.probabilistic.CRPSEnsemble(use_sort=True),
+                 lambda: t_probabilistic.CRPSEnsemble(use_sort=True)),
+        'unbiased_spread_skill': (
+            ref.probabilistic.UnbiasedSpreadSkillRatio,
+            t_probabilistic.UnbiasedSpreadSkillRatio),
+        'unbiased_mean_rmse': (
+            ref.probabilistic.UnbiasedEnsembleMeanRMSE,
+            t_probabilistic.UnbiasedEnsembleMeanRMSE),
+    }
+    rf, tf = table[name]
+    return rf(), tf()
+
+  @pytest.mark.parametrize('seed', range(24))
+  def test_random_config(self, ref, seed):
+    r = np.random.default_rng(1000 + seed)
+    ens = bool(r.integers(2))
+    pool = self.ENS_METRICS if ens else self.DET_METRICS
+    names = [str(n) for n in r.choice(pool, size=int(r.integers(1, 3)),
+                                      replace=False)]
+
+    def nan_idx(with_ens):
+      idxs = []
+      for _ in range(int(r.integers(0, 4))):
+        idx = (int(r.integers(N_INIT)), int(r.integers(N_LEAD)))
+        if with_ens:
+          idx += (int(r.integers(N_ENS)),)
+        idx += (int(r.integers(len(LATS))), int(r.integers(len(LONS))))
+        idxs.append(idx)
+      return tuple(idxs)
+
+    rp, tp = both(ref, {'2m_temperature': grid_var(
+        2000 + seed, ens=ens, nan_at=nan_idx(ens))})
+    rt, tt = both(ref, {'2m_temperature': grid_var(
+        3000 + seed, nan_at=nan_idx(False))})
+
+    rm, tm = {}, {}
+    for n in names:
+      rm[n], tm[n] = self._paired_metric(ref, n)
+
+    reduce = ['latitude', 'longitude']
+    if r.integers(2):
+      reduce.append('init_time')
+    if r.integers(2):
+      reduce.append('lead_time')
+    kw = dict(reduce_dims=reduce, skipna=bool(r.integers(2)))
+    r_kw, t_kw = dict(kw), dict(kw)
+    bins_choice = int(r.integers(3))
+    if bins_choice >= 1:
+      regions = {'tropics': ((-20, 20), (0, 360)),
+                 'nh': ((20, 90), (0, 360))}
+      r_kw['bin_by'] = [ref.binning.Regions(regions=regions,
+                                            bin_dim_name='region')]
+      t_kw['bin_by'] = [t_binning.Regions(regions=regions,
+                                          bin_dim_name='region')]
+    if bins_choice == 2:
+      r_kw['bin_by'].append(ref.binning.LatitudeBins(degrees=60,
+                                                     bin_dim_name='band'))
+      t_kw['bin_by'].append(t_binning.LatitudeBins(degrees=60,
+                                                   bin_dim_name='band'))
+    if not r.integers(2):   # half the configs run unweighted
+      r_kw['weigh_by'] = []
+      t_kw['weigh_by'] = []
+
+    rr = run_ref(ref, rm, ref_agg(ref, **r_kw), rp, rt)
+    tv = run_tpu(tm, tpu_agg(**t_kw), tp, tt)
+    compare_results(rr, tv)

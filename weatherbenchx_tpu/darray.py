@@ -860,7 +860,12 @@ def dot(*arrays: DimArray, dim: Sequence[str] | str) -> DimArray:
     # XLA reduces booleans with logical OR; an all-bool contraction would
     # compute 'any' instead of a count. (Mixed operands promote to float.)
     operands = [op.astype(jnp.float32) for op in operands]
-  data = jnp.einsum(spec, *operands)
+  # precision=HIGHEST: the TPU MXU's default precision multiplies f32
+  # operands as single-pass bf16, which costs ~3 decimal digits on every
+  # aggregated statistic (measured ~1e-4 relative vs the CPU reference).
+  # The contraction is bandwidth-bound, so the multi-pass f32 emulation is
+  # wall-clock free here.
+  data = jnp.einsum(spec, *operands, precision=jax.lax.Precision.HIGHEST)
   coords = _merge_coords(out_dims, *[a.coords for a in arrays])
   return DimArray(data, out_dims, coords)
 
