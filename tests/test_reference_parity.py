@@ -2157,15 +2157,23 @@ class TestRandomizedConfigParity:
   reproduce; widen ``range`` locally to fuzz harder.
   """
 
-  DET_METRICS = ('rmse', 'mse', 'bias', 'mae')
+  DET_METRICS = ('rmse', 'mse', 'bias', 'mae', 'acc', 'activity')
   ENS_METRICS = ('crps', 'unbiased_spread_skill', 'unbiased_mean_rmse')
 
-  def _paired_metric(self, ref, name):
+  def _paired_metric(self, ref, name, seed=0):
+    clim = {'2m_temperature': clim_var(4000 + seed)}
+    r_clim = ref.xr.Dataset({k: v.to_ref(ref) for k, v in clim.items()})
+    t_clim = {k: v.to_tpu() for k, v in clim.items()}
     table = {
         'rmse': (ref.deterministic.RMSE, t_deterministic.RMSE),
         'mse': (ref.deterministic.MSE, t_deterministic.MSE),
         'bias': (ref.deterministic.Bias, t_deterministic.Bias),
         'mae': (ref.deterministic.MAE, t_deterministic.MAE),
+        'acc': (lambda: ref.deterministic.ACC(climatology=r_clim),
+                lambda: t_deterministic.ACC(climatology=t_clim)),
+        'activity': (
+            lambda: ref.deterministic.PredictionActivity(climatology=r_clim),
+            lambda: t_deterministic.PredictionActivity(climatology=t_clim)),
         'crps': (lambda: ref.probabilistic.CRPSEnsemble(use_sort=True),
                  lambda: t_probabilistic.CRPSEnsemble(use_sort=True)),
         'unbiased_spread_skill': (
@@ -2203,7 +2211,7 @@ class TestRandomizedConfigParity:
 
     rm, tm = {}, {}
     for n in names:
-      rm[n], tm[n] = self._paired_metric(ref, n)
+      rm[n], tm[n] = self._paired_metric(ref, n, seed)
 
     reduce = ['latitude', 'longitude']
     if r.integers(2):
