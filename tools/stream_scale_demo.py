@@ -28,6 +28,10 @@ import resource
 import time
 
 import numpy as np
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 STORE_DIR = '/tmp/stream'
 N_INIT = 1460  # 1 year, 6-hourly (deterministic mode)
