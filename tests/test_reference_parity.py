@@ -2159,6 +2159,7 @@ class TestRandomizedConfigParity:
 
   DET_METRICS = ('rmse', 'mse', 'bias', 'mae', 'acc', 'activity')
   ENS_METRICS = ('crps', 'unbiased_spread_skill', 'unbiased_mean_rmse')
+  ENS2_METRICS = ('crps_distance', 'wasserstein')  # ensemble targets too
 
   def _paired_metric(self, ref, name, seed=0):
     clim = {'2m_temperature': clim_var(4000 + seed)}
@@ -2182,6 +2183,10 @@ class TestRandomizedConfigParity:
         'unbiased_mean_rmse': (
             ref.probabilistic.UnbiasedEnsembleMeanRMSE,
             t_probabilistic.UnbiasedEnsembleMeanRMSE),
+        'crps_distance': (ref.probabilistic.CRPSEnsembleDistance,
+                          t_probabilistic.CRPSEnsembleDistance),
+        'wasserstein': (ref.probabilistic.WassersteinDistance,
+                        t_probabilistic.WassersteinDistance),
     }
     rf, tf = table[name]
     return rf(), tf()
@@ -2189,25 +2194,36 @@ class TestRandomizedConfigParity:
   @pytest.mark.parametrize('seed', range(24))
   def test_random_config(self, ref, seed):
     r = np.random.default_rng(1000 + seed)
-    ens = bool(r.integers(2))
-    pool = self.ENS_METRICS if ens else self.DET_METRICS
-    names = [str(n) for n in r.choice(pool, size=int(r.integers(1, 3)),
-                                      replace=False)]
+    kind = int(r.integers(3))  # 0=deterministic, 1=ensemble, 2=two-ensemble
+    pool = (self.DET_METRICS, self.ENS_METRICS, self.ENS2_METRICS)[kind]
+    names = [str(n) for n in r.choice(
+        pool, size=int(r.integers(1, min(3, len(pool) + 1))),
+        replace=False)]
 
-    def nan_idx(with_ens):
+    def nan_idx(n_members):
       idxs = []
       for _ in range(int(r.integers(0, 4))):
         idx = (int(r.integers(N_INIT)), int(r.integers(N_LEAD)))
-        if with_ens:
-          idx += (int(r.integers(N_ENS)),)
+        if n_members:
+          idx += (int(r.integers(n_members)),)
         idx += (int(r.integers(len(LATS))), int(r.integers(len(LONS))))
         idxs.append(idx)
       return tuple(idxs)
 
+    ens = kind > 0
     rp, tp = both(ref, {'2m_temperature': grid_var(
-        2000 + seed, ens=ens, nan_at=nan_idx(ens))})
-    rt, tt = both(ref, {'2m_temperature': grid_var(
-        3000 + seed, nan_at=nan_idx(False))})
+        2000 + seed, ens=ens, nan_at=nan_idx(N_ENS if ens else 0))})
+    if kind == 2:
+      arr = _rng(3000 + seed).random(
+          (N_INIT, N_LEAD, 5, len(LATS), len(LONS)), dtype=np.float32)
+      for idx in nan_idx(5):
+        arr[idx[0], idx[1], idx[2], idx[3], idx[4]] = np.nan
+      tgt = Var(arr, ('init_time', 'lead_time', 'number2',
+                      'latitude', 'longitude'))
+      rt, tt = both(ref, {'2m_temperature': tgt})
+    else:
+      rt, tt = both(ref, {'2m_temperature': grid_var(
+          3000 + seed, nan_at=nan_idx(0))})
 
     rm, tm = {}, {}
     for n in names:
