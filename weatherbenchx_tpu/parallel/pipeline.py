@@ -611,9 +611,14 @@ class EvaluationPipeline:
 
     # Final cross-bucket combine on host (outer join concat of preserved
     # chunked dims), with time coords restored to datetime64/timedelta64.
+    # ONE batched device_get for every bucket: a per-bucket to_host() loop
+    # pays a blocking round trip per bucket (measured 28 x 0.3 s on a slow
+    # tunnel day for a month of per-init buckets); to_host() on the
+    # already-fetched states is then just the float64 upcast.
+    host_buckets = jax.device_get(list(buckets.values()))
     states = [
         s.to_host().map(evaluator_lib.restore_time_coords)
-        for s in buckets.values()
+        for s in host_buckets
     ]
     total = aggregation_lib.AggregationState.sum(states)
     if self.distributed and jax.process_count() > 1:
