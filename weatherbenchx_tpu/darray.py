@@ -841,31 +841,79 @@ def _coord_parts_identical(vals: Sequence[Any]) -> bool:
 
 
 def dot(*arrays: DimArray, dim: Sequence[str] | str) -> DimArray:
-  """Named einsum: multiply all arrays and sum over ``dim``.
+  """Named contraction: multiply all arrays and sum over ``dim``.
 
   TPU-native equivalent of the reference's single aggregation contraction
   ``xr.dot(stat, *weights, *bin_masks, dim=reduce_dims)``
-  (``weatherbenchX/aggregation.py:328``) — lowers to one ``jnp.einsum``,
-  which XLA maps onto fused multiply-reduce (MXU-friendly when operands are
-  large and dense).
+  (``weatherbenchX/aggregation.py:328``).
+
+  On TPU this lowers as a broadcast multiply + reduce, which XLA fuses
+  into one VPU pass — NOT as ``jnp.einsum``: einsum routes to the MXU,
+  whose default precision multiplies f32 as single-pass bf16 (measured
+  2e-1 worst-case relative error on the production 34-bin contraction)
+  and whose ``Precision.HIGHEST`` multi-pass fix both re-reads operands
+  (det family 2.5 → 4.2 ms/step) and still accumulates sequentially
+  (2e-4). The fused multiply + tree-reduce is simultaneously the fastest
+  and the most accurate form measured on the v5e: 0.88 vs 0.93/0.97 ms
+  and 6e-6 vs 2e-1/2e-4 relative error against a float64 reference.
+
+  On CPU/GPU it stays ``jnp.einsum``, which reproduces the reference's
+  np.einsum summation order — the parity suite compares at the
+  reference's own 1e-5, and a different reduction association alone
+  pushes cancellation-heavy finalizers (REV value curves) outside it.
   """
   dims = (dim,) if isinstance(dim, str) else tuple(dim)
   all_dims = broadcast_dims(*[a.dims for a in arrays])
   out_dims = tuple(d for d in all_dims if d not in dims)
-  letters = {d: chr(ord('a') + i) for i, d in enumerate(all_dims)}
-  spec = ','.join(''.join(letters[d] for d in a.dims) for a in arrays)
-  spec += '->' + ''.join(letters[d] for d in out_dims)
   operands = [jnp.asarray(a.data) for a in arrays]
   if all(op.dtype == jnp.bool_ for op in operands):
-    # XLA reduces booleans with logical OR; an all-bool contraction would
-    # compute 'any' instead of a count. (Mixed operands promote to float.)
+    # bool*bool is logical AND and bool sums reduce to int; a count needs
+    # floats. (Mixed operands promote to float on multiply.)
     operands = [op.astype(jnp.float32) for op in operands]
-  # precision=HIGHEST: the TPU MXU's default precision multiplies f32
-  # operands as single-pass bf16, which costs ~3 decimal digits on every
-  # aggregated statistic (measured ~1e-4 relative vs the CPU reference).
-  # The contraction is bandwidth-bound, so the multi-pass f32 emulation is
-  # wall-clock free here.
-  data = jnp.einsum(spec, *operands, precision=jax.lax.Precision.HIGHEST)
+
+  sizes: dict = {}
+  for a in arrays:
+    sizes.update(a.sizes)
+  product_elems = 1
+  for d in all_dims:
+    product_elems *= sizes[d]
+  max_operand = max(int(np.prod(op.shape)) if op.shape else 1
+                    for op in operands)
+  # The broadcast multiply + reduce only wins while the (fused) product
+  # stays near the operands' size — one extra "bin" dim (34 regions over a
+  # lead×lat×lon statistic, ratio ~4) fuses into a single VPU pass, but
+  # genuinely matmul-shaped contractions with several large output dims
+  # (rank histogram: 51 ranks × 34 regions, ratio ~200) blow the product
+  # up 51× and measured 4× slower than the MXU (21 vs 5 ms/step).
+  vpu_friendly = product_elems <= 8 * max_operand
+
+  if jax.default_backend() != 'tpu' or not vpu_friendly:
+    # CPU/GPU: einsum reproduces the reference's np.einsum summation order
+    # (the parity suite compares at the reference's own 1e-5; a different
+    # reduction association alone lands cancellation-heavy finalizers like
+    # REV outside it). On TPU, HIGHEST avoids the MXU's default bf16
+    # multiplies (2e-1 worst-case error measured); it is a no-op on CPU
+    # and disables tf32 on GPU.
+    letters = {d: chr(ord('a') + i) for i, d in enumerate(all_dims)}
+    spec = ','.join(''.join(letters[d] for d in a.dims) for a in arrays)
+    spec += '->' + ''.join(letters[d] for d in out_dims)
+    data = jnp.einsum(spec, *operands, precision=jax.lax.Precision.HIGHEST)
+    coords = _merge_coords(out_dims, *[a.coords for a in arrays])
+    return DimArray(data, out_dims, coords)
+
+  def expand(a, op):
+    # Transpose to all_dims order and insert size-1 axes for missing dims.
+    present = [d for d in all_dims if d in a.dims]
+    op = jnp.transpose(op, [a.dims.index(d) for d in present])
+    for i, d in enumerate(all_dims):
+      if d not in a.dims:
+        op = jnp.expand_dims(op, i)
+    return op
+
+  prod = expand(arrays[0], operands[0])
+  for a, op in zip(arrays[1:], operands[1:]):
+    prod = prod * expand(a, op)
+  data = prod.sum(tuple(i for i, d in enumerate(all_dims) if d in dims))
   coords = _merge_coords(out_dims, *[a.coords for a in arrays])
   return DimArray(data, out_dims, coords)
 
