@@ -2157,7 +2157,8 @@ class TestRandomizedConfigParity:
   reproduce; widen ``range`` locally to fuzz harder.
   """
 
-  DET_METRICS = ('rmse', 'mse', 'bias', 'mae', 'acc', 'activity')
+  DET_METRICS = ('rmse', 'mse', 'bias', 'mae', 'acc', 'activity',
+                 'csi', 'ets')  # csi/ets run under a ContinuousToBinary wrap
   ENS_METRICS = ('crps', 'unbiased_spread_skill', 'unbiased_mean_rmse')
   ENS2_METRICS = ('crps_distance', 'wasserstein')  # ensemble targets too
 
@@ -2187,6 +2188,28 @@ class TestRandomizedConfigParity:
                           t_probabilistic.CRPSEnsembleDistance),
         'wasserstein': (ref.probabilistic.WassersteinDistance,
                         t_probabilistic.WassersteinDistance),
+        'csi': (
+            lambda: ref.wrappers.WrappedMetric(
+                ref.categorical.CSI(),
+                [ref.wrappers.ContinuousToBinary(
+                    which='both', threshold_value=[0.3, 0.6],
+                    threshold_dim='threshold')]),
+            lambda: t_wrappers.WrappedMetric(
+                t_categorical.CSI(),
+                [t_wrappers.ContinuousToBinary(
+                    which='both', threshold_value=[0.3, 0.6],
+                    threshold_dim='threshold')])),
+        'ets': (
+            lambda: ref.wrappers.WrappedMetric(
+                ref.categorical.ETS(),
+                [ref.wrappers.ContinuousToBinary(
+                    which='both', threshold_value=[0.5],
+                    threshold_dim='threshold')]),
+            lambda: t_wrappers.WrappedMetric(
+                t_categorical.ETS(),
+                [t_wrappers.ContinuousToBinary(
+                    which='both', threshold_value=[0.5],
+                    threshold_dim='threshold')])),
     }
     rf, tf = table[name]
     return rf(), tf()
