@@ -249,8 +249,11 @@ class TestSupportGating:
     assert bc % 128 == 0
     assert m * br * bc <= max(crps_pairwise._BLOCK_ELEMS, m * 8 * 128)
     if m >= 32:
-      # large ensembles pin the measured-fastest minimal tile
-      assert (br, bc) == (max(min(8, r), 1), min(-(-c // 128) * 128, 128))
+      # large ensembles pin the measured-fastest compact tile that still
+      # fits the VMEM budget
+      want_bc = 256 if m * 8 * 256 <= crps_pairwise._BLOCK_ELEMS else 128
+      assert (br, bc) == (max(min(8, r), 1),
+                          min(-(-c // 128) * 128, want_bc))
 
 
 class TestEnsembleOnlyInputs:

@@ -6,8 +6,9 @@ uses the sort form in production because on CPU the pairwise form is
 hopeless. On TPU the trade inverts at production ensemble sizes: XLA's sort
 is a deep compare-exchange network (measured 43 ms/step at M=50 over
 4×721×1440 gridpoints on a v5e chip), while the pairwise sum is pure
-elementwise VPU work on a VMEM-resident member block (8.2 ms/step; an
-earlier pltpu.roll-based half-pairwise variant measured 14 ms).
+elementwise VPU work on a VMEM-resident member block (6.9 ms/step; an
+earlier pltpu.roll-based half-pairwise variant measured 14 ms, and an
+ungrouped slice enumeration 8.2 ms).
 
 Kernel shape: the ensemble axis is the leading (outermost) block axis; the
 trailing two data axes are tiled into (sublane, lane) VMEM blocks and any
@@ -16,14 +17,16 @@ purpose — collapsing trailing axes with ``reshape`` forces a physical
 retiling of TPU tiled layouts (measured +35 ms/step on the 4D production
 array), so no caller-side flattening is allowed anywhere on this path.
 
-The inner loop enumerates each unordered pair {i, j} exactly once as
-(i, i+k): Σ_{k=1}^{M−1} |x[k:] − x[:-k]|, reduced over the member axis per
-shift and doubled. Leading-axis slices are address offsets on the untiled
-member axis, so every pass is subtract/abs/accumulate with no data
-movement (the roll variant paid a real VMEM permute per shift — see git
-history). NaNs propagate exactly like the reference's skipna=False
-semantics (any NaN member poisons its own gridpoint, and only that
-gridpoint).
+The inner loop enumerates each unordered pair {i, j} exactly once, with
+the member axis group-tiled (5-member groups at production M) so loaded
+rows are re-used across a whole group of partners before eviction —
+within a group as slice pairs |xa[k:] − xa[:-k]|, across groups as
+row-vs-group broadcasts — then doubles the sum for Σ_{i≠j}. Leading-axis
+slices are address offsets on the untiled member axis, so every pass is
+subtract/abs/accumulate with no data movement (the roll variant paid a
+real VMEM permute per shift — see git history). NaNs propagate exactly
+like the reference's skipna=False semantics (any NaN member poisons its
+own gridpoint, and only that gridpoint).
 """
 
 from __future__ import annotations
@@ -62,31 +65,50 @@ def cross_supported(mx: int, my: int, dtype) -> bool:
   return mx >= 1 and my >= 1 and _tpu_and_fits(mx + my, dtype)
 
 
+def _spread_group(m: int) -> int:
+  # Group-tile the member axis at large M: pairing a resident 5-member
+  # group against each later group re-uses loaded rows ~g times, cutting
+  # VMEM re-reads (measured 8.24 → 6.89 ms at M=50; flat for g in 5–10;
+  # worse again at g=25 when the group no longer stays resident). Small M
+  # runs as one group — identical to the plain sliced enumeration.
+  return 5 if m >= 32 else m
+
+
 def _spread_kernel(x_ref, out_ref, *, m: int):
-  # Each unordered pair {i, j} appears exactly once as (i, i+k) for
-  # k = j−i, so summing |x[k:] − x[:-k]| over k = 1..m−1 and doubling
-  # gives Σ_{i≠j}. Leading-axis slices are address offsets (the member
-  # axis is untiled), so this is pure subtract/abs/accumulate VPU work —
-  # an earlier pltpu.roll-based variant of the same sum paid a real data
-  # movement per shift and measured ~25% slower at M=50.
+  # Each unordered pair {i, j} is enumerated exactly once — within a
+  # group as (i, i+k) slice pairs |xa[k:] − xa[:-k]|, across groups as
+  # row-vs-group broadcasts — then doubled for Σ_{i≠j}. Leading-axis
+  # slices are address offsets (the member axis is untiled), so this is
+  # pure subtract/abs/accumulate VPU work: an earlier pltpu.roll-based
+  # variant paid a real data movement per shift (14.1 ms at M=50 on the
+  # production block vs 6.9 ms for this form).
   x = x_ref[:]
+  g = _spread_group(m)
   acc = jnp.zeros(x.shape[1:], x.dtype)
-  for k in range(1, m):
-    acc = acc + jnp.sum(jnp.abs(x[k:] - x[:-k]), axis=0)
+  for a in range(0, m, g):
+    ga = min(g, m - a)
+    xa = x[a:a + ga]
+    for k in range(1, ga):
+      acc = acc + jnp.sum(jnp.abs(xa[k:] - xa[:-k]), axis=0)
+    for b in range(a + g, m, g):
+      xb = x[b:b + min(g, m - b)]
+      for i in range(ga):
+        acc = acc + jnp.sum(jnp.abs(xa[i:i + 1] - xb), axis=0)
   out_ref[:] = acc * 2
 
 
 def _block_shape(m: int, r: int, c: int) -> tuple[int, int]:
   """(sublane, lane) block extents keeping m·br·bc within the VMEM budget.
 
-  Measured on v5e (0.25° production shape): at M=50 the minimal (8, 128)
-  f32 tile runs the sliced kernel ~19% faster than (8, 512) — the O(M)
-  unrolled shift temporaries stay small enough to live close to the VPU —
-  while at M≤16 per-block compute is too thin and the grid overhead makes
-  larger blocks ~25% faster. Split on compute density (pairs per element).
+  Measured on v5e (0.25° production shape): at M=50 the grouped kernel
+  is fastest on an (8, 256) tile (6.89 ms; (8,128) 7.3, (8,512) 6.88 but
+  more VMEM), while at M≤16 per-block compute is too thin and the grid
+  overhead makes the larger budget-derived blocks ~25% faster. Split on
+  compute density (pairs per element).
   """
   if m >= 32:
-    return max(min(8, r), 1), min(-(-c // 128) * 128, 128)
+    bc = 256 if m * 8 * 256 <= _BLOCK_ELEMS else 128
+    return max(min(8, r), 1), min(-(-c // 128) * 128, bc)
   bc = min(-(-c // 128) * 128, 512)
   while bc > 128 and m * 8 * bc > _BLOCK_ELEMS:
     bc //= 2
