@@ -193,8 +193,9 @@ def main():
   # Pallas half-pairwise kernel (ops/crps_pairwise.py), which replaced the
   # XLA-sort PWM form as the default after a measured 2.8-2.9x win on this
   # workload (fused step 16.2 vs 45.9 ms; headline 780 vs 271 M stats/s);
-  # the round-3 sliced pair enumeration (no per-shift roll) lifted the
-  # headline again to ~1226 M stats/s (kernel 14.1 -> 8.2 ms at M=50).
+  # the round-3 sliced + group-tiled pair enumeration (no per-shift
+  # roll, 5-member group re-use) lifted the headline again to ~1370 M
+  # stats/s (kernel 14.1 -> 6.9 ms at M=50).
   # Set WBX_NO_PALLAS=1 for the sort path. History: a Pallas bitonic SORT
   # kernel was tried in round 1 and removed (tied with XLA sort); the win
   # comes from abandoning sorting altogether — the half-pairwise sum is
