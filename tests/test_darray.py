@@ -61,6 +61,25 @@ class TestArithmetic:
     assert d.dims == ('y', 'x')
     np.testing.assert_allclose(d.values, (a.values * b.values[None, :]).T)
 
+  def test_shared_dim_size_mismatch_raises_named_error(self):
+    # Both extents >1 on a shared dim can never broadcast: the error must
+    # name the dim (not surface as a positional-shape TypeError from jax).
+    a = DimArray(np.zeros((2, 3)), ('x', 'y'))
+    b = DimArray(np.zeros((2, 4)), ('x', 'y'))
+    with pytest.raises(ValueError, match="'y'.*mismatched sizes 3 and 4"):
+      a + b
+    with pytest.raises(ValueError, match='mismatched sizes'):
+      a.where(b > 0)
+
+  def test_shared_dim_size_one_broadcasts(self):
+    # Documented divergence from xarray: a size-1 extent on a shared dim
+    # broadcasts (xarray refuses); relied on by keepdims-style reductions.
+    a = DimArray(np.arange(6.0).reshape(2, 3), ('x', 'y'))
+    b = DimArray(np.arange(3.0).reshape(1, 3), ('x', 'y'))
+    c = a + b
+    assert c.shape == (2, 3)
+    np.testing.assert_allclose(c.values, a.values + b.values)
+
   def test_disjoint_dims_outer(self):
     a = DimArray(np.arange(2.0), ('x',))
     b = DimArray(np.arange(3.0), ('y',))

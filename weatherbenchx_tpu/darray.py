@@ -113,6 +113,28 @@ def broadcast_dims(*dim_tuples: Sequence[str]) -> tuple[str, ...]:
   return tuple(out)
 
 
+def _check_shared_sizes(*operands) -> None:
+  """Raise a named-dim error when shared dims have incompatible extents.
+
+  Each operand is a ``(dims, shape)`` pair. Size-1 extents broadcast
+  against any size (a deliberate, documented divergence from xarray,
+  which refuses same-named dims of unequal length outright); two extents
+  both >1 can never be reconciled, and without this check they surface
+  as a raw positional-shape TypeError from jax deep inside the op.
+  """
+  sizes: dict[str, int] = {}
+  for dims, shape in operands:
+    for d, n in zip(dims, shape):
+      prev = sizes.get(d)
+      if prev is None or prev == 1:
+        sizes[d] = n
+      elif n != 1 and n != prev:
+        raise ValueError(
+            f'dimension {d!r} has mismatched sizes {prev} and {n}: '
+            'named-axis broadcasting requires equal (or size-1) extents '
+            'on shared dims')
+
+
 def _expand_to(data, dims: tuple[str, ...], out_dims: tuple[str, ...]):
   """Transpose+expand ``data`` with named ``dims`` to align with out_dims.
 
@@ -301,6 +323,9 @@ class DimArray:
     cond_da = cond if isinstance(cond, DimArray) else DimArray(cond)
     other_da = other if isinstance(other, DimArray) else DimArray(
         other if not _is_host_value(other) else np.asarray(other))
+    _check_shared_sizes((self.dims, self.shape),
+                        (cond_da.dims, cond_da.shape),
+                        (other_da.dims, other_da.shape))
     out_dims = broadcast_dims(self.dims, cond_da.dims, other_da.dims)
     x = _expand_to(jnp.asarray(self.data), self.dims, out_dims)
     c = _expand_to(jnp.asarray(cond_da.data), cond_da.dims, out_dims)
@@ -316,6 +341,8 @@ class DimArray:
 
   def _binary_op(self, other, op, reflexive=False) -> 'DimArray':
     if isinstance(other, DimArray):
+      _check_shared_sizes((self.dims, self.shape),
+                          (other.dims, other.shape))
       out_dims = broadcast_dims(self.dims, other.dims)
       a = _expand_to(jnp.asarray(self.data), self.dims, out_dims)
       b = _expand_to(jnp.asarray(other.data), other.dims, out_dims)
