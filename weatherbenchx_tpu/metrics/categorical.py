@@ -52,12 +52,24 @@ class FalseNegatives(base.PerVariableStatistic):
 class SEEPS(base.StatisticWithClimatology):
   """Stable Equitable Error in Probability Space (Rodwell et al. 2010).
 
-  Reference ``categorical.py:104-304``: precipitation is classified into
-  dry/light/heavy categories against a climatological wet threshold aligned
-  at each valid time; a 3×3 scoring matrix built from the climatological dry
-  fraction p1 scores the contingency; p1 outside [min_p1, max_p1] is masked
-  (requires masked=True aggregation). The category outer product and the
-  scoring contraction are pure jnp ops fusing into the aggregation einsum.
+  Spec: reference ``categorical.py:104-304`` — precipitation is classified
+  into dry/light/heavy categories against a climatological wet threshold
+  aligned at each valid time; a 3×3 scoring matrix built from the
+  climatological dry fraction p1 scores the (forecast, truth) category
+  pair; p1 outside [min_p1, max_p1] is masked (requires masked=True
+  aggregation).
+
+  The compute shape here is deliberately not the reference's: instead of
+  stacking per-category indicator arrays, forming the 9-cell contingency
+  outer product, and contracting it against a concatenated scoring-matrix
+  DataArray, the score is one fused elementwise pass — six boolean
+  category-pair selects, each multiplying its scoring-cell expression
+  (evaluated with the exact arithmetic of the reference's matrix entries,
+  so values stay bit-identical). No category axis, no concat/rename, no
+  contraction: a single VPU-friendly fusion with 1/9th the intermediate
+  footprint. Degenerate inputs keep reference semantics: a NaN wet
+  threshold leaves a non-dry point in no category (score contribution 0,
+  not NaN), and NaN precipitation poisons its gridpoint.
   """
 
   def __init__(
@@ -95,58 +107,51 @@ class SEEPS(base.StatisticWithClimatology):
     out = {}
     for variable, dry_mm, min_p1, max_p1 in zip(
         self._variables, self._dry_threshold_mm, self._min_p1, self._max_p1):
-      out[variable] = self._compute_seeps_per_variable(
+      out[variable] = self._scored_variable(
           predictions[variable], targets[variable], variable, dry_mm,
           min_p1, max_p1)
     return out
 
-  def _convert_precip_to_seeps_cat(
-      self, da: DimArray, wet_threshold: DimArray, dry_threshold_mm: float
-  ) -> DimArray:
-    """Stacks dry/light/heavy indicators along a category dim."""
-    dry_threshold = dry_threshold_mm / 1000.0  # SI units [meters]
-    dry = da <= dry_threshold
-    light = (da > dry_threshold) & (da < wet_threshold)
-    heavy = da >= wet_threshold
-    cats = darray.concat([dry, light, heavy], 'seeps_cat')
-    cats = cats.assign_coords(seeps_cat=Coord(
-        ('seeps_cat',), np.array(['dry', 'light', 'heavy'])))
-    # NaNs propagate as float.
-    return cats.where(~da.isnull())
+  @staticmethod
+  def _rain_bands(da: DimArray, wet: DimArray, dry_mm: float):
+    """(dry, light, heavy) boolean bands for one side.
 
-  def _compute_seeps_per_variable(
+    Bands follow the spec exactly: a NaN wet threshold puts a non-dry
+    point in NO band (comparisons with NaN are False), so its score
+    contribution is 0 rather than NaN — NaN data itself is poisoned
+    separately by the caller.
+    """
+    lo = dry_mm / 1000.0  # mm → SI meters
+    return da <= lo, (da > lo) & (da < wet), da >= wet
+
+  def _scored_variable(
       self, predictions: DimArray, targets: DimArray, variable: str,
-      dry_threshold_mm: float, min_p1: float, max_p1: float) -> DimArray:
-    wet_threshold = self.clim(f'{variable}_seeps_threshold')
-    wet_threshold_for_valid_time = base.aligned_climatology_for(
-        wet_threshold, predictions)
-
-    predictions_cat = self._convert_precip_to_seeps_cat(
-        predictions, wet_threshold_for_valid_time, dry_threshold_mm)
-    targets_cat = self._convert_precip_to_seeps_cat(
-        targets, wet_threshold_for_valid_time, dry_threshold_mm)
-
-    # Contingency outer product over (forecast_cat, truth_cat).
-    contingency = (predictions_cat.rename({'seeps_cat': 'forecast_cat'})
-                   * targets_cat.rename({'seeps_cat': 'truth_cat'}))
+      dry_mm: float, min_p1: float, max_p1: float) -> DimArray:
+    wet = base.aligned_climatology_for(
+        self.clim(f'{variable}_seeps_threshold'), predictions)
+    f_dry, f_light, f_heavy = self._rain_bands(predictions, wet, dry_mm)
+    t_dry, t_light, t_heavy = self._rain_bands(targets, wet, dry_mm)
 
     dry_fraction = self.clim(f'{variable}_seeps_dry_fraction')
     p1 = dry_fraction.mean(tuple(
         d for d in ('hour', 'dayofyear', 'time') if d in dry_fraction.dims))
 
-    # Scoring matrix (reference categorical.py:268-283), rows=forecast_cat,
-    # cols=truth_cat, scaled by 0.5.
-    zeros = darray.zeros_like(p1)
-    rows = [
-        [zeros, 1 / (1 - p1), 4 / (1 - p1)],
-        [1 / p1, zeros, 3 / (1 - p1)],
-        [1 / p1 + 3 / (2 + p1), 3 / (2 + p1), zeros],
-    ]
-    scoring = darray.concat(
-        [darray.concat(r, 'truth_cat') for r in rows], 'forecast_cat') * 0.5
+    # Fused select-sum over the six nonzero cells of the Rodwell scoring
+    # matrix (entry expressions verbatim from the spec so each selected
+    # value is bit-identical to the reference's matrix-then-dot route; at
+    # most one select fires per gridpoint, and halving afterwards is an
+    # exact fp op, so the order change is lossless).
+    score = 0.5 * (
+        (f_dry & t_light) * (1 / (1 - p1))
+        + (f_dry & t_heavy) * (4 / (1 - p1))
+        + (f_light & t_dry) * (1 / p1)
+        + (f_light & t_heavy) * (3 / (1 - p1))
+        + (f_heavy & t_dry) * (1 / p1 + 3 / (2 + p1))
+        + (f_heavy & t_light) * (3 / (2 + p1)))
 
-    result = darray.dot(contingency, scoring,
-                        dim=('forecast_cat', 'truth_cat'))
+    # NaN data poisons its own gridpoint (the reference routes this
+    # through float-NaN category stacks; here it is one explicit where).
+    result = score.where(~(predictions.isnull() | targets.isnull()))
 
     # Mask out p1 outside [min_p1, max_p1].
     mask = (p1 >= min_p1) & (p1 <= max_p1)
