@@ -78,6 +78,51 @@ class TestPairwiseSpreadSum:
     np.testing.assert_allclose(got, want, rtol=2e-5)
 
 
+class TestSpreadFormParity:
+  """Both kernel bodies (pair enumeration and bitonic/PWM sort) must agree.
+
+  ``_pairwise_spread_sum_impl`` is called directly (the public entry
+  caches its jitted trace per (interpret, ndim), so an env flip after
+  first use would silently keep the old form).
+  """
+
+  @pytest.mark.parametrize('m', [2, 3, 5, 8, 16, 24, 50])
+  def test_forms_agree_with_nan(self, m, monkeypatch):
+    rng = np.random.default_rng(m)
+    x = rng.normal(size=(m, 9, 130)).astype(np.float32)
+    x[m // 2, 3, 7] = np.nan  # poisoned gridpoint
+    want = np.abs(x[:, None] - x[None, :]).sum((0, 1))
+    outs = {}
+    for form in ('pairs', 'sort'):
+      monkeypatch.setenv('WBX_SPREAD_FORM', form)
+      outs[form] = np.asarray(crps_pairwise._pairwise_spread_sum_impl(
+          jnp.asarray(x), interpret=True))
+    for form, got in outs.items():
+      nan_mask = np.isnan(want)
+      assert np.isnan(got[nan_mask]).all(), form
+      np.testing.assert_allclose(got[~nan_mask], want[~nan_mask],
+                                 rtol=2e-5, atol=1e-4, err_msg=form)
+
+  def test_sort_form_pads_sort_above_reals(self, monkeypatch):
+    # Non-power-of-two m forces symbolic +inf pads; large magnitudes make
+    # a mis-sorted pad row give a wildly wrong weighted sum.
+    monkeypatch.setenv('WBX_SPREAD_FORM', 'sort')
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=(13, 8, 128)) * 1e6).astype(np.float32)
+    got = np.asarray(crps_pairwise._pairwise_spread_sum_impl(
+        jnp.asarray(x), interpret=True))
+    want = np.abs(x[:, None] - x[None, :]).sum((0, 1))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+  def test_env_override_selects_form(self, monkeypatch):
+    monkeypatch.setenv('WBX_SPREAD_FORM', 'sort')
+    assert crps_pairwise._spread_form(2) == 'sort'
+    monkeypatch.setenv('WBX_SPREAD_FORM', 'pairs')
+    assert crps_pairwise._spread_form(50) == 'pairs'
+    monkeypatch.delenv('WBX_SPREAD_FORM')
+    assert crps_pairwise._spread_form(2) == 'pairs'
+
+
 class TestShapeSweep:
   """Property sweep: odd ranks/extents around the tile boundaries."""
 
