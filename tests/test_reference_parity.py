@@ -2279,3 +2279,57 @@ class TestRandomizedConfigParity:
     rr = run_ref(ref, rm, ref_agg(ref, **r_kw), rp, rt)
     tv = run_tpu(tm, tpu_agg(**t_kw), tp, tt)
     compare_results(rr, tv)
+
+  @pytest.mark.parametrize('seed', range(8))
+  def test_random_seeps_config(self, ref, seed):
+    """Randomized SEEPS: thresholds × p1 bounds × NaNs × masked binning.
+
+    Separate seed space from test_random_config (SEEPS needs precip-like
+    inputs, a seeps climatology, and masked aggregation, so it can't share
+    the generic draw); guards the fused select-sum SEEPS against the
+    reference's matrix-then-dot route under random interactions.
+    """
+    r = np.random.default_rng(6000 + seed)
+
+    def precip(seed_):
+      v = grid_var(seed_, positive=True,
+                   scale=float(r.choice([0.0005, 0.002, 0.01])))
+      arr = v.arr.copy()
+      for _ in range(int(r.integers(0, 4))):
+        arr[int(r.integers(N_INIT)), int(r.integers(N_LEAD)),
+            int(r.integers(len(LATS))), int(r.integers(len(LONS)))] = np.nan
+      return Var(arr, v.dims)
+
+    rp, tp = both(ref, {'total_precipitation_24hr': precip(6100 + seed)})
+    rt, tt = both(ref, {'total_precipitation_24hr': precip(6200 + seed)})
+    thr = clim_var(6300 + seed, lo=0.0005, hi=0.004)
+    dfr = clim_var(6400 + seed, lo=0.01, hi=0.99)
+    r_clim = ref.xr.Dataset({
+        'total_precipitation_24hr_seeps_threshold': thr.to_ref(ref),
+        'total_precipitation_24hr_seeps_dry_fraction': dfr.to_ref(ref)})
+    t_clim = {
+        'total_precipitation_24hr_seeps_threshold': thr.to_tpu(),
+        'total_precipitation_24hr_seeps_dry_fraction': dfr.to_tpu()}
+    seeps_kw = dict(
+        variables=['total_precipitation_24hr'],
+        dry_threshold_mm=float(r.choice([0.1, 0.25, 1.0])),
+        min_p1=float(r.choice([0.05, 0.1, 0.3])),
+        max_p1=float(r.choice([0.7, 0.85, 0.95])))
+    rm = {'seeps': ref.categorical.SEEPS(climatology=r_clim, **seeps_kw)}
+    tm = {'seeps': t_categorical.SEEPS(climatology=t_clim, **seeps_kw)}
+
+    reduce = ['latitude', 'longitude']
+    if r.integers(2):
+      reduce.append('init_time')
+    kw = dict(reduce_dims=reduce, masked=True, skipna=bool(r.integers(2)))
+    r_kw, t_kw = dict(kw), dict(kw)
+    if r.integers(2):
+      regions = {'tropics': ((-20, 20), (0, 360)),
+                 'nh': ((20, 90), (0, 360))}
+      r_kw['bin_by'] = [ref.binning.Regions(regions=regions,
+                                            bin_dim_name='region')]
+      t_kw['bin_by'] = [t_binning.Regions(regions=regions,
+                                          bin_dim_name='region')]
+    rr = run_ref(ref, rm, ref_agg(ref, **r_kw), rp, rt)
+    tv = run_tpu(tm, tpu_agg(**t_kw), tp, tt)
+    compare_results(rr, tv)

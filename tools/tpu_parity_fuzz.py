@@ -43,12 +43,14 @@ def main():
   fuzz = parity.TestRandomizedConfigParity()
   t0 = time.perf_counter()
   failures = []
-  for seed in range(args.seeds):
-    try:
-      fuzz.test_random_config(ref, seed)
-    except Exception as e:  # noqa: BLE001 — collect, report, exit nonzero
-      failures.append({'seed': seed, 'error': f'{type(e).__name__}: '
-                       + str(e)[:300]})
+  for family, fn in (('config', fuzz.test_random_config),
+                     ('seeps', fuzz.test_random_seeps_config)):
+    for seed in range(args.seeds):
+      try:
+        fn(ref, seed)
+      except Exception as e:  # noqa: BLE001 — collect, report, exit nonzero
+        failures.append({'family': family, 'seed': seed,
+                         'error': f'{type(e).__name__}: ' + str(e)[:300]})
   print(json.dumps({
       'metric': 'tpu_parity_fuzz',
       'backend': jax.default_backend(),
