@@ -1,0 +1,92 @@
+"""A/B the CRPS spread kernel forms (pair enumeration vs bitonic/PWM sort).
+
+``ops/crps_pairwise.py`` carries two kernel bodies for the spread sum
+Σ_{i≠j}|x_i − x_j|: 'pairs' (O(m²) tile-ops, high ILP) and 'sort'
+(O(m log² m) tile-ops as a bitonic min/max network + order-statistic
+weighted sum). Which wins at which ensemble size is a hardware question;
+this tool measures both on the REAL backend at the production 0.25° block
+and prints ms/step per (m, form) so `_spread_form`'s default policy can be
+set from data.
+
+Methodology (see bench.py for the rationale):
+* data is generated on-device — no tunnel transfer in the timed region;
+* each measurement scans K perturbed steps inside ONE program — defeats
+  the tunnel's (program, args) memoization and amortizes dispatch;
+* a scalar is fetched to synchronize (block_until_ready does not wait on
+  the axon backend).
+
+Usage:
+  python tools/bench_spread_forms.py 50 24 16 8
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from weatherbenchx_tpu.ops import crps_pairwise as cp  # noqa: E402
+
+SHAPE = (4, 721, 1440)  # production 0.25° block: leads × lat × lon
+
+
+def make_fn(m, form, k_iters):
+  def body(x):
+    old = os.environ.get('WBX_SPREAD_FORM')
+    os.environ['WBX_SPREAD_FORM'] = form  # read at trace time
+    try:
+      return cp._pairwise_spread_sum_impl(x, interpret=False)
+    finally:
+      if old is None:
+        os.environ.pop('WBX_SPREAD_FORM', None)
+      else:
+        os.environ['WBX_SPREAD_FORM'] = old
+
+  @jax.jit
+  def run(seed):
+    x = jax.random.normal(jax.random.PRNGKey(0), (m,) + SHAPE, jnp.float32)
+
+    def step(carry, k):
+      y = body(x + (carry + k.astype(jnp.float32)) * 1e-6)
+      return carry + y[0, 0, 0], None
+
+    out, _ = lax.scan(step, seed, jnp.arange(k_iters, dtype=jnp.int32))
+    return out
+
+  return run
+
+
+def measure(m, form, k_iters=8, reps=3):
+  run = make_fn(m, form, k_iters)
+  t0 = time.perf_counter()
+  float(run(jnp.float32(0.0)))  # compile + 1st exec
+  compile_s = time.perf_counter() - t0
+  best = float('inf')
+  for r in range(reps):
+    t0 = time.perf_counter()
+    float(run(jnp.float32(r + 1.0)))
+    best = min(best, time.perf_counter() - t0)
+  return best / k_iters, compile_s
+
+
+def main():
+  z = jnp.ones((8, 128))
+  tiny = jax.jit(lambda a: a.sum())
+  float(tiny(z))  # warm the tunnel/compile path
+  lat = min(
+      (lambda t0: (float(tiny(z + i)), time.perf_counter() - t0)[1])(
+          time.perf_counter()) for i in range(5))
+  print(f'backend={jax.default_backend()} latency ~{lat*1e3:.1f} ms')
+  for m in (int(a) for a in sys.argv[1:] or ['50']):
+    for form in ('pairs', 'sort'):
+      dt, cs = measure(m, form)
+      print(f'm={m:3d} {form:5s}: {dt*1e3:8.2f} ms/step '
+            f'(compile+1st {cs:.1f}s)', flush=True)
+
+
+if __name__ == '__main__':
+  main()
