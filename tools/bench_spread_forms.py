@@ -17,6 +17,7 @@ Methodology (see bench.py for the rationale):
 
 Usage:
   python tools/bench_spread_forms.py 50 24 16 8
+  WBX_AB_BLOCKS=256,512 python tools/bench_spread_forms.py 50   # lane sweep
 """
 
 import os
@@ -81,11 +82,22 @@ def main():
       (lambda t0: (float(tiny(z + i)), time.perf_counter() - t0)[1])(
           time.perf_counter()) for i in range(5))
   print(f'backend={jax.default_backend()} latency ~{lat*1e3:.1f} ms')
+  blocks = [int(b) for b in os.environ.get('WBX_AB_BLOCKS', '').split(',')
+            if b.strip()]
+  orig_block_shape = cp._block_shape
   for m in (int(a) for a in sys.argv[1:] or ['50']):
     for form in ('pairs', 'sort'):
-      dt, cs = measure(m, form)
-      print(f'm={m:3d} {form:5s}: {dt*1e3:8.2f} ms/step '
-            f'(compile+1st {cs:.1f}s)', flush=True)
+      for bc in blocks or [None]:
+        if bc is not None:
+          cp._block_shape = lambda m_, r, c, _bc=bc: (
+              orig_block_shape(m_, r, c)[0], min(-(-c // 128) * 128, _bc))
+        try:
+          dt, cs = measure(m, form)
+        finally:
+          cp._block_shape = orig_block_shape
+        tag = f' bc={bc}' if bc is not None else ''
+        print(f'm={m:3d} {form:5s}{tag}: {dt*1e3:8.2f} ms/step '
+              f'(compile+1st {cs:.1f}s)', flush=True)
 
 
 if __name__ == '__main__':
