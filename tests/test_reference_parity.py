@@ -2281,6 +2281,52 @@ class TestRandomizedConfigParity:
     compare_results(rr, tv)
 
   @pytest.mark.parametrize('seed', range(8))
+  def test_random_spatial_rank_config(self, ref, seed):
+    """Randomized FSS + rank histogram: sizes × wrap × thresholds × NaNs.
+
+    FSS runs over binarized fields (random threshold), rank histogram over
+    NaN-free ensembles — NaN inputs are a documented divergence there (the
+    reference silently counts a missing target/member at a definite rank,
+    ``probabilistic.py:1205-1222``; this build NaN-poisons the gridpoint so
+    masked/skipna aggregation can exclude it). Both run under a random
+    reduce-dim subset, covering the convolution wrap seam and the rank
+    one-hot path that the generic draw never selects.
+    """
+    r = np.random.default_rng(7000 + seed)
+    thr = float(r.uniform(0.3, 0.7))
+
+    reduce = ['latitude', 'longitude']
+    if r.integers(2):
+      reduce.append('lead_time')
+
+    # FSS over binarized continuous fields.
+    pv = grid_var(7100 + seed)
+    tv = grid_var(7200 + seed)
+    rp, tp = both(ref, {'precip': Var(pv.arr > thr, pv.dims)})
+    rt, tt = both(ref, {'precip': Var(tv.arr > thr, tv.dims)})
+    sizes = sorted(int(s) for s in r.choice([1, 3, 5, 7], size=2,
+                                            replace=False))
+    wrap = bool(r.integers(2))
+    rm = {'fss': ref.spatial.FSS(neighborhood_size_in_pixels=sizes,
+                                 wrap_longitude=wrap)}
+    tm = {'fss': t_spatial.FSS(neighborhood_size_in_pixels=sizes,
+                               wrap_longitude=wrap)}
+    rr = run_ref(ref, rm, ref_agg(ref, reduce_dims=reduce), rp, rt)
+    tv_ = run_tpu(tm, tpu_agg(reduce_dims=reduce), tp, tt)
+    compare_results(rr, tv_)
+
+    # Rank histogram (NaN-free: see docstring) with random skipna.
+    rp, tp = both(ref, {'2m_temperature': grid_var(7300 + seed, ens=True)})
+    rt, tt = both(ref, {'2m_temperature': grid_var(7400 + seed)})
+    skipna = bool(r.integers(2))
+    rm = {'rank_histogram': ref.probabilistic.RankHistogram()}
+    tm = {'rank_histogram': t_probabilistic.RankHistogram()}
+    rr = run_ref(ref, rm, ref_agg(ref, reduce_dims=reduce, skipna=skipna),
+                 rp, rt)
+    tv_ = run_tpu(tm, tpu_agg(reduce_dims=reduce, skipna=skipna), tp, tt)
+    compare_results(rr, tv_)
+
+  @pytest.mark.parametrize('seed', range(8))
   def test_random_seeps_config(self, ref, seed):
     """Randomized SEEPS: thresholds × p1 bounds × NaNs × masked binning.
 
