@@ -44,7 +44,8 @@ def main():
   t0 = time.perf_counter()
   failures = []
   for family, fn in (('config', fuzz.test_random_config),
-                     ('seeps', fuzz.test_random_seeps_config)):
+                     ('seeps', fuzz.test_random_seeps_config),
+                     ('spatial_rank', fuzz.test_random_spatial_rank_config)):
     for seed in range(args.seeds):
       try:
         fn(ref, seed)
