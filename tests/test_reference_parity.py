@@ -2281,6 +2281,75 @@ class TestRandomizedConfigParity:
     compare_results(rr, tv)
 
   @pytest.mark.parametrize('seed', range(8))
+  def test_random_wrapper_config(self, ref, seed):
+    """Randomized wrapper chains: transform params × base metric × agg mode.
+
+    Chains are drawn from a type-safe pool (each produces inputs its base
+    metric accepts): ensemble-mean, ensemble-quantiles, Weibull→binary
+    Brier, and binned RPS. Inputs stay NaN-free — NaN interaction with
+    each wrapper is pinned one at a time by the fixed tests.
+    """
+    r = np.random.default_rng(8000 + seed)
+    rp, tp = both(ref, {'2m_temperature': grid_var(8100 + seed, ens=True)})
+    rt, tt = both(ref, {'2m_temperature': grid_var(8200 + seed)})
+
+    base = str(r.choice(['rmse', 'mae', 'mse', 'bias']))
+    r_base = {'rmse': ref.deterministic.RMSE, 'mae': ref.deterministic.MAE,
+              'mse': ref.deterministic.MSE, 'bias': ref.deterministic.Bias}
+    t_base = {'rmse': t_deterministic.RMSE, 'mae': t_deterministic.MAE,
+              'mse': t_deterministic.MSE, 'bias': t_deterministic.Bias}
+    chain = str(r.choice(['mean', 'quantiles', 'weibull', 'rps']))
+    if chain == 'mean':
+      rm = {'m': ref.wrappers.WrappedMetric(r_base[base](), [
+          ref.wrappers.EnsembleMean(which='predictions',
+                                    ensemble_dim='number')])}
+      tm = {'m': t_wrappers.WrappedMetric(t_base[base](), [
+          t_wrappers.EnsembleMean(which='predictions',
+                                  ensemble_dim='number')])}
+    elif chain == 'quantiles':
+      q = sorted(float(x) for x in r.choice(
+          [0.1, 0.25, 0.5, 0.75, 0.9], size=int(r.integers(1, 4)),
+          replace=False))
+      rm = {'m': ref.wrappers.WrappedMetric(r_base[base](), [
+          ref.wrappers.EnsembleQuantiles(which='predictions', quantiles=q,
+                                         ensemble_dim='number')])}
+      tm = {'m': t_wrappers.WrappedMetric(t_base[base](), [
+          t_wrappers.EnsembleQuantiles(which='predictions', quantiles=q,
+                                       ensemble_dim='number')])}
+    elif chain == 'weibull':
+      thr = [round(float(r.uniform(0.2, 0.8)), 3)]
+      rm = {'m': ref.wrappers.WrappedMetric(ref.deterministic.MSE(), [
+          ref.wrappers.WeibullEnsembleToProbabilistic(
+              which='predictions', ensemble_dim='number'),
+          ref.wrappers.ContinuousToBinary(
+              which='both', threshold_value=thr,
+              threshold_dim='threshold')])}
+      tm = {'m': t_wrappers.WrappedMetric(t_deterministic.MSE(), [
+          t_wrappers.WeibullEnsembleToProbabilistic(
+              which='predictions', ensemble_dim='number'),
+          t_wrappers.ContinuousToBinary(
+              which='both', threshold_value=thr,
+              threshold_dim='threshold')])}
+    else:
+      bins = np.sort(r.uniform(0.1, 0.9, size=int(r.integers(2, 5))))
+      rm = {'m': ref.probabilistic.EnsembleRankedProbabilityScore(
+          prediction_bin_thresholds=bins, target_bin_thresholds=bins,
+          bin_dim='rps_bin', unique_name_suffix='fuzz')}
+      tm = {'m': t_probabilistic.EnsembleRankedProbabilityScore(
+          prediction_bin_thresholds=bins, target_bin_thresholds=bins,
+          bin_dim='rps_bin', unique_name_suffix='fuzz')}
+
+    reduce = ['latitude', 'longitude']
+    if r.integers(2):
+      reduce.append('init_time')
+    kw = dict(reduce_dims=reduce)
+    if not r.integers(2):
+      kw['weigh_by'] = []
+    rr = run_ref(ref, rm, ref_agg(ref, **dict(kw)), rp, rt)
+    tv = run_tpu(tm, tpu_agg(**dict(kw)), tp, tt)
+    compare_results(rr, tv)
+
+  @pytest.mark.parametrize('seed', range(8))
   def test_random_spatial_rank_config(self, ref, seed):
     """Randomized FSS + rank histogram: sizes × wrap × thresholds × NaNs.
 

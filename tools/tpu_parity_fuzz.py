@@ -45,7 +45,8 @@ def main():
   failures = []
   for family, fn in (('config', fuzz.test_random_config),
                      ('seeps', fuzz.test_random_seeps_config),
-                     ('spatial_rank', fuzz.test_random_spatial_rank_config)):
+                     ('spatial_rank', fuzz.test_random_spatial_rank_config),
+                     ('wrappers', fuzz.test_random_wrapper_config)):
     for seed in range(args.seeds):
       try:
         fn(ref, seed)
