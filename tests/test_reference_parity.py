@@ -2057,6 +2057,74 @@ class TestSparseParquetParity:
     t = t_sparse.SparseObservationsFromParquet(**base_kw)
     return r, t
 
+  @pytest.mark.parametrize('seed', range(8))
+  def test_random_sparse_config(self, ref, seed, tmp_path):
+    """Randomized sparse draws: stations × jitter × dups × NaN × tolerance.
+
+    Each seed writes a fresh parquet store (random station count, obs-time
+    jitter, duplicate probability, NaN probability, rows straddling a
+    month-partition boundary) and loads a random (init, lead) chunk with a
+    random tolerance / dropna / remove_duplicates configuration through
+    both the actual reference loader and ours.
+    """
+    import pandas as pd
+    r = np.random.default_rng(9000 + seed)
+    n_st = int(r.integers(3, 9))
+    dup_p, nan_p = float(r.random() * 0.4), float(r.random() * 0.3)
+    times = np.arange('2020-01-30T00', '2020-02-02T00',
+                      np.timedelta64(6, 'h'), dtype='datetime64[ns]')
+    rows = []
+    for t in times:
+      for s in range(n_st):
+        off = np.timedelta64(int(r.integers(-50, 50)), 'm')
+        rows.append({
+            'timeNominal': pd.Timestamp(t),
+            'timeObs': pd.Timestamp(t + off),
+            'stationName': f'ST{s}',
+            'latitude': float(r.uniform(-85, 85)),
+            'longitude': float(r.uniform(-180, 180)),
+            'temperature': (np.nan if r.random() < nan_p
+                            else float(270 + r.standard_normal())),
+        })
+        if r.random() < dup_p:
+          rows.append(dict(
+              rows[-1],
+              timeObs=pd.Timestamp(t + off + np.timedelta64(
+                  int(r.integers(52, 70)), 'm')),
+              temperature=float(250 + r.standard_normal())))
+    df = pd.DataFrame(rows)
+    path = str(tmp_path / 'obs')
+    for (y, mo), g in df.groupby([df.timeNominal.dt.year,
+                                  df.timeNominal.dt.month]):
+      fn = os.path.join(path, f'year={y}', f'month={mo}',
+                        f'{y}-{str(mo).zfill(2)}.parquet')
+      os.makedirs(os.path.dirname(fn), exist_ok=True)
+      g.to_parquet(fn)
+
+    kw = dict(dropna=bool(r.integers(2)))
+    if r.integers(2):
+      kw['tolerance'] = np.timedelta64(int(r.integers(10, 80)), 'm')
+    if r.integers(2):
+      kw.update(remove_duplicates=True,
+                pick_closest_duplicate_by='timeObs',
+                observation_dim='stationName',
+                coordinate_variables=['latitude', 'longitude',
+                                      'stationName', 'timeObs'])
+    r_loader, t_loader = self._loaders(ref, path, **kw)
+    init = np.array(['2020-01-30T12', '2020-01-31T00'],
+                    dtype='datetime64[ns]')[:int(r.integers(1, 3))]
+    # Leads reach across the month-partition boundary.
+    lead = (np.array([6, 30], dtype='timedelta64[h]')
+            .astype('timedelta64[ns]')[:int(r.integers(1, 3))])
+    with _shim_as_xarray(ref):
+      rc = r_loader.load_chunk(init, lead)
+    tc = t_loader.load_chunk(init, lead)
+    coords = ['latitude', 'longitude', 'stationName', 'valid_time',
+              'init_time', 'lead_time']
+    if 'timeObs' in kw.get('coordinate_variables', ()):
+      coords.append('timeObs')
+    self._compare_chunk(dict(rc), tc, coords=tuple(coords))
+
   def test_exact_leads(self, ref, tmp_path):
     path = _sparse_parquet_fixture(tmp_path, with_duplicates=False)
     r_loader, t_loader = self._loaders(ref, path)
