@@ -1796,6 +1796,42 @@ class TestInterpolationParity:
         extrapolate_out_of_bounds=extrap).interpolate_data_array(v.to_tpu())
     compare_da(r, t, check_coords=('latitude', 'longitude'))
 
+  @pytest.mark.parametrize('seed', range(8))
+  def test_random_interp_config(self, ref, seed):
+    """Randomized fixed-coords interpolation: method × wrap × extrap × NaN.
+
+    Targets mix off-grid points, exact grid hits, the 0/360 wrap seam, and
+    out-of-bounds rows; the source field carries random NaNs so linear
+    weights and nearest picks must propagate them identically.
+    """
+    from weatherbenchx_tpu import interpolations as t_interp
+    r = np.random.default_rng(9500 + seed)
+    nan_at = tuple(
+        (int(r.integers(N_INIT)), int(r.integers(N_LEAD)),
+         int(r.integers(len(LATS))), int(r.integers(len(LONS))))
+        for _ in range(int(r.integers(0, 4))))
+    v = grid_var(9600 + seed, nan_at=nan_at)
+    method = str(r.choice(['linear', 'nearest']))
+    wrap = bool(r.integers(2))
+    extrap = bool(r.integers(2))
+    tgt_lat = np.sort(np.concatenate([
+        r.uniform(-95, 95, 9),
+        r.choice(LATS, 2, replace=False),      # exact grid hits
+    ]))
+    tgt_lon = np.sort(np.concatenate([
+        r.uniform(0, 360, 13),
+        [0.25, 359.9],                          # wrap seam neighborhood
+    ]))
+    coords = {'latitude': tgt_lat, 'longitude': tgt_lon}
+    rr = ref.interpolations.InterpolateToFixedCoords(
+        method=method, coords=coords, wrap_longitude=wrap,
+        extrapolate_out_of_bounds=extrap).interpolate_data_array(
+            v.to_ref(ref))
+    tt = t_interp.InterpolateToFixedCoords(
+        method=method, coords=coords, wrap_longitude=wrap,
+        extrapolate_out_of_bounds=extrap).interpolate_data_array(v.to_tpu())
+    compare_da(rr, tt, check_coords=('latitude', 'longitude'))
+
   def test_interpolate_to_reference_coords_regrid(self, ref):
     from weatherbenchx_tpu import interpolations as t_interp
     v = grid_var(13)
