@@ -120,7 +120,11 @@ class TestSpreadFormParity:
     monkeypatch.setenv('WBX_SPREAD_FORM', 'pairs')
     assert crps_pairwise._spread_form(50) == 'pairs'
     monkeypatch.delenv('WBX_SPREAD_FORM')
+    # Measured v5e policy: sort at m >= 20, pairs below.
     assert crps_pairwise._spread_form(2) == 'pairs'
+    assert crps_pairwise._spread_form(16) == 'pairs'
+    assert crps_pairwise._spread_form(20) == 'sort'
+    assert crps_pairwise._spread_form(50) == 'sort'
 
 
 class TestShapeSweep:

@@ -140,10 +140,14 @@ class Var:
     self.dims = tuple(dims)
 
   def _coord_values(self, d):
+    if d == 'number':
+      # Sized from the data so fixtures can use non-default member counts
+      # (e.g. m >= 20, which selects the bitonic/PWM sort kernel body).
+      return np.arange(self.arr.shape[self.dims.index('number')])
     return {
         'init_time': INIT_TIMES, 'lead_time': LEAD_TIMES, 'level': LEVELS,
         'latitude': LATS, 'longitude': LONS,
-        'number': np.arange(N_ENS), 'number2': np.arange(5),
+        'number2': np.arange(5),
         'hour': CLIM_HOURS, 'dayofyear': CLIM_DOYS,
     }[d]
 
@@ -356,6 +360,41 @@ class TestProbabilisticParity:
     }
     r = run_ref(ref, r_metrics, ref_agg(ref), rp, rt)
     t = run_tpu(t_metrics, tpu_agg(), tp, tt)
+    compare_results(r, t)
+
+  def test_crps_large_ensemble_sort_kernel_body(self, ref, monkeypatch):
+    # m=24 selects the bitonic/PWM sort body of the Pallas spread kernel
+    # (ops/crps_pairwise.py _spread_form: sort at m >= 20); run it via the
+    # Pallas interpreter against the actual reference, with NaN'd members
+    # and a masked/binned aggregation, so the production kernel body is
+    # parity-covered and not just the small-m pairs body.
+    m = 24
+    arr = _rng(48).random((N_INIT, N_LEAD, m, len(LATS), len(LONS)),
+                          dtype=np.float32)
+    arr[1, 2, 11, 3, 7] = np.nan  # one poisoned gridpoint
+    variables = {'2m_temperature': Var(
+        arr, ('init_time', 'lead_time', 'number', 'latitude', 'longitude'))}
+    tvars = {'2m_temperature': grid_var(49)}
+    rp, tp = both(ref, variables)
+    rt, tt = both(ref, tvars)
+    monkeypatch.setenv('WBX_PALLAS_INTERPRET', '1')
+    r_metrics = {
+        'crps': ref.probabilistic.CRPSEnsemble(use_sort=True),
+        'spread_skill': ref.probabilistic.UnbiasedSpreadSkillRatio(),
+    }
+    t_metrics = {
+        'crps': t_probabilistic.CRPSEnsemble(use_sort=True),
+        'spread_skill': t_probabilistic.UnbiasedSpreadSkillRatio(),
+    }
+    regions = {'tropics': ((-20, 20), (0, 360)), 'nh': ((20, 90), (0, 360))}
+    r = run_ref(ref, r_metrics,
+                ref_agg(ref, bin_by=[ref.binning.Regions(
+                    regions=regions, bin_dim_name='region')], skipna=True),
+                rp, rt)
+    t = run_tpu(t_metrics,
+                tpu_agg(bin_by=[t_binning.Regions(
+                    regions=regions, bin_dim_name='region')], skipna=True),
+                tp, tt)
     compare_results(r, t)
 
   def test_rank_histogram(self, ref):

@@ -214,10 +214,11 @@ class CRPSSpread(base.PerVariableStatistic):
         and os.environ.get('WBX_NO_PALLAS', '0') != '1'
         and (interpret
              or crps_pairwise.supported(int(n_ensemble), da.dtype))):
-      # TPU fast path: Pallas pairwise kernel, VMEM-resident ensemble
-      # block, ~3× the sort/PWM form at M=50 (see ops/crps_pairwise.py).
-      # Numerically the same estimator to fp tolerance, so both use_sort
-      # settings take it.
+      # TPU fast path: Pallas spread kernel on a VMEM-resident ensemble
+      # block — ~5× XLA's lax.sort form at M=50. The kernel itself picks
+      # pair enumeration or an in-kernel bitonic/PWM sort body by M (see
+      # ops/crps_pairwise.py). Numerically the same estimator to fp
+      # tolerance, so both use_sort settings take it.
       m = int(n_ensemble)
       order = [self._ensemble_dim] + [
           d for d in da.dims if d != self._ensemble_dim]

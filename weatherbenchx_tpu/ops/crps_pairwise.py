@@ -3,12 +3,15 @@
 The reference offers two spread estimators (``probabilistic.py:148-247``):
 the O(M²) pairwise form and the O(M log M) Zamo & Naveau sort/PWM form, and
 uses the sort form in production because on CPU the pairwise form is
-hopeless. On TPU the trade inverts at production ensemble sizes: XLA's sort
-is a deep compare-exchange network (measured 43 ms/step at M=50 over
-4×721×1440 gridpoints on a v5e chip), while the pairwise sum is pure
-elementwise VPU work on a VMEM-resident member block (6.9 ms/step; an
-earlier pltpu.roll-based half-pairwise variant measured 14 ms, and an
-ungrouped slice enumeration 8.2 ms).
+hopeless. On TPU, XLA's ``lax.sort`` lowering is hopeless instead (43
+ms/step at M=50 over 4×721×1440 gridpoints on a v5e chip) — but BOTH
+estimator forms work well as Pallas kernels on a VMEM-resident member
+block, and the kernel picks per M (``_spread_form``): an in-kernel
+statically-unrolled bitonic network + PWM weighted sum at M≥20 (8.4
+ms/step at M=50), pair enumeration below (where the O(M²) pair count is
+still small). Earlier iterations of the pairs body: pltpu.roll
+half-pairwise 14 ms → ungrouped slice enumeration 8.2 ms → group-tiled
+6.9–9.2 ms (run-to-run tunnel spread).
 
 Kernel shape: the ensemble axis is the leading (outermost) block axis; the
 trailing two data axes are tiled into (sublane, lane) VMEM blocks and any
@@ -70,8 +73,13 @@ def _spread_form(m: int) -> str:
 
   The pair-enumeration form does O(m²) tile-ops with high ILP; the
   bitonic/PWM sort form does O(m log² m) tile-ops but as a deep
-  dependency chain of min/max rounds. Which wins at which m is a
-  hardware question — default stays 'pairs' until the v5e A/B lands.
+  dependency chain of min/max rounds. Measured on v5e at the production
+  0.25° block (tools/bench_spread_forms.py, two independent runs):
+  sort wins at m=50 (8.4 vs 9.2 ms/step), m=24 (5.5 vs 5.8) and m=20
+  (4.8 vs 5.1); ties at m=32 (network pads 50→64 but 24→32, so the
+  padded network size, not m itself, sets the sort cost); pairs wins
+  narrowly at m≤16 (4.6 vs 4.7 at 16, 3.6 vs 3.7 at 8) where the O(m²)
+  pair count is still small. Crossover set at m=20.
   ``WBX_SPREAD_FORM`` overrides for A/B runs (read at trace time —
   already-jitted callers keep their traced form).
   """
@@ -79,7 +87,7 @@ def _spread_form(m: int) -> str:
   form = os.environ.get('WBX_SPREAD_FORM', '')
   if form in ('pairs', 'sort'):
     return form
-  return 'pairs'
+  return 'sort' if m >= 20 else 'pairs'
 
 
 def _spread_group(m: int) -> int:
