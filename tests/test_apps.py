@@ -704,6 +704,65 @@ class TestSinglePassStatsSink:
     assert np.isfinite(np.asarray(da.values)).all()
 
 
+class TestZarrChunksRechunk:
+  """Output store chunking decoupled from the compute chunking
+  (reference beam_pipeline.py:671-677 xbeam.Rechunk zarr_chunks analog)."""
+
+  def _run(self, tmp_path, name, init_cc, lead_cc, zarr_chunks):
+    ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
+    metrics = {'rmse': deterministic.RMSE()}
+    times = tc.TimeChunks(init, lead, init_time_chunk_size=init_cc,
+                          lead_time_chunk_size=lead_cc)
+    out = unaggregated.define_unaggregated_pipeline(
+        metrics,
+        loaders.PredictionsFromDataset(path=ppath,
+                                       variables=['2m_temperature']),
+        loaders.TargetsFromDataset(path=tpath,
+                                   variables=['2m_temperature']),
+        times, out_path=str(tmp_path / name), zarr_chunks=zarr_chunks)
+    return out, unaggregated.load_unaggregated(out)[
+        'SquaredError.2m_temperature']
+
+  @pytest.mark.parametrize('init_cc,lead_cc,zc', [
+      # zarr chunks LARGER than the compute grid (incl. ragged tails on
+      # both axes: 8 inits in compute chunks of 3, cells of 4; 4 leads in
+      # compute chunks of 2, cells of 3).
+      (3, 2, {'init_time': 4, 'lead_time': 3}),
+      # zarr chunks SMALLER than (and dividing) the compute chunks.
+      (4, 4, {'init_time': 2, 'lead_time': 1}),
+      # not aligned in either direction: compute 3 vs output 2.
+      (3, 4, {'init_time': 2}),
+      # one big output chunk per axis (the year-of-init_chunk=1 fix shape).
+      (1, 2, {'init_time': 8, 'lead_time': 4}),
+  ])
+  def test_values_match_identity_chunking(self, tmp_path, init_cc, lead_cc,
+                                          zc):
+    import json
+    out, da = self._run(tmp_path, 'rechunked.zarr', init_cc, lead_cc, zc)
+    _, ref = self._run(tmp_path, 'identity.zarr', init_cc, lead_cc, None)
+    np.testing.assert_array_equal(
+        np.asarray(da.values),
+        np.asarray(ref.transpose(*da.dims).values))
+    zarray = json.load(open(
+        os.path.join(out, 'SquaredError.2m_temperature', '.zarray')))
+    dims = list(da.dims)
+    for d, c in zc.items():
+      assert zarray['chunks'][dims.index(d)] == c, (d, zarray['chunks'])
+
+  def test_distributed_requires_dividing_chunks(self, tmp_path):
+    ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
+    times = tc.TimeChunks(init, lead, init_time_chunk_size=3,
+                          lead_time_chunk_size=2)
+    with pytest.raises(ValueError, match='divide the compute chunk'):
+      unaggregated.ZarrStatsStore(
+          times, str(tmp_path / 'd.zarr'), distributed=True,
+          zarr_chunks={'init_time': 4})
+    # Dividing output chunks are fine under distributed ownership.
+    unaggregated.ZarrStatsStore(
+        times, str(tmp_path / 'ok.zarr'), distributed=True,
+        zarr_chunks={'lead_time': 1})
+
+
 def test_finalize_noop_on_chunkless_rerun(tmp_path):
   """A rerun that wrote no chunks must not clobber a complete store's
   consolidated metadata (checkpoint-resume of a finished run)."""

@@ -13,6 +13,7 @@ statistics that don't fit a fixed grid.
 """
 
 import dataclasses
+import itertools
 import json
 import os
 from typing import Hashable, Mapping, Optional
@@ -47,7 +48,8 @@ class ZarrStatsStore:
 
   def __init__(self, times: time_chunks_lib.TimeChunks, path: str,
                compressor: Optional[str] = None,
-               distributed: bool = False) -> None:
+               distributed: bool = False,
+               zarr_chunks: Optional[Mapping[str, int]] = None) -> None:
     if isinstance(times.lead_times, slice):
       raise ValueError(
           'Zarr unaggregated output needs exact lead_times: a lead '
@@ -59,9 +61,29 @@ class ZarrStatsStore:
     self._init_chunk = times.init_time_chunk_size
     self._lead_chunk = (times.lead_time_chunk_size
                         or max(len(times.lead_times), 1))
+    # Output (store) chunking decoupled from the COMPUTE chunking — the
+    # reference rechunks per-chunk statistics to user-chosen zarr chunks
+    # before writing (beam_pipeline.py:671-677, xbeam.Rechunk(...
+    # zarr_chunks ...)). Without this, init_chunk=1 runs write one-init
+    # zarr chunks: pathological for downstream readers. Compute blocks
+    # whose extent doesn't cover a whole output cell are assembled in
+    # host-side buffers and flushed when the cell completes.
+    self._zarr_chunks = {k: int(v) for k, v in (zarr_chunks or {}).items()}
+    if distributed:
+      for d, cc in (('init_time', self._init_chunk),
+                    ('lead_time', self._lead_chunk)):
+        zc = self._zarr_chunks.get(d)
+        if zc is not None and (zc > cc or cc % zc != 0):
+          raise ValueError(
+              f'distributed zarr output needs zarr_chunks[{d!r}]={zc} to '
+              f'divide the compute chunk size {cc}: otherwise one output '
+              'cell spans compute chunks owned by different processes and '
+              'no single process can assemble it')
     self._compressor = compressor
     self._distributed = distributed
     self._writers: dict[str, zarr_io.ZarrArrayWriter] = {}
+    # (key, cell) -> [partial ndarray buffer, covered element count]
+    self._buffers: dict = {}
     self._coord_arrays: dict[str, Coord] = {}
     self._coord_meta: dict[str, dict] = {}
     # Coordinate arrays are written EAGERLY (here and in _make_writer), not
@@ -72,19 +94,23 @@ class ZarrStatsStore:
     self._write_coord('init_time', Coord(('init_time',), self._init_times))
     self._write_coord('lead_time', Coord(('lead_time',), self._lead_times))
 
+  def _out_chunk(self, dim: str, default: int) -> int:
+    return self._zarr_chunks.get(dim, default)
+
   def _write_coord(self, cname: str, c: Coord) -> None:
     self._coord_meta.update(zarr_io._write_array(
         self._path, cname, np.asarray(c.values), c.dims,
-        [self._init_chunk if d == 'init_time' else
-         self._lead_chunk if d == 'lead_time' else s
+        [self._out_chunk(d, self._init_chunk) if d == 'init_time' else
+         self._out_chunk(d, self._lead_chunk) if d == 'lead_time' else
+         self._out_chunk(d, s)
          for d, s in zip(c.dims, np.shape(c.values))]))
 
   def _full_size(self, dim: str, chunk_size: int) -> tuple[int, int]:
     if dim == 'init_time':
-      return len(self._init_times), self._init_chunk
+      return len(self._init_times), self._out_chunk(dim, self._init_chunk)
     if dim == 'lead_time':
-      return len(self._lead_times), self._lead_chunk
-    return chunk_size, chunk_size
+      return len(self._lead_times), self._out_chunk(dim, self._lead_chunk)
+    return chunk_size, self._out_chunk(dim, chunk_size)
 
   def _make_writer(self, key: str, da: DimArray) -> zarr_io.ZarrArrayWriter:
     if da.has_coord('mask'):
@@ -118,26 +144,68 @@ class ZarrStatsStore:
   def write_chunk(self, i: int,
                   offsets: time_chunks_lib.TimeChunkOffsets,
                   flat_stats: Mapping[str, DimArray]) -> None:
-    """Writes one chunk's '<stat>.<var>' arrays into their grid cells."""
+    """Scatters one compute chunk's '<stat>.<var>' arrays into the store.
+
+    Output cells fully covered by this block are written immediately; cells
+    straddling compute-chunk boundaries (zarr_chunks larger than / not
+    aligned to the compute grid) accumulate in host buffers until complete
+    (the in-process analog of the reference's xbeam.Rechunk shuffle,
+    beam_pipeline.py:671-677).
+    """
     for key, da in flat_stats.items():
       if key not in self._writers:
         self._writers[key] = self._make_writer(key, da)
       w = self._writers[key]
-      cell = []
-      for d, n in zip(da.dims, da.shape):
+      starts = []
+      for ax, (d, n) in enumerate(zip(da.dims, da.shape)):
         if d == 'init_time':
-          cell.append(offsets.init_time // self._init_chunk)
+          starts.append(offsets.init_time)
         elif d == 'lead_time':
-          cell.append(offsets.lead_time // self._lead_chunk)
+          starts.append(offsets.lead_time)
         else:
-          cell.append(0)
-          if n != w.shape[da.dims.index(d)]:
+          starts.append(0)
+          if n != w.shape[ax]:
             raise ValueError(
                 f'{key}: dim {d!r} is {n} in chunk {i} but {w.shape} in '
                 'the template; only init_time/lead_time may vary across '
                 'chunks in zarr mode (use the shard-directory mode for '
                 'ragged statistics)')
-      w.write_block(cell, np.asarray(da.values))
+      self._scatter(key, w, starts, np.asarray(da.values))
+
+  def _scatter(self, key: str, w: zarr_io.ZarrArrayWriter,
+               starts: list, vals: np.ndarray) -> None:
+    grid_ranges = []
+    for ax, (st, n) in enumerate(zip(starts, vals.shape)):
+      c = w.chunks[ax]
+      grid_ranges.append(range(st // c, (st + max(n, 1) - 1) // c + 1))
+    for cell in itertools.product(*grid_ranges):
+      in_vals, in_buf, cell_shape = [], [], []
+      full_cover = True
+      for ax, ci in enumerate(cell):
+        c = w.chunks[ax]
+        cs, ce = ci * c, min((ci + 1) * c, w.shape[ax])
+        s0 = max(cs, starts[ax])
+        s1 = min(ce, starts[ax] + vals.shape[ax])
+        in_vals.append(slice(s0 - starts[ax], s1 - starts[ax]))
+        in_buf.append(slice(s0 - cs, s1 - cs))
+        cell_shape.append(ce - cs)
+        if s0 != cs or s1 != ce:
+          full_cover = False
+      sub = vals[tuple(in_vals)]
+      if full_cover:
+        w.write_block(cell, sub)
+        continue
+      bkey = (key, cell)
+      if bkey not in self._buffers:
+        buf = np.full(cell_shape,
+                      np.nan if w.dtype.kind == 'f' else 0, dtype=w.dtype)
+        self._buffers[bkey] = [buf, 0]
+      entry = self._buffers[bkey]
+      entry[0][tuple(in_buf)] = sub
+      entry[1] += sub.size  # TimeChunks tiles disjointly: no double count
+      if entry[1] >= int(np.prod(cell_shape)):
+        w.write_block(cell, entry[0])
+        del self._buffers[bkey]
 
   def finalize(self) -> str:
     """Writes coordinates + consolidated metadata; returns the path.
@@ -146,6 +214,12 @@ class ZarrStatsStore:
     store; coordinates/metadata are identical everywhere, so process 0
     writes them after a barrier ensures all cells are on disk.
     """
+    # Incomplete output cells (chunks dropped by skip_failed, or a ragged
+    # coverage pattern) are flushed as-is: the uncovered region keeps the
+    # store's fill value, matching the skip-failed contract.
+    for (key, cell), (buf, _) in list(self._buffers.items()):
+      self._writers[key].write_block(cell, buf)
+    self._buffers.clear()
     if self._distributed and jax.process_count() > 1:
       from jax.experimental import multihost_utils
       multihost_utils.sync_global_devices('wbx_unaggregated_zarr_cells')
@@ -201,6 +275,9 @@ class UnaggregatedPipeline:
   dim_to_axis: Optional[Mapping[str, str]] = None
   distributed: bool = False
   compressor: Optional[str] = None  # zarr cells: None/'zlib'/'zstd'/'blosc'
+  # Output store chunk sizes per dim (e.g. {'init_time': 64}); defaults to
+  # the compute chunking. The reference's xbeam.Rechunk zarr_chunks analog.
+  zarr_chunks: Optional[Mapping[str, int]] = None
   # Transient-failure policy for chunk loads (see pipeline.RetryPolicy).
   # With ``skip_failed`` a dropped chunk's cells keep the store's fill
   # value (NaN) and are listed in ``failed_chunks`` after the run.
@@ -268,7 +345,8 @@ class UnaggregatedPipeline:
     """One zarr chunk per (TimeChunk, variable): no rechunk shuffle."""
     store = ZarrStatsStore(self.times, self.out_path,
                            compressor=self.compressor,
-                           distributed=self.distributed)
+                           distributed=self.distributed,
+                           zarr_chunks=self.zarr_chunks)
     for i, offsets, (predictions, targets) in self._stream():
       store.write_chunk(i, offsets,
                         self._chunk_stats(predictions, targets))
