@@ -48,6 +48,11 @@ pytestmark = pytest.mark.skipif(
     reason='upstream reference tree not available')
 
 _REF_CACHE = []
+# Shim module objects (xarray/arch) captured at first import so that later
+# re-installs (tests/test_upstream_suite.py) reuse the SAME class objects the
+# reference modules captured — a second `import xarray` would otherwise make
+# fresh classes and break isinstance checks inside the reference.
+_SHIM_MODULES = {}
 
 
 def _import_reference():
@@ -99,12 +104,39 @@ def _import_reference():
   finally:
     for k in list(sys.modules):
       if k == 'xarray' or k.startswith('xarray.'):
-        del sys.modules[k]
+        _SHIM_MODULES[k] = sys.modules.pop(k)
       # The arch stub (tools/refshim/arch) exists only for the reference's
       # bootstrap import; keep it out of everyone else's sys.modules.
-      if k == 'arch' or k.startswith('arch.'):
-        del sys.modules[k]
+      elif k == 'arch' or k.startswith('arch.'):
+        _SHIM_MODULES[k] = sys.modules.pop(k)
     sys.modules.update(saved)
+    sys.path.remove(SHIM_ROOT)
+    sys.path.remove(REFERENCE_ROOT)
+
+
+@contextlib.contextmanager
+def shim_installed():
+  """Temporarily install the cached shim (xarray/arch) into sys.modules.
+
+  Used by tests/test_upstream_suite.py to import and run the reference's own
+  test modules: within the context, ``import xarray`` resolves to the exact
+  module object the already-imported reference code captured, and the
+  reference tree is importable. On exit sys.modules is restored so the rest
+  of the suite still sees ``import xarray`` fail.
+  """
+  ns = _import_reference()
+  saved = {k: sys.modules.get(k) for k in _SHIM_MODULES}
+  sys.modules.update(_SHIM_MODULES)
+  sys.path.insert(0, SHIM_ROOT)
+  sys.path.insert(0, REFERENCE_ROOT)
+  try:
+    yield ns
+  finally:
+    for k, v in saved.items():
+      if v is None:
+        sys.modules.pop(k, None)
+      else:
+        sys.modules[k] = v
     sys.path.remove(SHIM_ROOT)
     sys.path.remove(REFERENCE_ROOT)
 

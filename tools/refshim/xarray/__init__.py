@@ -28,6 +28,7 @@ from __future__ import annotations
 import contextlib
 import functools
 import itertools
+import operator
 from typing import Any, Hashable, Iterable, Mapping, Sequence
 
 import numpy as np
@@ -108,6 +109,13 @@ class _Coords(Mapping):
 
   def __getitem__(self, key):
     if key not in self._owner._coords:
+      # Real xarray (_get_virtual_variable): coords[dim] for a sized
+      # dimension WITHOUT a coordinate returns a default 0..n-1 range
+      # coordinate (relied on by statistical_inference/utils.py:48).
+      sizes = self._owner.sizes
+      if key in sizes:
+        vals = np.arange(sizes[key])
+        return DataArray._construct(vals, (key,), {key: ((key,), vals)}, key)
       raise KeyError(key)
     return self._owner._wrap_coord(key)
 
@@ -198,14 +206,18 @@ class DataArray:
 
   def __init__(self, data=None, coords=None, dims=None, name=None, attrs=None):
     if isinstance(data, DataArray):
-      self._data = data._data
-      self._dims = data._dims
-      self._coords = dict(data._coords)
-      self._name = name if name is not None else data._name
-      self._attrs = dict(attrs if attrs is not None else data._attrs)
-      if coords is not None or dims is not None:
-        raise NotImplementedError('re-wrapping DataArray with new dims/coords')
-      return
+      dims_tuple = ((dims,) if isinstance(dims, str) else
+                    tuple(dims) if dims is not None else None)
+      if coords is None and (dims_tuple is None or dims_tuple == data._dims):
+        # Re-wrap with same dims (real xarray allows restating them).
+        self._data = data._data
+        self._dims = data._dims
+        self._coords = dict(data._coords)
+        self._name = name if name is not None else data._name
+        self._attrs = dict(attrs if attrs is not None else data._attrs)
+        return
+      # New dims/coords: rebuild from the values, like real xarray.
+      data = data._data
     if isinstance(data, (pd.Index, pd.Series)):
       data = np.asarray(data)
     if not _is_jaxish(data):
@@ -231,16 +243,23 @@ class DataArray:
                   for d, c in zip(dims, seq)}
       elif data.ndim == 0:
         dims = ()
-      elif (isinstance(coords, Mapping) and data.ndim == 1
-            and len(coords) == 1):
-        # xarray sugar: dims inferred from a single 1-D coords entry.
-        (only,) = coords.keys()
-        dims = (only,)
+      elif (isinstance(coords, Mapping) and len(coords) == data.ndim
+            and all(np.ndim(_as_values(v)) == 1
+                    and len(_as_values(v)) == n
+                    for v, n in zip(coords.values(), data.shape))):
+        # xarray sugar: dims inferred from 1-D coords entries, in order.
+        dims = tuple(coords.keys())
       else:
         raise NotImplementedError('DataArray without dims for ndim>0')
     if isinstance(dims, str):
       dims = (dims,)
     dims = tuple(dims)
+    if data.ndim == 0 and dims and isinstance(coords, Mapping) and all(
+        d in coords for d in dims):
+      # Real xarray broadcasts scalar data to the shape implied by coords
+      # (e.g. DataArray(0.5, dims=['threshold'], coords={'threshold': [0.5]})).
+      shape = tuple(len(np.atleast_1d(_as_values(coords[d]))) for d in dims)
+      data = np.full(shape, data[()])
     if len(dims) != data.ndim:
       raise ValueError(f'dims {dims} do not match data shape {data.shape}')
     if coords is not None:
@@ -371,6 +390,14 @@ class DataArray:
       raise TypeError('len() of 0-d DataArray')
     return self._data.shape[0]
 
+  def __iter__(self):
+    # Without this, iter() falls back to the legacy __getitem__ protocol,
+    # which never raises IndexError for a 0-d array (label indexing) and
+    # loops forever. Real xarray raises TypeError on 0-d iteration.
+    if not self._dims:
+      raise TypeError('iteration over a 0-d array')
+    return (self[i] for i in range(self._data.shape[0]))
+
   # -- attribute/coord access --------------------------------------------------
 
   def __getattr__(self, name):
@@ -397,6 +424,24 @@ class DataArray:
     for d, k in zip(self._dims, key):
       indexers[d] = k
     return self.isel(indexers)
+
+  def __setitem__(self, key, value):
+    # In-place assignment à la real xarray: dict keys are dim->positional
+    # indexers; plain keys index leading dims positionally.
+    if isinstance(value, DataArray):
+      value = value._data
+    if isinstance(key, dict):
+      sl = [slice(None)] * self._data.ndim
+      for d, k in key.items():
+        if d not in self._dims:
+          raise KeyError(d)
+        if isinstance(k, DataArray):
+          k = k._data
+        sl[self._dims.index(d)] = k
+      key = tuple(sl)
+    # No silent copy-on-write: callers (e.g. ds['var'][{'time': 0}] = x)
+    # rely on mutating the buffer shared with the parent Dataset.
+    self._data[key] = value
 
   # -- conversions -------------------------------------------------------------
 
@@ -442,8 +487,7 @@ class DataArray:
 
   def rename(self, new_name_or_name_dict=None, **names):
     if isinstance(new_name_or_name_dict, (str, type(None))) and not names:
-      if new_name_or_name_dict is None:
-        raise NotImplementedError('rename(None)')
+      # Real xarray: rename(None) (or rename() with no args) clears the name.
       out = self.copy(deep=False)
       out._name = new_name_or_name_dict
       return out
@@ -616,7 +660,19 @@ class DataArray:
     return self.equals(other)
 
   def isin(self, values):
-    vals = _as_values(values)
+    vals = np.asarray(_as_values(values))
+    if vals.dtype == object:
+      # np.array([...]) over a 0-d DataArray element wraps the DataArray
+      # itself (numpy's sequence-protocol discovery can't use __array__
+      # there); unwrap such elements to their scalar values so membership
+      # matches real xarray behavior.
+      def _unwrap(e):
+        if isinstance(e, DataArray):
+          e = e._data
+        if isinstance(e, np.ndarray) and e.ndim == 0:
+          e = e.item()
+        return e
+      vals = np.array([_unwrap(e) for e in vals.ravel()], dtype=object)
     return DataArray._construct(np.isin(self._data, vals), self._dims,
                                 self._coords, self._name)
 
@@ -779,6 +835,12 @@ class DataArray:
     for d in indexers:
       if d not in self._dims:
         raise ValueError(f'isel dim {d!r} not in {self._dims}')
+      v = indexers[d]
+      if (isinstance(v, (list, tuple, np.ndarray))
+          and np.asarray(v).size == 0):
+        # Empty positional indexers default to float64 via np.asarray; keep
+        # them integer so np.take (data and coords paths alike) accepts them.
+        indexers[d] = np.asarray(v, dtype=np.intp)
     vec = {d: v for d, v in indexers.items() if isinstance(v, DataArray)
            and v.ndim > 0}
     if vec:
@@ -797,6 +859,10 @@ class DataArray:
         out_dims.append(d)
       else:
         k = np.asarray(k)
+        if k.size == 0 and k.dtype != bool:
+          # np.asarray([]) defaults to float64; empty positional indexers
+          # (e.g. isel(index=[])) must still be integer for np.take.
+          k = k.astype(np.intp)
         if k.dtype == bool:
           # Boolean indexers are selection masks, not integer indices.
           if k.shape != (self.sizes[d],):
@@ -819,6 +885,10 @@ class DataArray:
           res = res[tuple(sl)]
       elif np.ndim(k) == 0:
         res = np.take(res, k, axis=take_ax)
+        if data.dtype == object and not isinstance(res, np.ndarray):
+          # np.take with a scalar index on an object array returns the bare
+          # element (e.g. a str); keep dtype=object like real xarray does.
+          res = np.array(res, dtype=object)
         offset += 1
       else:
         res = np.take(res, k, axis=take_ax)
@@ -929,7 +999,20 @@ class DataArray:
   def _label_to_positional(self, dim, key, method=None, tolerance=None):
     index = self._index(dim)
     if index is None:
-      raise KeyError(f'no index for dim {dim!r}')
+      # Real xarray: sel along a dimension WITHOUT an index falls back to
+      # positional (isel) semantics — labels must be integers
+      # (e.g. metrics/base.py:403 selecting into an expand_dims(dayofyear=366)
+      # climatology).
+      if method is not None or tolerance is not None:
+        raise KeyError(f'no index for dim {dim!r}')
+      if isinstance(key, slice):
+        return key
+      if isinstance(key, DataArray):
+        pos = key._data.astype(np.intp)
+        return DataArray._construct(pos, key._dims, key._coords, key._name)
+      if _is_scalar(key):
+        return int(key)
+      return _as_values(key).astype(np.intp)
     if isinstance(key, slice):
       start, stop = key.start, key.stop
       res = index.slice_indexer(start, stop, key.step)
@@ -1759,17 +1842,118 @@ class Dataset(Mapping):
       out._vars[vname] = (dims, data.astype(dtype), attrs)
     return out
 
-  def mean(self, dim=None, **kwargs):
+  def where(self, cond, other=np.nan):
+    out = Dataset(attrs=self._attrs)
+    out._coords = dict(self._coords)
+    for vname in self._vars:
+      res = self[vname].where(cond, other)
+      out._vars[vname] = (res._dims, res._data, res._attrs)
+    return out
+
+  def _binary_ds(self, other, op, reflexive=False):
+    out = Dataset(attrs=self._attrs)
+    out._coords = dict(self._coords)
+    for vname in self._vars:
+      rhs = other[vname] if isinstance(other, Dataset) else other
+      a, b = (rhs, self[vname]) if reflexive else (self[vname], rhs)
+      res = op(a, b)
+      out._vars[vname] = (res._dims, res._data, res._attrs)
+      for cname, c in res._coords.items():
+        out._coords.setdefault(cname, c)
+    return out
+
+  def __add__(self, o): return self._binary_ds(o, operator.add)
+  def __radd__(self, o): return self._binary_ds(o, operator.add, True)
+  def __sub__(self, o): return self._binary_ds(o, operator.sub)
+  def __rsub__(self, o): return self._binary_ds(o, operator.sub, True)
+  def __mul__(self, o): return self._binary_ds(o, operator.mul)
+  def __rmul__(self, o): return self._binary_ds(o, operator.mul, True)
+  def __truediv__(self, o): return self._binary_ds(o, operator.truediv)
+  def __rtruediv__(self, o): return self._binary_ds(o, operator.truediv, True)
+  def __pow__(self, o): return self._binary_ds(o, operator.pow)
+  def __mod__(self, o): return self._binary_ds(o, operator.mod)
+  def __floordiv__(self, o): return self._binary_ds(o, operator.floordiv)
+  def __and__(self, o): return self._binary_ds(o, operator.and_)
+  def __or__(self, o): return self._binary_ds(o, operator.or_)
+  def __eq__(self, o):
+    if isinstance(o, (Dataset, DataArray, np.ndarray, int, float, bool,
+                      np.generic)):
+      return self._binary_ds(o, operator.eq)
+    return NotImplemented
+  def __ne__(self, o):
+    if isinstance(o, (Dataset, DataArray, np.ndarray, int, float, bool,
+                      np.generic)):
+      return self._binary_ds(o, operator.ne)
+    return NotImplemented
+  def __lt__(self, o): return self._binary_ds(o, operator.lt)
+  def __le__(self, o): return self._binary_ds(o, operator.le)
+  def __gt__(self, o): return self._binary_ds(o, operator.gt)
+  def __ge__(self, o): return self._binary_ds(o, operator.ge)
+  __hash__ = None
+
+  def __neg__(self):
+    out = Dataset(attrs=self._attrs)
+    out._coords = dict(self._coords)
+    for vname in self._vars:
+      res = -self[vname]
+      out._vars[vname] = (res._dims, res._data, res._attrs)
+    return out
+
+  def __abs__(self):
+    out = Dataset(attrs=self._attrs)
+    out._coords = dict(self._coords)
+    for vname in self._vars:
+      res = abs(self[vname])
+      out._vars[vname] = (res._dims, res._data, res._attrs)
+    return out
+
+  def quantile(self, q, dim=None, **kwargs):
+    out = Dataset(attrs=self._attrs)
+    for vname in self._vars:
+      res = self[vname].quantile(q, dim=dim, **kwargs)
+      out._vars[vname] = (res._dims, res._data, res._attrs)
+      for cname, c in res._coords.items():
+        out._coords.setdefault(cname, c)
+    return out
+
+  def _reduce_vars(self, op_name, dim=None, **kwargs):
     out = Dataset(attrs=self._attrs)
     for vname in self._vars:
       da = self[vname]
       dims = [d for d in (([dim] if isinstance(dim, str) else dim) or
                           da._dims) if d in da._dims]
-      res = da.mean(dims, **kwargs) if dims else da
+      res = getattr(da, op_name)(dims, **kwargs) if dims else da
       out._vars[vname] = (res._dims, res._data, res._attrs)
       for cname, c in res._coords.items():
         out._coords.setdefault(cname, c)
     return out
+
+  def mean(self, dim=None, **kwargs):
+    return self._reduce_vars('mean', dim, **kwargs)
+
+  def sum(self, dim=None, **kwargs):
+    return self._reduce_vars('sum', dim, **kwargs)
+
+  def max(self, dim=None, **kwargs):
+    return self._reduce_vars('max', dim, **kwargs)
+
+  def min(self, dim=None, **kwargs):
+    return self._reduce_vars('min', dim, **kwargs)
+
+  def std(self, dim=None, **kwargs):
+    return self._reduce_vars('std', dim, **kwargs)
+
+  def var(self, dim=None, **kwargs):
+    return self._reduce_vars('var', dim, **kwargs)
+
+  def count(self, dim=None, **kwargs):
+    return self._reduce_vars('count', dim, **kwargs)
+
+  def any(self, dim=None, **kwargs):
+    return self._reduce_vars('any', dim, **kwargs)
+
+  def all(self, dim=None, **kwargs):
+    return self._reduce_vars('all', dim, **kwargs)
 
   def assign_coords(self, coords=None, **kwargs):
     out = self.copy()
@@ -2036,6 +2220,17 @@ def merge(objects, compat='no_conflicts', join='outer', fill_value=np.nan):
 
 
 def where(cond, x, y, keep_attrs=None):
+  if isinstance(x, Dataset) or isinstance(y, Dataset):
+    ds = x if isinstance(x, Dataset) else y
+    out = Dataset(attrs=ds._attrs)
+    out._coords = dict(ds._coords)
+    for vname in ds._vars:
+      xv = x[vname] if isinstance(x, Dataset) else x
+      yv = y[vname] if isinstance(y, Dataset) else y
+      cv = cond[vname] if isinstance(cond, Dataset) else cond
+      res = where(cv, xv, yv, keep_attrs=keep_attrs)
+      out._vars[vname] = (res._dims, res._data, res._attrs)
+    return out
   if not isinstance(cond, DataArray):
     cond = DataArray(np.asarray(cond))
   if isinstance(x, DataArray):
@@ -2059,22 +2254,40 @@ def dot(*arrays, dim=None, dims=None, **kwargs):
   das = list(arrays)
   das = [d if isinstance(d, DataArray) else DataArray(np.asarray(d))
          for d in das]
-  out = das[0]
-  for o in das[1:]:
-    out = out * o
   if dim is None:
     dim = dims
   if dim is None:
     raise NotImplementedError('dot without dim')
-  dims = [dim] if isinstance(dim, str) else list(dim)
-  dims = [d for d in dims if d in out._dims]
-  attrs = das[0]._attrs if _OPTIONS['keep_attrs'] else {}
-  res = out.sum(dims, skipna=False) if dims else out
-  res._attrs = dict(attrs)
-  res._name = das[0]._name
-  # xr.dot keeps non-dim coords of the result dims only; our mul already
-  # merged coords and sum dropped reduced-dim coords.
-  return res
+  if len(das) > 1:
+    das = list(align(*das, join='inner'))
+  # np.einsum over the union of named dims — like real xr.dot, this never
+  # materializes the full broadcast product (the naive multiply-then-sum
+  # chain needs O(prod(all dims)) memory, e.g. 149 GiB in the upstream
+  # cluster-bootstrap test's (unit × replicate × replicate) contraction).
+  order = []
+  for d in das:
+    for dd in d._dims:
+      if dd not in order:
+        order.append(dd)
+  reduce_dims = [dim] if isinstance(dim, str) else list(dim)
+  reduce_dims = [d for d in reduce_dims if d in order]
+  out_dims = tuple(d for d in order if d not in reduce_dims)
+  letters = {d: chr(ord('a') + i) for i, d in enumerate(order)}
+  spec = (','.join(''.join(letters[dd] for dd in d._dims) for d in das)
+          + '->' + ''.join(letters[d] for d in out_dims))
+  operands = [d._data for d in das]
+  if all(o.dtype == bool for o in operands):
+    # multiply-chain + np.sum promoted all-bool input to int64; keep that.
+    operands = [o.astype(np.int64) for o in operands]
+  data = np.einsum(spec, *operands)
+  coords = {}
+  out_set = set(out_dims)
+  for d in das:
+    for cname, c in d._coords.items():
+      if set(c[0]).issubset(out_set):
+        coords.setdefault(cname, c)
+  attrs = dict(das[0]._attrs) if _OPTIONS['keep_attrs'] else {}
+  return DataArray._construct(data, out_dims, coords, das[0]._name, attrs)
 
 
 def zeros_like(obj, dtype=None):
@@ -2204,6 +2417,154 @@ def combine_by_coords(objects, fill_value=np.nan, join='outer', **kwargs):
       filled = np.where(mask, ov, filled)
     return DataArray._construct(filled, out._dims, out._coords, out._name)
   raise NotImplementedError('combine_by_coords of Datasets')
+
+
+# -- minimal zarr v2 storage (uncompressed, dependency-free) -------------------
+#
+# Just enough for the upstream loader tests' write-then-load_chunk round trips
+# (data_loaders/xarray_loaders_test.py:36, latency_wrappers_test.py:36):
+# standard zarr v2 layout (.zgroup/.zarray/.zattrs JSON + raw C-order chunks,
+# compressor=None, one chunk per array), CF int64 encoding for datetimes.
+
+
+def _zarr_encode(arr):
+  """Returns (bytes_dtype_str, encoded_array, cf_attrs)."""
+  arr = np.ascontiguousarray(arr)
+  if arr.dtype.kind == 'M':
+    enc = arr.astype('datetime64[ns]').view('<i8')
+    return '<i8', enc, {'units': 'nanoseconds since 1970-01-01',
+                        'calendar': 'proleptic_gregorian'}
+  if arr.dtype.kind == 'm':
+    enc = arr.astype('timedelta64[ns]').view('<i8')
+    return '<i8', enc, {'units': 'nanoseconds'}
+  if arr.dtype == object:
+    as_str = arr.astype(str)
+    return as_str.dtype.str, as_str, {}
+  if arr.dtype.kind == 'b':
+    return '|b1', arr, {}
+  return arr.dtype.str, arr, {}
+
+
+def _zarr_decode(arr, attrs):
+  units = attrs.get('units')
+  if isinstance(units, str) and arr.dtype.kind == 'i':
+    if units.startswith('nanoseconds since 1970-01-01'):
+      return arr.view('datetime64[ns]'), True
+    if units == 'nanoseconds':
+      return arr.view('timedelta64[ns]'), True
+  return arr, False
+
+
+def _ds_to_zarr(self, store, mode='w', **kwargs):
+  import json
+  import os
+  path = os.fspath(store)
+  os.makedirs(path, exist_ok=True)
+  with open(os.path.join(path, '.zgroup'), 'w') as f:
+    json.dump({'zarr_format': 2}, f)
+  with open(os.path.join(path, '.zattrs'), 'w') as f:
+    json.dump(dict(self._attrs), f, default=str)
+  arrays = {}
+  for cname, (cdims, cvals) in self._coords.items():
+    arrays[cname] = (cdims, np.asarray(cvals), {})
+  for vname, (dims, data, attrs) in self._vars.items():
+    arrays[vname] = (dims, np.asarray(data), dict(attrs))
+  for name, (dims, data, attrs) in arrays.items():
+    adir = os.path.join(path, str(name))
+    os.makedirs(adir, exist_ok=True)
+    dstr, enc, cf = _zarr_encode(data)
+    meta = {
+        'zarr_format': 2,
+        'shape': list(enc.shape),
+        'chunks': list(enc.shape) if enc.ndim else [],
+        'dtype': dstr,
+        'compressor': None,
+        'fill_value': None,
+        'order': 'C',
+        'filters': None,
+    }
+    with open(os.path.join(adir, '.zarray'), 'w') as f:
+      json.dump(meta, f)
+    out_attrs = {'_ARRAY_DIMENSIONS': [str(d) for d in dims]}
+    out_attrs.update(cf)
+    out_attrs.update({k: v for k, v in attrs.items()
+                      if isinstance(v, (str, int, float, bool, list))})
+    with open(os.path.join(adir, '.zattrs'), 'w') as f:
+      json.dump(out_attrs, f)
+    key = '.'.join(['0'] * enc.ndim) or '0'
+    with open(os.path.join(adir, key), 'wb') as f:
+      f.write(enc.tobytes(order='C'))
+
+
+Dataset.to_zarr = _ds_to_zarr
+
+
+def open_zarr(store, **kwargs):
+  import json
+  import os
+  path = os.fspath(store)
+  if not os.path.exists(os.path.join(path, '.zgroup')):
+    raise FileNotFoundError(f'not a zarr group: {path!r}')
+  try:
+    with open(os.path.join(path, '.zattrs')) as f:
+      ds_attrs = json.load(f)
+  except FileNotFoundError:
+    ds_attrs = {}
+  arrays = {}
+  for name in sorted(os.listdir(path)):
+    adir = os.path.join(path, name)
+    zarray = os.path.join(adir, '.zarray')
+    if not os.path.isfile(zarray):
+      continue
+    with open(zarray) as f:
+      meta = json.load(f)
+    if meta.get('compressor') is not None or meta.get('filters'):
+      raise NotImplementedError('shim open_zarr reads uncompressed only')
+    try:
+      with open(os.path.join(adir, '.zattrs')) as f:
+        attrs = json.load(f)
+    except FileNotFoundError:
+      attrs = {}
+    dtype = np.dtype(meta['dtype'])
+    shape = tuple(meta['shape'])
+    chunks = tuple(meta['chunks'])
+    arr = np.empty(shape, dtype)
+    grid = tuple(-(-s // c) for s, c in zip(shape, chunks)) if shape else ()
+    for idx in (np.ndindex(*grid) if grid else [()]):
+      key = '.'.join(str(i) for i in idx) or '0'
+      with open(os.path.join(adir, key), 'rb') as f:
+        raw = np.frombuffer(f.read(), dtype=dtype)
+      sl = tuple(slice(i * c, min((i + 1) * c, s))
+                 for i, c, s in zip(idx, chunks, shape))
+      block_shape = tuple(s.stop - s.start for s in sl)
+      n = int(np.prod(block_shape)) if block_shape else 1
+      full_chunk = tuple(chunks)
+      if n == raw.size:
+        arr[sl] = raw.reshape(block_shape)
+      else:  # ragged edge chunk stored at full chunk shape
+        block = raw.reshape(full_chunk)
+        arr[sl] = block[tuple(slice(0, b) for b in block_shape)]
+    arr, _ = _zarr_decode(arr, attrs)
+    dims = tuple(attrs.get('_ARRAY_DIMENSIONS', (name,) if arr.ndim else ()))
+    user_attrs = {k: v for k, v in attrs.items()
+                  if k not in ('_ARRAY_DIMENSIONS', 'units', 'calendar')}
+    arrays[name] = (dims, arr, user_attrs)
+  all_dims = {d for dims, _, _ in arrays.values() for d in dims}
+  ds = Dataset(attrs=ds_attrs)
+  for name, (dims, arr, attrs) in arrays.items():
+    if name in all_dims and dims == (name,):
+      ds._coords[name] = (dims, arr)
+    else:
+      ds._vars[name] = (dims, arr, attrs)
+  return ds
+
+
+def open_dataset(store, engine=None, **kwargs):
+  import os
+  path = os.fspath(store)
+  if os.path.isdir(path) and os.path.exists(os.path.join(path, '.zgroup')):
+    return open_zarr(path, **kwargs)
+  raise NotImplementedError('shim open_dataset supports zarr groups only')
 
 
 # -- submodule shims -----------------------------------------------------------
