@@ -192,3 +192,150 @@ def test_cf_time_int_overflow_raises():
   nat = _decode_cf_time(np.array([np.iinfo(np.int64).min], dtype=np.int64),
                         {'units': 'days since 1970-01-01'})
   assert np.isnat(nat[0])
+
+
+# ---------------------------------------------------------------------------
+# zarr v3 read support
+# ---------------------------------------------------------------------------
+
+
+def _write_v3_store(root, arrays, *, codec=None, key_encoding='default',
+                    separator=None, endian='little'):
+  """Hand-writes a spec-conformant zarr v3 directory store.
+
+  ``arrays`` maps name -> (values, dims, chunks, extra_attrs). Written
+  straight from the v3 core spec (zarr.json metadata, `c/`-prefixed chunk
+  keys for the default encoding) so the reader is tested against
+  independent bytes, not its own writer.
+  """
+  from weatherbenchx_tpu import codecs as wbx_codecs
+
+  os.makedirs(root, exist_ok=True)
+  with open(os.path.join(root, 'zarr.json'), 'w') as f:
+    json.dump({'zarr_format': 3, 'node_type': 'group', 'attributes': {}}, f)
+  sep = separator or ('/' if key_encoding == 'default' else '.')
+  for name, (values, dims, chunks, extra_attrs) in arrays.items():
+    values = np.asarray(values)
+    adir = os.path.join(root, name)
+    os.makedirs(adir, exist_ok=True)
+    store_dtype = values.dtype.newbyteorder(
+        '>' if endian == 'big' else '<') if values.dtype.itemsize > 1 \
+        else values.dtype
+    codecs_list = [{'name': 'bytes', 'configuration': {'endian': endian}}]
+    if codec == 'blosc':
+      codecs_list.append({'name': 'blosc', 'configuration': {
+          'cname': 'lz4', 'clevel': 5, 'shuffle': 'shuffle',
+          'typesize': values.dtype.itemsize, 'blocksize': 0}})
+    elif codec == 'zstd':
+      codecs_list.append({'name': 'zstd', 'configuration': {'level': 3}})
+    elif codec == 'gzip':
+      codecs_list.append({'name': 'gzip', 'configuration': {'level': 5}})
+    meta = {
+        'zarr_format': 3,
+        'node_type': 'array',
+        'shape': list(values.shape),
+        'data_type': values.dtype.name,
+        'chunk_grid': {'name': 'regular',
+                       'configuration': {'chunk_shape': list(chunks)}},
+        'chunk_key_encoding': {'name': key_encoding,
+                               'configuration': {'separator': sep}},
+        'fill_value': 'NaN' if values.dtype.kind == 'f' else 0,
+        'codecs': codecs_list,
+        'attributes': dict(extra_attrs or {}),
+        'dimension_names': list(dims),
+    }
+    with open(os.path.join(adir, 'zarr.json'), 'w') as f:
+      json.dump(meta, f)
+    grid = [max(-(-s // c), 1) for s, c in zip(values.shape, chunks)]
+    for cell in np.ndindex(*grid):
+      window = tuple(slice(i * c, (i + 1) * c)
+                     for i, c in zip(cell, chunks))
+      block = values[window]
+      if block.shape != tuple(chunks):  # edge chunks store full extent
+        full = np.full(chunks, np.nan if values.dtype.kind == 'f' else 0,
+                       values.dtype)
+        full[tuple(slice(0, s) for s in block.shape)] = block
+        block = full
+      raw = np.ascontiguousarray(block.astype(store_dtype)).tobytes()
+      raw = wbx_codecs.encode_cell(raw, codec, values.dtype.itemsize)
+      if key_encoding == 'default':
+        key = 'c' + ''.join(f'{sep}{i}' for i in cell) if cell else 'c'
+      else:
+        key = sep.join(str(i) for i in cell) if cell else '0'
+      path = os.path.join(adir, key)
+      os.makedirs(os.path.dirname(path), exist_ok=True)
+      with open(path, 'wb') as f:
+        f.write(raw)
+
+
+def _v3_fixture_arrays(n_time=10, n_lat=5, n_lon=6):
+  rng = np.random.default_rng(7)
+  t_ints = (np.arange(n_time) * 6 * 3600 * 10**9).astype(np.int64)
+  data = rng.standard_normal((n_time, n_lat, n_lon)).astype(np.float32)
+  return data, {
+      'valid_time': (t_ints, ('valid_time',), [4],
+                     {'units': 'nanoseconds since 1970-01-01'}),
+      'latitude': (np.linspace(-90, 90, n_lat), ('latitude',), [n_lat], {}),
+      'longitude': (np.linspace(0, 360, n_lon, endpoint=False),
+                    ('longitude',), [n_lon], {}),
+      't2m': (data, ('valid_time', 'latitude', 'longitude'),
+              [4, 3, 6], {}),
+  }
+
+
+class TestZarrV3Read:
+  @pytest.mark.parametrize('codec', [None, 'blosc', 'zstd', 'gzip'])
+  @pytest.mark.parametrize('key_encoding', ['default', 'v2'])
+  def test_v3_store_reads(self, tmp_path, codec, key_encoding):
+    data, arrays = _v3_fixture_arrays()
+    root = str(tmp_path / 'v3.zarr')
+    _write_v3_store(root, arrays, codec=codec, key_encoding=key_encoding)
+    ds = zarr_io.open_dataset_zarr(root)
+    da = ds['t2m']
+    assert da.dims == ('valid_time', 'latitude', 'longitude')
+    np.testing.assert_array_equal(np.asarray(da.values), data)
+    tvals = np.asarray(da.coords['valid_time'].values)
+    assert tvals.dtype.kind == 'M'
+    assert tvals[1] - tvals[0] == np.timedelta64(6, 'h')
+    # Lazy window read crosses chunk boundaries incl. the ragged lat edge.
+    win = np.asarray(da.isel({'valid_time': slice(3, 9),
+                              'latitude': slice(2, 5)}).values)
+    np.testing.assert_array_equal(win, data[3:9, 2:5])
+
+  def test_v3_default_dot_separator(self, tmp_path):
+    data, arrays = _v3_fixture_arrays()
+    root = str(tmp_path / 'v3dot.zarr')
+    _write_v3_store(root, arrays, key_encoding='default', separator='.')
+    ds = zarr_io.open_dataset_zarr(root)
+    np.testing.assert_array_equal(np.asarray(ds['t2m'].values), data)
+
+  def test_v3_big_endian(self, tmp_path):
+    data, arrays = _v3_fixture_arrays()
+    root = str(tmp_path / 'v3be.zarr')
+    _write_v3_store(root, {'t2m': arrays['t2m']}, endian='big')
+    ds = zarr_io.open_dataset_zarr(root)
+    np.testing.assert_array_equal(
+        np.asarray(ds['t2m'].values).astype(np.float32), data)
+
+  def test_v3_missing_chunk_fills(self, tmp_path):
+    data, arrays = _v3_fixture_arrays()
+    root = str(tmp_path / 'v3fill.zarr')
+    _write_v3_store(root, arrays)
+    os.remove(os.path.join(root, 't2m', 'c', '0', '0', '0'))
+    ds = zarr_io.open_dataset_zarr(root)
+    got = np.asarray(ds['t2m'].values)
+    assert np.isnan(got[:4, :3, :]).all()
+    np.testing.assert_array_equal(got[4:], data[4:])
+
+  def test_v3_sharding_codec_rejected(self, tmp_path):
+    data, arrays = _v3_fixture_arrays()
+    root = str(tmp_path / 'v3shard.zarr')
+    _write_v3_store(root, {'t2m': arrays['t2m']})
+    meta_path = os.path.join(root, 't2m', 'zarr.json')
+    with open(meta_path) as f:
+      meta = json.load(f)
+    meta['codecs'] = [{'name': 'sharding_indexed', 'configuration': {}}]
+    with open(meta_path, 'w') as f:
+      json.dump(meta, f)
+    with pytest.raises(ValueError, match='sharding_indexed'):
+      zarr_io.open_dataset_zarr(root)

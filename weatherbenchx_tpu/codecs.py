@@ -253,6 +253,10 @@ def encode_cell(raw: bytes, codec: Optional[str], typesize: int,
     return raw
   if codec == 'zlib':
     return zlib.compress(raw, 1 if level is None else level)
+  if codec == 'gzip':
+    co = zlib.compressobj(5 if level is None else level,
+                          zlib.DEFLATED, zlib.MAX_WBITS | 16)
+    return co.compress(raw) + co.flush()
   if codec == 'zstd':
     import pyarrow as pa
     return pa.Codec('zstd', compression_level=3 if level is None

@@ -13,6 +13,10 @@ format directly:
 * :func:`open_dataset_zarr` opens a local store LAZILY — each variable is a
   :class:`~weatherbenchx_tpu.lazy.LazyArray` over a chunk-grid source, so
   per-chunk evaluation windows read only the zarr chunks they intersect.
+  Both **v2** and **v3** stores are readable (v3: ``zarr.json`` metadata,
+  regular chunk grids, default/v2 chunk key encodings, bytes codec either
+  endian, blosc/zstd/gzip compression; the sharding codec is rejected with
+  a clear error).
   Cell files load in parallel (thread pool; reads and codec inflation both
   release the GIL) and windows scatter via strided slice copies.
 
@@ -280,6 +284,9 @@ class ZarrChunkSource(lazy.ArraySource):
     self.dtype = np.dtype(zarray['dtype'])
     self._chunks = tuple(int(c) for c in zarray['chunks'])
     self._sep = zarray.get('dimension_separator', '.')
+    # v3 stores ('key_encoding' set by _normalize_v3_array): 'default'
+    # prefixes chunk keys with 'c' (`c/0/1` …), 'v2' keeps the v2 scheme.
+    self._key_style = zarray.get('key_encoding', 'v2')
     self._codec = wbx_codecs.codec_from_config(zarray.get('compressor'))
     if zarray.get('filters'):
       raise ValueError(f'{adir}: zarr filters are not supported by the '
@@ -296,7 +303,10 @@ class ZarrChunkSource(lazy.ArraySource):
                             ) * self.dtype.itemsize
 
   def _cell_path(self, cell: tuple[int, ...]) -> str:
-    key = self._sep.join(str(i) for i in cell) if cell else '0'
+    if self._key_style == 'default':  # zarr v3 default chunk key encoding
+      key = 'c' + ''.join(f'{self._sep}{i}' for i in cell) if cell else 'c'
+    else:
+      key = self._sep.join(str(i) for i in cell) if cell else '0'
     return os.path.join(self._adir, key)
 
   def _load_cell(self, cell: tuple[int, ...]) -> np.ndarray:
@@ -440,7 +450,95 @@ def _decode_cf_time(values: np.ndarray, attrs: dict) -> np.ndarray:
   return values
 
 
+_V3_BLOSC_SHUFFLE = {'noshuffle': 0, 'shuffle': 1, 'bitshuffle': 2}
+
+
+def _normalize_v3_array(meta: dict, name: str) -> tuple[dict, dict]:
+  """Maps zarr v3 array metadata (<array>/zarr.json) onto the v2-shaped
+  dict ZarrChunkSource consumes, plus xarray-convention attrs.
+
+  Covers the v3 core spec surface new public stores actually use: regular
+  chunk grids, default/v2 chunk key encodings, the bytes codec (either
+  endian) and one optional blosc/zstd/gzip compression codec. The
+  sharding_indexed codec is rejected with a clear error (deferred).
+  """
+  grid = meta.get('chunk_grid', {})
+  if grid.get('name') != 'regular':
+    raise ValueError(f'{name}: zarr v3 chunk grid {grid.get("name")!r} is '
+                     'not supported (regular only)')
+  dtype = np.dtype(meta['data_type'])
+  comp = None
+  endian = 'little'
+  for codec in meta.get('codecs', []):
+    cname, cfg = codec.get('name'), codec.get('configuration') or {}
+    if cname == 'bytes':
+      endian = cfg.get('endian', 'little')
+    elif cname == 'blosc':
+      comp = {'id': 'blosc', 'cname': cfg.get('cname', 'lz4'),
+              'clevel': cfg.get('clevel', 5),
+              'shuffle': _V3_BLOSC_SHUFFLE.get(cfg.get('shuffle'), 0),
+              'blocksize': cfg.get('blocksize', 0)}
+    elif cname == 'zstd':
+      comp = {'id': 'zstd', 'level': cfg.get('level', 0)}
+    elif cname == 'gzip':
+      comp = {'id': 'gzip', 'level': cfg.get('level', 5)}
+    elif cname == 'sharding_indexed':
+      raise ValueError(
+          f'{name}: the zarr v3 sharding_indexed codec is not supported by '
+          'the self-contained reader yet; rechunk/rewrite the store without '
+          'sharding to read it here')
+    else:
+      raise ValueError(f'{name}: zarr v3 codec {cname!r} is not supported')
+  if endian == 'big' and dtype.itemsize > 1:
+    dtype = dtype.newbyteorder('>')
+  kce = meta.get('chunk_key_encoding', {}) or {}
+  kce_name = kce.get('name', 'default')
+  kce_cfg = kce.get('configuration') or {}
+  if kce_name not in ('default', 'v2'):
+    raise ValueError(f'{name}: unknown chunk key encoding {kce_name!r}')
+  zarray = {
+      'zarr_format': 3,
+      'shape': list(meta['shape']),
+      'chunks': list(grid['configuration']['chunk_shape']),
+      'dtype': dtype.str,
+      'compressor': comp,
+      'fill_value': meta.get('fill_value'),
+      'order': 'C',
+      'filters': None,
+      'dimension_separator': kce_cfg.get(
+          'separator', '/' if kce_name == 'default' else '.'),
+      'key_encoding': kce_name,
+  }
+  attrs = dict(meta.get('attributes') or {})
+  dim_names = meta.get('dimension_names')
+  if dim_names and '_ARRAY_DIMENSIONS' not in attrs:
+    attrs['_ARRAY_DIMENSIONS'] = [
+        d if d is not None else f'dim_{i}' for i, d in enumerate(dim_names)]
+  return zarray, attrs
+
+
+def _read_v3_store_metadata(path: str) -> dict[str, dict]:
+  metadata: dict[str, dict] = {}
+  for entry in fileio.listdir(path):
+    adir = os.path.join(path, entry)
+    zjson = os.path.join(adir, 'zarr.json')
+    if not fileio.isdir(adir) or not fileio.exists(zjson):
+      continue
+    meta = json.loads(fileio.read_text(zjson))
+    if meta.get('node_type') != 'array':
+      continue
+    zarray, attrs = _normalize_v3_array(meta, entry)
+    metadata[f'{entry}/.zarray'] = zarray
+    metadata[f'{entry}/.zattrs'] = attrs
+  return metadata
+
+
 def _read_store_metadata(path: str) -> dict[str, dict]:
+  v3_root = os.path.join(path, 'zarr.json')
+  if fileio.exists(v3_root):
+    root = json.loads(fileio.read_text(v3_root))
+    if root.get('zarr_format') == 3:
+      return _read_v3_store_metadata(path)
   zmeta = os.path.join(path, '.zmetadata')
   if fileio.exists(zmeta):
     return json.loads(fileio.read_text(zmeta))['metadata']
