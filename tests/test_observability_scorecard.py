@@ -79,9 +79,11 @@ class TestScorecardHTML:
     path = str(tmp_path / 'sc.npz')
     io_lib.save_dataset(path, {'t2m': da})
     page = scorecard_html.render_scorecard_html(path)
-    for snippet in ("'GraphCast vs ERA5', 'NeuralGCM 0.7 vs ERA5'",
-                    'DEFAULT_MODELS_PRECIP', 'DEFAULT_MODELS_PROB',
+    for snippet in ('"GraphCast vs ERA5", "NeuralGCM 0.7 vs ERA5"',
+                    'const DEFAULTS_BY_CAT = ',
+                    '"precip":', '"prob":',
                     'function categoryFor() {',
+                    'function sl_defaultHidden(',
                     'const hidden = hiddenSet();'):
       assert snippet in page, snippet
 

@@ -36,6 +36,7 @@ import numpy as np
 
 from weatherbenchx_tpu import io as io_lib
 from weatherbenchx_tpu.apps import combine_results as combine_lib
+from weatherbenchx_tpu.apps import scorecard_logic
 
 UNITS = {
     'Geopotential': 'm²/s²', 'geopotential': 'm²/s²',
@@ -72,10 +73,15 @@ _PAGE = """<!DOCTYPE html>
  #legend span.off {{ opacity: 0.3; }}
  #alert {{ color: #8a1f11; background: #fbe3e4; padding: 0.5rem 1rem;
            border-radius: 4px; display: none; margin: 0.6rem 0; }}
+ #selftest {{ font-size: 0.8rem; padding: 0.25rem 0.6rem; border-radius: 4px;
+              display: inline-block; margin-bottom: 0.4rem; }}
+ #selftest[data-status="pass"] {{ color: #264409; background: #e6efc2; }}
+ #selftest[data-status="fail"] {{ color: #8a1f11; background: #fbe3e4; }}
  svg text {{ font-size: 11px; fill: #444; }}
 </style></head>
 <body>
 <h1>WeatherBench-X TPU scorecard</h1>
+<div id="selftest"></div>
 <div>
  <label>Variable <select id="variable"></select></label>
  <label>Metric <select id="metric"></select></label>
@@ -96,6 +102,11 @@ _PAGE = """<!DOCTYPE html>
 <div id="tables"></div>
 <script>
 const DATA = {data_json};
+// Golden interaction fixtures, computed by the unit-tested Python mirror
+// (apps/scorecard_logic.py) and re-executed against the JS below on load.
+const SELFTEST = {selftest_json};
+{logic_js}
+{selftest_runner_js}
 const PALETTE = ['#1f77b4','#ff7f0e','#2ca02c','#d62728','#9467bd',
                  '#8c564b','#e377c2','#7f7f7f','#bcbd22','#17becf',
                  '#aec7e8','#ffbb78','#98df8a','#ff9896','#c5b0d5'];
@@ -105,32 +116,17 @@ const PALETTE = ['#1f77b4','#ff7f0e','#2ca02c','#d62728','#9467bd',
 // legend-hidden; clicking toggles. When none of the curated names match
 // (scorecard built without --display_names), fall back to the first
 // DEFAULT_VISIBLE models.
-const DEFAULT_MODELS = ['IFS HRES vs Analysis', 'IFS ENS (mean) vs Analysis',
-                        'GraphCast vs ERA5', 'NeuralGCM 0.7 vs ERA5'];
-const DEFAULT_MODELS_PRECIP = ['IFS HRES vs ERA5', 'IFS ENS (mean) vs ERA5',
-                               'GraphCast vs ERA5'];
-const DEFAULT_MODELS_PROB = ['IFS ENS vs Analysis', 'GenCast vs ERA5',
-                             'NeuralGCM ENS vs ERA5'];
-const PROB_METRICS = new Set(['CRPS', 'Spread/Skill',
-                              'Unbiased Spread/Skill', 'Mean RMSE',
-                              'Unbiased Mean RMSE']);
-const DEFAULT_VISIBLE = 8;
+const DEFAULTS_BY_CAT = {defaults_by_cat_json};
+const DEFAULT_VISIBLE = {default_visible};
 function categoryFor() {{
-  if (PROB_METRICS.has($('metric').value)) return 'prob';
-  if ($('variable').value.toLowerCase().includes('precip')) return 'precip';
-  return 'det';
+  return sl_categoryFor($('metric').value, $('variable').value);
 }}
 const hiddenByCat = {{}};  // per-category hidden sets; toggles persist
 function hiddenSet() {{
   const cat = categoryFor();
-  if (!(cat in hiddenByCat)) {{
-    const defaults = {{det: DEFAULT_MODELS, precip: DEFAULT_MODELS_PRECIP,
-                       prob: DEFAULT_MODELS_PROB}}[cat];
-    const anyMatch = DATA.models.some(m => defaults.includes(m));
-    hiddenByCat[cat] = new Set(anyMatch
-        ? DATA.models.filter(m => !defaults.includes(m))
-        : DATA.models.slice(DEFAULT_VISIBLE));
-  }}
+  if (!(cat in hiddenByCat))
+    hiddenByCat[cat] = new Set(sl_defaultHidden(
+        DATA.models, cat, DEFAULTS_BY_CAT, DEFAULT_VISIBLE));
   return hiddenByCat[cat];
 }}
 const $ = id => document.getElementById(id);
@@ -157,34 +153,20 @@ function currentEntry() {{
   const levels = Object.keys(byMetric);
   fill($('level'), levels);
   $('level').disabled = levels.length === 1 && levels[0] === 'all';
-  const byRegion = byMetric[$('level').value]?.[$('region').value];
-  if (!byRegion) return null;
   const yr = `${{$('year').value}}|${{$('resolution').value}}`;
-  return byRegion[yr] ?? byRegion['all'] ?? null;
+  return sl_lookupEntry(DATA.values, v, m, $('level').value,
+                        $('region').value, yr);
 }}
 function seepsGuard() {{
-  const m = $('metric').value, v = $('variable').value;
-  if (m !== 'SEEPS') return null;
-  if (!v.toLowerCase().includes('precipitation') &&
-      !v.toLowerCase().includes('precip'))
-    return 'SEEPS is only defined for precipitation variables.';
-  if (relMode() && $('baseline').value.includes('Analysis'))
-    return 'SEEPS cannot be compared against an Analysis baseline.';
-  return null;
+  return sl_seepsGuard($('metric').value, $('variable').value,
+                       relMode(), $('baseline').value);
 }}
 function applyRelative(rows, metric) {{
   const b = DATA.models.indexOf($('baseline').value);
-  const base = rows[b];
-  return rows.map(row => row.map((x, j) => {{
-    if (DATA.lead_hours[j] === 0) return null;  // no relative at t=0
-    if (x == null || base[j] == null) return null;
-    return metric === 'ACC' ? 100 * (x - base[j]) / (1 - base[j])
-                            : -100 * (x - base[j]) / base[j];
-  }}));
+  return sl_applyRelative(rows, metric, b, DATA.lead_hours);
 }}
 function maskLeadZero(rows) {{
-  return rows.map(row => row.map(
-      (x, j) => DATA.lead_hours[j] === 0 ? null : x));
+  return sl_maskLeadZero(rows, DATA.lead_hours);
 }}
 function drawChart(rows, ylabel) {{
   const svg = $('chart'), W = 900, H = 420;
@@ -309,6 +291,22 @@ for (const id of ['variable', 'metric', 'level', 'region', 'year',
 $('markers').onchange = render;
 for (const r of document.querySelectorAll('input[name=rel]'))
   r.onchange = render;
+// Execute the golden interaction fixtures against the embedded logic and
+// surface the verdict (apps/scorecard_logic.py keeps fixture expectations
+// in lock-step with the unit-tested Python mirror).
+(() => {{
+  const failures = sl_runSelfTests(SELFTEST);
+  const el = $('selftest');
+  if (failures.length) {{
+    el.dataset.status = 'fail';
+    el.textContent = `interaction-math self-test: ${{failures.length}} of ` +
+        `${{SELFTEST.length}} cases FAILED — ` + failures.slice(0, 3).join('; ');
+  }} else {{
+    el.dataset.status = 'pass';
+    el.textContent = `interaction-math self-test: ${{SELFTEST.length}}/` +
+        `${{SELFTEST.length}} cases pass`;
+  }}
+}})();
 render();
 </script>
 </body></html>
@@ -432,7 +430,13 @@ def render_scorecard_html(scorecard_path: str) -> str:
       'units': {v: UNITS.get(v) for v in variables},
       'values': values,
   }
-  return _PAGE.format(data_json=json.dumps(data))
+  return _PAGE.format(
+      data_json=json.dumps(data),
+      selftest_json=json.dumps(scorecard_logic.golden_fixtures(data)),
+      logic_js=scorecard_logic.LOGIC_JS,
+      selftest_runner_js=scorecard_logic.SELFTEST_RUNNER_JS,
+      defaults_by_cat_json=json.dumps(scorecard_logic.DEFAULTS_BY_CAT),
+      default_visible=scorecard_logic.DEFAULT_VISIBLE)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
