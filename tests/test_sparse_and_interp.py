@@ -604,6 +604,34 @@ class TestParquetFileCache:
             np.asarray(plain[var].coords[cname].values),
             np.asarray(cached[var].coords[cname].values))
 
+  def test_cached_metar_preprocessing_equals_uncached(self, tmp_path):
+    """The cached path applies row-wise preprocessing once per FILE (QC
+    NaNing, longitude wrap, elevation fill); results must equal the
+    uncached per-window application exactly."""
+    path, _ = _write_parquet_fixture(tmp_path)
+
+    def load(cache_files):
+      loader = sparse_parquet.METARFromParquet(
+          path=path, variables=['2m_temperature'], time_dim='timeNominal',
+          partitioned_by='month', tolerance=np.timedelta64(30, 'm'),
+          remove_duplicates=True, pick_closest_duplicate_by='timeNominal',
+          cache_files=cache_files)
+      init_times = np.array(['2020-01-01T00'], dtype='datetime64[ns]')
+      lead_times = np.array([6, 12], dtype='timedelta64[h]').astype(
+          'timedelta64[ns]')
+      return loader.load_chunk(init_times, lead_times)
+
+    plain, cached = load(0), load(4)
+    for var in plain:
+      np.testing.assert_array_equal(
+          np.asarray(plain[var].values), np.asarray(cached[var].values))
+      assert np.isnan(np.asarray(cached[var].values)).any(), \
+          'QC flag NaNing must have applied on the cached path'
+      for cname in plain[var].coords:
+        np.testing.assert_array_equal(
+            np.asarray(plain[var].coords[cname].values),
+            np.asarray(cached[var].coords[cname].values), err_msg=cname)
+
   def test_decodes_once_per_file(self, tmp_path, monkeypatch):
     path, _ = _write_parquet_fixture(tmp_path)
     import pandas as pd

@@ -141,6 +141,70 @@ def _as_tolerance_pair(
   return before, after
 
 
+class _ColumnTable:
+  """Plain dict-of-numpy-columns table: the cache's row-gather currency.
+
+  pandas row selection over arrow-backed columns pays a ChunkedArray.take
+  per column per window (it dominated the METAR-month profile); numpy
+  fancy-indexing over pre-extracted columns is ~10x cheaper and the
+  string/QC columns convert to numpy exactly once per FILE instead of
+  once per window.
+  """
+
+  __slots__ = ('cols',)
+
+  def __init__(self, cols: dict):
+    self.cols = cols
+
+  def __len__(self) -> int:
+    for v in self.cols.values():
+      return len(v)
+    return 0
+
+  @classmethod
+  def from_frame(cls, frame) -> '_ColumnTable':
+    cols = {}
+    for name in frame.columns:
+      arr = np.asarray(frame[name].to_numpy())
+      if arr.dtype == object:
+        # One-time str conversion (station ids, QC flags); windows and the
+        # final chunk assembly then never touch object dtype again.
+        arr = arr.astype(str)
+      cols[str(name)] = arr
+    return cls(cols)
+
+  def take(self, idx: np.ndarray) -> '_ColumnTable':
+    return _ColumnTable({k: v[idx] for k, v in self.cols.items()})
+
+  def select(self, names) -> '_ColumnTable':
+    return _ColumnTable({n: self.cols[n] for n in names})
+
+  def rename(self, mapping: Mapping[str, str]) -> '_ColumnTable':
+    return _ColumnTable({mapping.get(k, k): v for k, v in self.cols.items()})
+
+  def assign(self, **new_cols) -> '_ColumnTable':
+    n = len(self)
+    out = dict(self.cols)
+    for k, v in new_cols.items():
+      v = np.asarray(v)
+      out[k] = np.full(n, v[()]) if v.ndim == 0 else v
+    return _ColumnTable(out)
+
+  @staticmethod
+  def concat(tables: Sequence['_ColumnTable']) -> '_ColumnTable':
+    tables = list(tables)
+    names = list(tables[0].cols)
+    out = {}
+    for n in names:
+      parts = [t.cols[n] for t in tables]
+      # String columns may have different '<U' widths per window.
+      if any(p.dtype.kind == 'U' for p in parts):
+        width = max(p.dtype.itemsize // 4 for p in parts) or 1
+        parts = [p.astype(f'<U{width}') for p in parts]
+      out[n] = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    return _ColumnTable(out)
+
+
 class _FileFrameCache:
   """Thread-safe LRU of fully-decoded, time-indexed partition files.
 
@@ -150,24 +214,32 @@ class _FileFrameCache:
   files are roughly uniform in size, so this is a practical memory bound
   chosen by the caller.
 
-  Each entry stores the frame plus a one-time argsort of its time column,
-  so every window extraction is a binary search (``Window.sorted_bounds``)
-  instead of an O(rows) scan — the scan dominates once files reach real
-  METAR size (tens of millions of rows/month). Selected rows are returned
-  in ORIGINAL file order, so downstream tie-breaking (duplicate removal
-  keeps the first-seen row) is identical to the uncached predicate read.
+  Each entry stores the file as a :class:`_ColumnTable` (row-wise
+  preprocessing already applied, strings already numpy) plus a one-time
+  argsort of its time column, so every window extraction is a binary
+  search (``Window.sorted_bounds``) + numpy row-gather instead of an
+  O(rows) scan + per-column arrow take — the scan dominates once files
+  reach real METAR size (tens of millions of rows/month). Selected rows
+  are returned in ORIGINAL file order, so downstream tie-breaking
+  (duplicate removal keeps the first-seen row) is identical to the
+  uncached predicate read.
   """
 
-  def __init__(self, max_files: int, time_column: str):
+  def __init__(self, max_files: int, time_column: str, preprocess=None):
     import collections
     import threading
     self.max_files = max_files
     self.time_column = time_column
+    # Row-wise per-file preprocessing (QC NaNing etc.). Applying it once
+    # per FILE here is equivalent to the uncached per-window application
+    # exactly when the fn is row-wise and leaves the time column intact —
+    # which window-based selection already requires for sane semantics.
+    self.preprocess = preprocess
     self._lock = threading.Lock()
     self._frames: 'collections.OrderedDict' = collections.OrderedDict()
 
   def get(self, fn: str):
-    """Returns ``(frame, times_sorted, order)`` with ``order`` the argsort
+    """Returns ``(table, times_sorted, order)`` with ``order`` the argsort
     of the file's time column (both empty for a zero-row file)."""
     import pandas as pd
     with self._lock:
@@ -175,13 +247,16 @@ class _FileFrameCache:
         self._frames.move_to_end(fn)
         return self._frames[fn]
     frame = pd.read_parquet(fn)
-    if len(frame):
-      times = np.asarray(frame[self.time_column].to_numpy(),
+    if self.preprocess is not None and len(frame):
+      frame = self.preprocess(frame)
+    table = _ColumnTable.from_frame(frame)
+    if len(table):
+      times = np.asarray(table.cols[self.time_column],
                          dtype='datetime64[ns]')
       order = np.argsort(times, kind='stable')
-      entry = (frame, times[order], order)
+      entry = (table, times[order], order)
     else:
-      entry = (frame, np.empty(0, 'datetime64[ns]'), np.empty(0, np.intp))
+      entry = (table, np.empty(0, 'datetime64[ns]'), np.empty(0, np.intp))
     with self._lock:
       self._frames[fn] = entry
       self._frames.move_to_end(fn)
@@ -193,20 +268,27 @@ class _FileFrameCache:
 def _read_parquet_window(files: Sequence[str], window: Window,
                          time_column: str,
                          cache: Optional[_FileFrameCache] = None):
-  """Reads and concatenates the window's rows across partition files."""
+  """Reads and concatenates the window's rows across partition files.
+
+  With a cache, returns a :class:`_ColumnTable` (numpy row-gathers);
+  without one, a pandas DataFrame from per-window predicate reads.
+  """
   import pandas as pd
   import pyarrow
+
+  if cache is not None:
+    tables = []
+    for fn in files:
+      table, times_sorted, order = cache.get(fn)
+      if len(table):
+        lo, hi = window.sorted_bounds(times_sorted)
+        table = table.take(np.sort(order[lo:hi]))
+      tables.append(table)
+    return _ColumnTable.concat(tables)
 
   predicate = window.predicate(time_column)
   frames = []
   for fn in files:
-    if cache is not None:
-      frame, times_sorted, order = cache.get(fn)
-      if len(frame):
-        lo, hi = window.sorted_bounds(times_sorted)
-        frame = frame.iloc[np.sort(order[lo:hi])]
-      frames.append(frame)
-      continue
     try:
       frames.append(pd.read_parquet(fn, filters=predicate))
     except pyarrow.lib.ArrowTypeError:
@@ -223,6 +305,17 @@ def _keep_closest_observation(df, key_column: str, valid_time,
                               time_column: Optional[str]):
   """One row per key: the temporally closest to valid_time (first on ties,
   or plain first-seen when no time column is given)."""
+  if isinstance(df, _ColumnTable):
+    if time_column is None:
+      order = np.arange(len(df))
+    else:
+      gap = np.abs(np.asarray(df.cols[time_column], 'datetime64[ns]')
+                   - np.datetime64(valid_time, 'ns'))
+      order = np.argsort(gap, kind='stable')
+    keys = df.cols[key_column][order]
+    _, first = np.unique(keys, return_index=True)
+    # keep the closest (= first in ranked order) per key, in ranked order
+    return df.take(order[np.sort(first)])
   if time_column is None:
     order = np.arange(len(df))
   else:
@@ -287,7 +380,9 @@ class SparseObservationsFromParquet(base.DataLoader):
     # instead of one per evaluation point (the per-point predicate reads
     # re-decode the same file for every lead/init hitting it).
     self._file_cache = (
-        _FileFrameCache(cache_files, time_dim) if cache_files else None)
+        _FileFrameCache(cache_files, time_dim,
+                        preprocess=self._preprocessing_fn)
+        if cache_files else None)
 
   # -- one evaluation point → one table ---------------------------------------
 
@@ -310,7 +405,9 @@ class SparseObservationsFromParquet(base.DataLoader):
     files = self._layout.files_covering(self._root, lo, hi)
     df = _read_parquet_window(files, window, self._time_dim,
                               cache=self._file_cache)
-    if self._preprocessing_fn is not None:
+    if self._preprocessing_fn is not None and not isinstance(
+        df, _ColumnTable):
+      # Cached tables arrive preprocessed (once per file, _FileFrameCache).
       df = self._preprocessing_fn(df)
     if self._remove_duplicates:
       if lead_interval is not None:
@@ -322,6 +419,9 @@ class SparseObservationsFromParquet(base.DataLoader):
           self._pick_closest_duplicate_by)
     renames = dict(self._rename_variables or {})
     renames[self._time_dim] = 'valid_time'
+    if isinstance(df, _ColumnTable):
+      return df.rename(renames).select(
+          self._variables + self._coordinate_variables)
     df = df.rename(columns=renames)
     return df[self._variables + self._coordinate_variables]
 
@@ -338,8 +438,13 @@ class SparseObservationsFromParquet(base.DataLoader):
             'window; specify only one')
       for init_time in init_times:
         df = self._table_for_point(init_time, lead_interval=lead_times)
-        df = df.assign(init_time=init_time,
-                       lead_time=df['valid_time'] - init_time)
+        if isinstance(df, _ColumnTable):
+          valid = np.asarray(df.cols['valid_time'], 'datetime64[ns]')
+          df = df.assign(init_time=np.datetime64(init_time, 'ns'),
+                         lead_time=valid - np.datetime64(init_time, 'ns'))
+        else:
+          df = df.assign(init_time=init_time,
+                         lead_time=df['valid_time'] - init_time)
         tables.append(df)
     elif lead_times is None:
       tables = [self._table_for_point(t) for t in init_times]
@@ -347,15 +452,25 @@ class SparseObservationsFromParquet(base.DataLoader):
       for init_time in init_times:
         for lead_time in lead_times:
           df = self._table_for_point(init_time + lead_time)
+          if isinstance(df, _ColumnTable):
+            df = df.assign(
+                init_time=np.datetime64(init_time, 'ns'),
+                lead_time=np.timedelta64(lead_time, 'ns'))
           tables.append(
-              df.assign(init_time=init_time, lead_time=lead_time))
+              df if isinstance(df, _ColumnTable)
+              else df.assign(init_time=init_time, lead_time=lead_time))
 
-    stacked = pd.concat(tables, ignore_index=True)
+    if tables and isinstance(tables[0], _ColumnTable):
+      stacked = _ColumnTable.concat(tables)
+    else:
+      stacked = pd.concat(tables, ignore_index=True)
     coord_names = list(self._coordinate_variables)
     if lead_times is not None:
       coord_names += ['init_time', 'lead_time']
 
     def as_array(column) -> np.ndarray:
+      if isinstance(stacked, _ColumnTable):
+        return stacked.cols[column]
       values = stacked[column].to_numpy()
       # String-ish columns (station ids) come back as object arrays.
       return values.astype(str) if values.dtype == object else values

@@ -9,6 +9,7 @@ import abc
 import dataclasses
 from typing import Hashable, Iterable, Mapping, Optional, Sequence, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -134,7 +135,15 @@ def interpolate_to_coords(
       out_dims = dims
     return out, out_dims
 
-  data, out_dims = interp_array(jnp.asarray(da.data), da.dims)
+  # Keep host data on host: the loaders run interpolation during chunk
+  # prep, and forcing jnp here would dispatch every gather/lerp eagerly to
+  # the attached device (seconds of round trips per chunk on a
+  # remote-attached chip). Device/traced inputs stay jnp (ops/interp
+  # picks the namespace per array).
+  raw = da.data
+  if not isinstance(raw, (jax.Array, jax.core.Tracer, np.ndarray)):
+    raw = np.asarray(raw)  # materialize lazy store-backed arrays once
+  data, out_dims = interp_array(raw, da.dims)
 
   coords: dict[str, Coord] = {}
   # Untouched coords (no interpolated dims).
@@ -154,9 +163,10 @@ def interpolate_to_coords(
       dtype = getattr(v, 'dtype', None)
       is_bool = dtype is not None and np.issubdtype(dtype, np.bool_)
       if dtype is not None and (np.issubdtype(dtype, np.number) or is_bool):
-        cv = jnp.asarray(v)
+        cv = v if isinstance(v, (jax.Array, jax.core.Tracer)) \
+            else np.asarray(v)
         if not np.issubdtype(dtype, np.floating):
-          cv = cv.astype(jnp.float32)
+          cv = cv.astype(np.float32)
         cdata, cdims = interp_array(cv, c.dims)
         if is_bool:
           cdata = cdata >= 1.0 - 1e-6

@@ -14,8 +14,23 @@ Two indexing modes, matching xarray semantics:
 
 from typing import Mapping, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _xp_for(data):
+  """numpy for host arrays, jnp for device/traced arrays.
+
+  The gather kernels are called from two very different places: inside
+  jitted evaluation (device arrays — use jnp) and inside HOST-side data
+  loaders (numpy arrays — grid→sparse prep). Forcing jnp for the latter
+  dispatches each gather/lerp as an eager op on the attached device; on a
+  remote-attached chip that turns a ~10 ms numpy interpolation into
+  seconds of per-op round trips (measured ~5 s/chunk on the sparse METAR
+  month), and the loader immediately fetches the result back anyway.
+  """
+  return jnp if isinstance(data, (jax.Array, jax.core.Tracer)) else np
 
 
 def fractional_indices(
@@ -70,24 +85,25 @@ def interp_1d_along_axis(
     method: str,
 ) -> jnp.ndarray:
   """Linear/nearest interp along one axis at (idx, frac) positions."""
+  xp = _xp_for(data)
   n = data.shape[axis]
   if method == 'nearest':
     take = np.minimum(np.where(frac > 0.5, idx + 1, idx), n - 1)
     nan_mask = np.isnan(frac)
-    out = jnp.take(data, jnp.asarray(take), axis=axis)
+    out = xp.take(data, xp.asarray(take), axis=axis)
     if nan_mask.any():
       shape = [1] * out.ndim
       shape[axis] = nan_mask.size
-      out = jnp.where(jnp.asarray(nan_mask).reshape(shape), jnp.nan, out)
+      out = xp.where(xp.asarray(nan_mask).reshape(shape), xp.nan, out)
     return out
   if method != 'linear':
     raise ValueError(f'Unsupported interpolation method: {method}')
-  lo = jnp.take(data, jnp.asarray(idx), axis=axis)
-  hi = jnp.take(data, jnp.asarray(np.minimum(idx + 1, n - 1)), axis=axis)
+  lo = xp.take(data, xp.asarray(idx), axis=axis)
+  hi = xp.take(data, xp.asarray(np.minimum(idx + 1, n - 1)), axis=axis)
   shape = [1] * lo.ndim
   shape[axis] = frac.size
-  f = jnp.asarray(frac, lo.dtype if jnp.issubdtype(
-      jnp.asarray(lo).dtype, jnp.floating) else jnp.float32).reshape(shape)
+  f = xp.asarray(frac, lo.dtype if np.issubdtype(
+      np.dtype(lo.dtype), np.floating) else np.float32).reshape(shape)
   return lo * (1 - f) + hi * f
 
 
@@ -100,7 +116,8 @@ def interp_outer(
     extrapolate: bool,
 ) -> jnp.ndarray:
   """Separable interpolation: each dim to its own 1-D target coords."""
-  out = jnp.asarray(data)
+  out = data if isinstance(data, (jax.Array, jax.core.Tracer)) \
+      else np.asarray(data)
   for d, targets in dim_targets.items():
     ax = list(dims).index(d)
     idx, frac = fractional_indices(
@@ -132,7 +149,8 @@ def interp_pointwise(
   k = len(interp_dims)
   other_dims = [d for d in dims if d not in interp_dims]
   order = [list(dims).index(d) for d in other_dims + interp_dims]
-  arr = jnp.transpose(jnp.asarray(data), order)
+  xp = _xp_for(data)
+  arr = xp.transpose(xp.asarray(data), order)
   grid_shape = arr.shape[-k:]
   arr_flat = arr.reshape(arr.shape[:-k] + (-1,))
 
@@ -157,9 +175,9 @@ def interp_pointwise(
           np.where(np.nan_to_num(frac) > 0.5, idx + 1, idx), size - 1)
       flat_idx += nearest * int(stride)
       nan_mask |= np.isnan(frac)
-    out = jnp.take(arr_flat, jnp.asarray(flat_idx), axis=-1)
+    out = xp.take(arr_flat, xp.asarray(flat_idx), axis=-1)
     if nan_mask.any():
-      out = jnp.where(jnp.asarray(nan_mask), jnp.nan, out)
+      out = xp.where(xp.asarray(nan_mask), xp.nan, out)
   else:
     out = 0.0
     for corner in range(2 ** k):
@@ -172,9 +190,9 @@ def interp_pointwise(
         # is zero there, but jnp.take's out-of-bounds mode fills NaN.
         flat_idx += np.minimum(idx + bit, grid_shape[j] - 1) * int(stride)
         weight = weight * (frac if bit else (1.0 - frac))
-      gathered = jnp.take(arr_flat, jnp.asarray(flat_idx), axis=-1)
-      wdtype = gathered.dtype if jnp.issubdtype(
-          gathered.dtype, jnp.floating) else jnp.float32
-      out = out + gathered * jnp.asarray(weight, wdtype)
+      gathered = xp.take(arr_flat, xp.asarray(flat_idx), axis=-1)
+      wdtype = gathered.dtype if np.issubdtype(
+          np.dtype(gathered.dtype), np.floating) else np.float32
+      out = out + gathered * xp.asarray(weight, wdtype)
 
   return out.reshape(arr.shape[:-k] + tuple(point_shape))
