@@ -289,13 +289,54 @@ def _h5_dims(h5file, ds, name: str) -> tuple:
   return tuple(f'phony_dim_{i}' for i in range(ds.ndim))
 
 
+def _load_netcdf4_fallback(path_or_file) -> dict[str, DimArray]:
+  """h5py-free netCDF4 read via the pure-Python HDF5 reader
+  (:mod:`weatherbenchx_tpu.hdf5_mini`) — reference-written ``.nc``
+  AggregationStates stay loadable in bare environments."""
+  from weatherbenchx_tpu import hdf5_mini
+
+  if isinstance(path_or_file, (str, bytes)) and not (
+      isinstance(path_or_file, bytes) and path_or_file[:8]
+      == hdf5_mini.SIGNATURE):
+    with open(path_or_file, 'rb') as f:
+      data = f.read()
+  elif isinstance(path_or_file, bytes):
+    data = path_or_file
+  else:
+    data = path_or_file.read()
+  datasets = hdf5_mini.read_flat(data)
+
+  def dims_of(name, ds):
+    dimlist = ds.attrs.get('DIMENSION_LIST')
+    if dimlist is not None:
+      return tuple(refs[0] if refs else f'phony_dim_{i}'
+                   for i, refs in enumerate(dimlist))
+    if ds.attrs.get('CLASS') == b'DIMENSION_SCALE':
+      return (name,)
+    return tuple(f'phony_dim_{i}' for i in range(np.ndim(ds.data)))
+
+  raw = {}
+  for name, ds in datasets.items():
+    nc_name = ds.attrs.get('NAME')
+    if (ds.attrs.get('CLASS') == b'DIMENSION_SCALE'
+        and isinstance(nc_name, bytes)
+        and nc_name.startswith(b'This is a netCDF dimension')):
+      continue
+    attrs = {k: v for k, v in ds.attrs.items()
+             if k not in ('DIMENSION_LIST', 'CLASS', 'NAME',
+                          'REFERENCE_LIST', '_Netcdf4Dimid',
+                          '_Netcdf4Coordinates')}
+    raw[name] = (ds.data, dims_of(name, ds), attrs)
+  return _assemble(raw)
+
+
 def _load_netcdf4(path_or_file) -> dict[str, DimArray]:
+  if os.environ.get('WBX_NO_H5PY') == '1':
+    return _load_netcdf4_fallback(path_or_file)
   try:
     import h5py
-  except ImportError as e:
-    raise ImportError(
-        'reading netCDF4/HDF5 files needs h5py (netCDF3 reads via scipy '
-        'without it)') from e
+  except ImportError:
+    return _load_netcdf4_fallback(path_or_file)
 
   raw = {}
   with h5py.File(path_or_file, 'r') as f:
