@@ -103,6 +103,27 @@ class TestSpreadFormParity:
       np.testing.assert_allclose(got[~nan_mask], want[~nan_mask],
                                  rtol=2e-5, atol=1e-4, err_msg=form)
 
+  def test_sort_form_odd_m_nan_every_position(self, monkeypatch):
+    """Odd m: the median rank's PWM coefficient (2r-m-1) is ZERO, so 'the
+    NaN row reaches some real output row' does not by itself poison the
+    sum — the guarantee rests on the lone NaN DUPLICATING at its first
+    real-vs-real compare-exchange (min and max both return NaN), after
+    which at least one copy sits at a non-median rank. Exercise m=21
+    (pads 21->32) with the NaN at EVERY member position."""
+    monkeypatch.setenv('WBX_SPREAD_FORM', 'sort')
+    m = 21
+    rng = np.random.default_rng(21)
+    base = rng.normal(size=(m, 8, 128)).astype(np.float32)
+    for pos in range(m):
+      x = base.copy()
+      x[pos, 2, 5] = np.nan
+      got = np.asarray(crps_pairwise._pairwise_spread_sum_impl(
+          jnp.asarray(x), interpret=True))
+      assert np.isnan(got[2, 5]), f'NaN at member {pos} not propagated'
+      want = np.abs(x[:, None] - x[None, :]).sum((0, 1))
+      ok = ~np.isnan(want)
+      np.testing.assert_allclose(got[ok], want[ok], rtol=2e-5, atol=1e-4)
+
   def test_sort_form_pads_sort_above_reals(self, monkeypatch):
     # Non-power-of-two m forces symbolic +inf pads; large magnitudes make
     # a mis-sorted pad row give a wildly wrong weighted sum.

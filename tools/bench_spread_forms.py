@@ -61,20 +61,21 @@ def make_fn(m, form, k_iters):
   return run
 
 
-def measure(m, form, k_iters=8, reps=3):
+def compile_fn(m, form, k_iters=8):
   run = make_fn(m, form, k_iters)
   t0 = time.perf_counter()
   float(run(jnp.float32(0.0)))  # compile + 1st exec
-  compile_s = time.perf_counter() - t0
-  best = float('inf')
-  for r in range(reps):
-    t0 = time.perf_counter()
-    float(run(jnp.float32(r + 1.0)))
-    best = min(best, time.perf_counter() - t0)
-  return best / k_iters, compile_s
+  return run, time.perf_counter() - t0
 
 
 def main():
+  """Interleaved A/B: compile both forms once, then alternate single
+  timed executions pairs/sort/pairs/sort… (WBX_AB_REPS per form, default
+  9) and report MEDIAN and best per form. Interleaving + medians cancel
+  the tunnel's run-to-run drift, which straddled the r3 best-of-3 deltas
+  (ADVICE r3: the claimed ~9%% m=50 gain was within the stated spread)."""
+  import statistics
+
   z = jnp.ones((8, 128))
   tiny = jax.jit(lambda a: a.sum())
   float(tiny(z))  # warm the tunnel/compile path
@@ -82,22 +83,34 @@ def main():
       (lambda t0: (float(tiny(z + i)), time.perf_counter() - t0)[1])(
           time.perf_counter()) for i in range(5))
   print(f'backend={jax.default_backend()} latency ~{lat*1e3:.1f} ms')
+  reps = int(os.environ.get('WBX_AB_REPS', '9'))
   blocks = [int(b) for b in os.environ.get('WBX_AB_BLOCKS', '').split(',')
             if b.strip()]
   orig_block_shape = cp._block_shape
+  k_iters = 8
   for m in (int(a) for a in sys.argv[1:] or ['50']):
-    for form in ('pairs', 'sort'):
-      for bc in blocks or [None]:
-        if bc is not None:
-          cp._block_shape = lambda m_, r, c, _bc=bc: (
-              orig_block_shape(m_, r, c)[0], min(-(-c // 128) * 128, _bc))
-        try:
-          dt, cs = measure(m, form)
-        finally:
-          cp._block_shape = orig_block_shape
-        tag = f' bc={bc}' if bc is not None else ''
-        print(f'm={m:3d} {form:5s}{tag}: {dt*1e3:8.2f} ms/step '
-              f'(compile+1st {cs:.1f}s)', flush=True)
+    for bc in blocks or [None]:
+      if bc is not None:
+        cp._block_shape = lambda m_, r, c, _bc=bc: (
+            orig_block_shape(m_, r, c)[0], min(-(-c // 128) * 128, _bc))
+      try:
+        runs = {}
+        for form in ('pairs', 'sort'):
+          runs[form], cs = compile_fn(m, form, k_iters)
+          print(f'# m={m} {form}: compile+1st {cs:.1f}s', flush=True)
+        times = {'pairs': [], 'sort': []}
+        for r in range(reps):
+          for form in ('pairs', 'sort'):
+            t0 = time.perf_counter()
+            float(runs[form](jnp.float32(r + 1.0)))
+            times[form].append((time.perf_counter() - t0) / k_iters)
+      finally:
+        cp._block_shape = orig_block_shape
+      tag = f' bc={bc}' if bc is not None else ''
+      for form in ('pairs', 'sort'):
+        ts = times[form]
+        print(f'm={m:3d} {form:5s}{tag}: median {1e3*statistics.median(ts):8.2f}'
+              f' ms/step  best {1e3*min(ts):8.2f}  n={len(ts)}', flush=True)
 
 
 if __name__ == '__main__':

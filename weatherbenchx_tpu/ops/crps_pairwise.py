@@ -138,8 +138,15 @@ def _ce_min(a, b):
 def _ce_max(a, b):
   # max(NaN, +inf) is NaN but we return the pad; safe because the same
   # compare-exchange keeps the NaN row on the min side (see _ce_min), so
-  # at least one NaN copy always survives among the real rows and the
-  # poisoned gridpoint still sums to NaN.
+  # at least one NaN copy always survives among the real rows. That alone
+  # is not sufficient for ODD m, where the median rank's PWM coefficient
+  # (2r-m-1) is zero: the survival argument is that a lone NaN DUPLICATES
+  # at its first real-vs-real compare-exchange (jnp.minimum and
+  # jnp.maximum both return NaN), so from then on ≥2 copies exist and at
+  # least one lands at a non-median rank with a nonzero coefficient —
+  # verified for every NaN position at m=21 in
+  # tests/test_crps_pairwise.py::TestSpreadFormParity::
+  # test_sort_form_odd_m_nan_every_position.
   if a is _PAD or b is _PAD:
     return _PAD
   return jnp.maximum(a, b)
