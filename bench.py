@@ -305,7 +305,70 @@ def full_suite(latency, time_budget_s=240.0):
                     {'hour': clim_hours, 'dayofyear': clim_doys,
                      'latitude': lats, 'longitude': lons})
 
-  def measure(metrics, preds, tgts, k_iters, n_stats):
+  def roofline_peaks():
+    """Measured attainable peaks on THIS chip/stack (not datasheet numbers):
+    HBM stream bandwidth via a saturating elementwise pass, VPU f32
+    throughput via a resident FMA chain. Per-family %%-of-roofline is
+    computed against these, so it reports distance from what the stack can
+    actually deliver here."""
+    n = 64 * 1024 * 1024  # 256 MB f32: far beyond VMEM, HBM-streamed
+    x0 = jax.device_put(jnp.zeros(n, jnp.float32))
+
+    def bw_scan(x, ks):
+      def step(c, k):
+        return c + k, ()  # read N + write N per step (k is scalar)
+      out, _ = lax.scan(step, x, ks)
+      return out
+
+    bw_jit = jax.jit(bw_scan)
+    # Long scans + best-of-3: the peak is a calibration constant, so take
+    # the fastest rep (slow reps are tunnel/launch jitter, not the chip),
+    # and size the scan so on-chip time ≫ the ~25 ms tunnel latency —
+    # k=16 put ~15 ms of compute against that latency and the subtraction
+    # made the "measured peak" swing 2× between runs.
+    k_bw = 96  # ~50 GB of traffic ≈ 100 ms on-chip
+    # Vary ks between reps: identical (program, args) executions are
+    # memoized somewhere in the remote tunnel (see bench headline scan).
+    float(jnp.asarray(bw_jit(x0, jnp.arange(1.0, k_bw + 1.0))[0]))
+    dt_bw = np.inf
+    for rep in range(3):
+      t0 = time.perf_counter()
+      float(jnp.asarray(bw_jit(x0, jnp.arange(2.0 + rep, k_bw + 2.0 + rep))[0]))
+      dt_bw = min(dt_bw, max(
+          (time.perf_counter() - t0 - latency) / k_bw, 1e-9))
+    hbm_gbps = n * 8 / dt_bw / 1e9  # 4B read + 4B write per element
+
+    m = 512 * 1024  # 2 MB: VMEM-resident across the unrolled FMA chain
+    y0 = jax.device_put(jnp.full(m, 1.0000001, jnp.float32))
+    unroll = 64
+
+    def fma_scan(y, ks):
+      def step(c, k):
+        for _ in range(unroll):
+          c = c * 1.0000001 + 1e-7 * k
+        return c, ()
+      out, _ = lax.scan(step, y, ks)
+      return out
+
+    fma_jit = jax.jit(fma_scan)
+    k_fma = 4096  # ~0.5 Tops total ≈ 100 ms on-chip (same sizing rule)
+    float(jnp.asarray(fma_jit(y0, jnp.arange(1.0, k_fma + 1.0))[0]))
+    dt_fma = np.inf
+    for rep in range(3):
+      t0 = time.perf_counter()
+      float(jnp.asarray(
+          fma_jit(y0, jnp.arange(2.0 + rep, k_fma + 2.0 + rep))[0]))
+      dt_fma = min(dt_fma, max(
+          (time.perf_counter() - t0 - latency) / k_fma, 1e-9))
+    vpu_gops = 2 * unroll * m / dt_fma / 1e9  # FMA = 2 ops
+
+    return {'hbm_GBps': round(hbm_gbps, 1),
+            'vpu_f32_Gops': round(vpu_gops, 1)}
+
+  peaks = roofline_peaks()
+
+  def measure(metrics, preds, tgts, k_iters, n_stats, extra_flops_fn=None,
+              min_bytes=None):
     ev = evaluator_lib.ChunkEvaluator(metrics=metrics, aggregator=agg)
     p = jax.device_put(
         evaluator_lib.prepare_chunk(preds, ev._clim_stats,
@@ -332,13 +395,64 @@ def full_suite(latency, time_budget_s=240.0):
       leaf = jax.tree_util.tree_leaves(state.sum_weights)[0]
       return float(jnp.asarray(leaf).sum())
 
+    def roofline(out, k_iters, dt):
+      """Attach the roofline accounting to a family's result row.
+
+      Two views, both against the MEASURED attainable peaks:
+
+      * ``pct_of_min_io_roofline``: measured step time vs the ANALYTIC
+        minimum HBM traffic — every input array and aggregation operand
+        read exactly once (a perfectly-fused implementation; outputs are
+        negligible). This is the honest %%-of-roofline: a low number
+        demands a written reason (BASELINE.md round 4 carries one per
+        family — e.g. the deterministic family's masked aggregation is
+        VPU LOAD-limited, not HBM-limited: 2·R·B·N operand loads put its
+        floor at ~3.0 ms where min-IO says 0.37). Two caveats: a sub-ms
+        family's dt sits inside the tunnel-latency subtraction's
+        resolution, so its pct can print >100 (read as "at the floor"),
+        and XLA legitimately hoists loop-invariant operand products out
+        of the measured scan — as the production pipeline amortizes them
+        across chunks — which can push a family past the single-shot
+        min-IO bound.
+      * ``xla_cost_*``: the compiled single-step executable's own cost
+        model (per-op post-fusion sums). Operands are counted once per
+        CONSUMING op, so these exceed true traffic wherever fusion keeps
+        data in VMEM — useful as an upper envelope and for spotting
+        accidental materialization, not as a divisor. Pallas custom calls
+        report zero flops to XLA, so families carrying one add the
+        kernel's arithmetic analytically via extra_flops_fn.
+      """
+      del k_iters
+      if min_bytes is not None:
+        t_io = min_bytes / (peaks['hbm_GBps'] * 1e9)
+        out['min_io_MB'] = round(min_bytes / 1e6, 1)
+        out['pct_of_min_io_roofline'] = round(100 * t_io / dt, 1)
+      try:
+        one = jax.jit(lambda p_, t_, o_, r_: ev._eval_fn(p_, t_, o_, r_))
+        ca = one.lower(p, t, ops, res).compile().cost_analysis()
+        if isinstance(ca, list):
+          ca = ca[0] if ca else {}
+      except Exception:
+        return
+      flops = float(ca.get('flops', 0.0))
+      hbm = float(ca.get('bytes accessed', 0.0))
+      if extra_flops_fn is not None:
+        flops += extra_flops_fn()
+      out['xla_cost_flops_G'] = round(flops / 1e9, 2)
+      out['xla_cost_bytes_MB'] = round(hbm / 1e6, 1)
+
     gridpoints = n_lead * nlat * nlon
     while True:
-      ks = jnp.arange(1.0, k_iters + 1.0)
-      fetch(fn(p, t, ks, ops, res))  # compile + warm
-      t0 = time.perf_counter()
-      fetch(fn(p, t, ks, ops, res))
-      best = time.perf_counter() - t0
+      fetch(fn(p, t, jnp.arange(1.0, k_iters + 1.0), ops, res))  # compile
+      # Best-of-3, each rep with distinct scan inputs (identical
+      # (program, args) executions can be memoized in the tunnel): reps
+      # cost only run time — the compile above is the expensive part.
+      best = float('inf')
+      for rep in range(3):
+        ks = jnp.arange(2.0 + rep, k_iters + 2.0 + rep)
+        t0 = time.perf_counter()
+        fetch(fn(p, t, ks, ops, res))
+        best = min(best, time.perf_counter() - t0)
       dt = (best - latency) / (k_iters + 1)
       if dt * (k_iters + 1) < 0.25 * latency:
         # The whole scan is inside the latency noise floor. Jump straight
@@ -353,9 +467,15 @@ def full_suite(latency, time_budget_s=240.0):
         return {'ms_per_step': f'<{latency * 1e3 / (k_iters + 1):.2f}',
                 'below_timing_resolution': True}
       dt = max(dt, 1e-9)
-      return {'ms_per_step': round(dt * 1e3, 2),
-              'gridpoint_stats_per_sec_M': round(
-                  gridpoints * n_stats / dt / 1e6, 1)}
+      out = {'ms_per_step': round(dt * 1e3, 2),
+             'gridpoint_stats_per_sec_M': round(
+                 gridpoints * n_stats / dt / 1e6, 1)}
+      roofline(out, k_iters, dt)
+      return out
+
+  # Analytic minimum HBM traffic helpers: every input read exactly once.
+  var_bytes = n_lead * nlat * nlon * 4          # one (1,L,lat,lon) f32 var
+  mask_bytes = 34 * nlat * nlon * 4             # 34-bin region mask stack
 
   def fam_det():
     preds = {'geopotential': grid(1), '2m_temperature': grid(2)}
@@ -368,14 +488,17 @@ def full_suite(latency, time_budget_s=240.0):
         'activity': deterministic.PredictionActivity(climatology=c),
     }
     # unique stats: Error, SquaredError, SqPredAnom, SqTgtAnom, AnomCov ×2var
-    return measure(metrics, preds, tgts, k_iters=8, n_stats=10)
+    # min IO: 2 preds + 2 tgts + 2 gathered clim slices + the mask stack
+    return measure(metrics, preds, tgts, k_iters=24, n_stats=10,
+                   min_bytes=6 * var_bytes + mask_bytes)
 
   def fam_vector():
     preds = {'u': grid(7), 'v': grid(8)}
     tgts = {'u': grid(9), 'v': grid(10)}
     metrics = {'vector_rmse': deterministic.WindVectorRMSE(
         u_name='u', v_name='v', vector_name='wind')}
-    return measure(metrics, preds, tgts, k_iters=8, n_stats=1)
+    return measure(metrics, preds, tgts, k_iters=24, n_stats=1,
+                   min_bytes=4 * var_bytes + mask_bytes)
 
   def fam_seeps():
     preds = {'total_precipitation_24hr': grid(11, positive=True,
@@ -386,30 +509,57 @@ def full_suite(latency, time_budget_s=240.0):
          'total_precipitation_24hr_seeps_dry_fraction': clim(14, 0.05, 0.95)}
     metrics = {'seeps': categorical.SEEPS(
         variables=['total_precipitation_24hr'], climatology=c)}
-    return measure(metrics, preds, tgts, k_iters=8, n_stats=1)
+    # preds + tgts + 2 gathered clim fields + mask stack
+    return measure(metrics, preds, tgts, k_iters=24, n_stats=1,
+                   min_bytes=4 * var_bytes + mask_bytes)
 
   def fam_fss():
     preds = {'precip': DimArray(grid(15, boolean=True), gdims, base_coords)}
     tgts = {'precip': DimArray(grid(16, boolean=True), gdims, base_coords)}
     metrics = {'fss': spatial.FSS(neighborhood_size_in_pixels=[3],
                                   wrap_longitude=True)}
-    return measure(metrics, preds, tgts, k_iters=4, n_stats=3)
+    # bool inputs (1 B/elt) + mask stack
+    return measure(metrics, preds, tgts, k_iters=12, n_stats=3,
+                   min_bytes=2 * (var_bytes // 4) + mask_bytes)
 
   def fam_prob():
-    preds = {'2m_temperature': grid(17, ens=50)}
+    m = 50
+    preds = {'2m_temperature': grid(17, ens=m)}
     tgts = {'2m_temperature': grid(18)}
     metrics = {
         'crps': probabilistic.CRPSEnsemble(use_sort=True),
         'spread_skill': probabilistic.UnbiasedSpreadSkillRatio(),
         'unbiased_mean_rmse': probabilistic.UnbiasedEnsembleMeanRMSE(),
     }
-    return measure(metrics, preds, tgts, k_iters=4, n_stats=4)
+
+    def pallas_spread_flops():
+      """The CRPS spread Pallas kernel is a custom call — zero flops in
+      XLA's cost model; add its arithmetic analytically. Sort form
+      (default at m>=20): bitonic network on the padded power-of-two lane
+      count (2 ops per compare-exchange) + the PWM weighted sum; pairwise
+      form: 3 ops per unordered pair."""
+      if os.environ.get('WBX_NO_PALLAS') == '1':
+        return 0.0
+      n_points = n_lead * nlat * nlon
+      from weatherbenchx_tpu.ops import crps_pairwise
+      if crps_pairwise._spread_form(m) == 'sort':
+        padded = 1 << (m - 1).bit_length()
+        stages = padded.bit_length() - 1
+        ces = padded // 2 * stages * (stages + 1) // 2
+        return n_points * (2 * ces + 3 * m)
+      return n_points * 3 * m * (m - 1) // 2
+
+    # 50-member ensemble + target + mask stack, each read once
+    return measure(metrics, preds, tgts, k_iters=12, n_stats=4,
+                   extra_flops_fn=pallas_spread_flops,
+                   min_bytes=(m + 1) * var_bytes + mask_bytes)
 
   def fam_rank_histogram():
     preds = {'2m_temperature': grid(19, ens=50)}
     tgts = {'2m_temperature': grid(20)}
     metrics = {'rank_histogram': probabilistic.RankHistogram()}
-    return measure(metrics, preds, tgts, k_iters=4, n_stats=51)
+    return measure(metrics, preds, tgts, k_iters=12, n_stats=51,
+                   min_bytes=51 * var_bytes + mask_bytes)
 
   def fam_rev():
     ens_frac = np.random.default_rng(21).random(
@@ -422,7 +572,9 @@ def full_suite(latency, time_budget_s=240.0):
         probability_thresholds=(np.arange(8) + 0.5) / 8,
         statistic_suffix='bench8',
         cost_loss_ratios=np.geomspace(0.01, 1, 9)[:-1])}
-    return measure(metrics, preds, tgts, k_iters=4, n_stats=24)
+    # probability field + bool target + mask stack
+    return measure(metrics, preds, tgts, k_iters=12, n_stats=24,
+                   min_bytes=var_bytes + var_bytes // 4 + mask_bytes)
 
   families = [
       ('deterministic_acc_activity', fam_det),
@@ -433,7 +585,8 @@ def full_suite(latency, time_budget_s=240.0):
       ('rev', fam_rev),
       ('vector_rmse', fam_vector),
   ]
-  out = {'bins': 34, 'grid': '0.25deg', 'n_lead': n_lead, 'masked': True}
+  out = {'bins': 34, 'grid': '0.25deg', 'n_lead': n_lead, 'masked': True,
+         'roofline_peaks_measured': peaks}
   for name, fn in families:
     if time.perf_counter() - t_start > time_budget_s:
       out[name] = 'skipped_time_budget'

@@ -10,6 +10,7 @@ from weatherbenchx_tpu import aggregation, test_utils
 from weatherbenchx_tpu.darray import Coord, DimArray
 from weatherbenchx_tpu.metrics import base as mbase
 from weatherbenchx_tpu.metrics import probabilistic, wrappers
+from weatherbenchx_tpu.ops import crps_pairwise
 
 
 def compute_all(metrics, preds, tgts, reduce_dims):
@@ -424,3 +425,113 @@ class TestReviewRegressions:
     }
     with pytest.raises(ValueError, match='unique_name'):
       mbase.unique_statistics_for_metrics(metrics)
+
+
+class TestFusedEnsemblePass:
+  """The fused spread+skill+moments kernel pass == the standalone paths.
+
+  One Pallas pass computes CRPS spread, CRPS skill, the ensemble mean and
+  Σ(x−mean)² from a VMEM-resident block, shared across sibling statistics
+  via base.computation_cache (it saves a second HBM sweep over the
+  production 50-member ensemble). These run it via the Pallas interpreter
+  on CPU and pin equality with the unfused paths, NaN semantics included.
+  """
+
+  def _inputs(self, nan=True):
+    rng = np.random.default_rng(0)
+    m, nl, la, lo = 7, 3, 10, 12
+    coords = {
+        'lead_time': (np.arange(nl) * np.timedelta64(6, 'h')
+                      ).astype('timedelta64[ns]'),
+        'latitude': np.linspace(-90, 90, la),
+        'longitude': np.linspace(0, 360, lo, endpoint=False)}
+    x = (280 + 5 * rng.standard_normal((m, nl, la, lo))).astype(np.float32)
+    if nan:
+      x[2, 1, 3, 4] = np.nan
+    y = (280 + 5 * rng.standard_normal((nl, la, lo))).astype(np.float32)
+    preds = {'t2m': DimArray(
+        x, ('number', 'lead_time', 'latitude', 'longitude'),
+        dict(coords, number=np.arange(m)))}
+    tgts = {'t2m': DimArray(y, ('lead_time', 'latitude', 'longitude'),
+                            coords)}
+    return preds, tgts, x, y, m
+
+  def test_fused_matches_f64_and_plain(self, monkeypatch):
+    monkeypatch.setenv('WBX_PALLAS_INTERPRET', '1')
+    preds, tgts, x, y, m = self._inputs()
+    metrics = {'crps': probabilistic.CRPSEnsemble(use_sort=True),
+               'ssr': probabilistic.UnbiasedSpreadSkillRatio(),
+               'umr': probabilistic.UnbiasedEnsembleMeanRMSE()}
+    fused = mbase.compute_unique_statistics_for_all_metrics(
+        metrics, preds, tgts)
+    monkeypatch.setenv('WBX_NO_PALLAS', '1')
+    plain = mbase.compute_unique_statistics_for_all_metrics(
+        metrics, preds, tgts)
+    monkeypatch.delenv('WBX_NO_PALLAS')
+
+    x64, y64 = x.astype(np.float64), y.astype(np.float64)
+    truth = {
+        'CRPSSkill_number': np.abs(x64 - y64).mean(0),
+        'CRPSSpread_number_fair_predictions':
+            np.abs(x64[:, None] - x64[None, :]).sum((0, 1)) / (m * (m - 1)),
+        'EnsembleVariance_number_skipna_ensemble_False':
+            x64.var(0, ddof=1),
+        'UnbiasedEnsembleMeanSquaredError_number_skipna_ensemble_False':
+            (x64.mean(0) - y64) ** 2 - x64.var(0, ddof=1) / m,
+    }
+    for k, want in truth.items():
+      got = np.asarray(fused[k]['t2m'].values, np.float64)
+      # NaN poisoning identical to the unfused semantics
+      assert (np.isnan(got) == np.isnan(want)).all(), k
+      rel = np.nanmax(np.abs(got - want) / np.maximum(np.abs(want), 1.0))
+      # spread/skill/variance sit at f32 roundoff; the unbiased MSE's
+      # (mean−y)² − var/m cancellation is inherent to the statistic — pin
+      # it to the PLAIN path's error instead of an absolute bound.
+      plain_got = np.asarray(plain[k]['t2m'].values, np.float64)
+      plain_rel = np.nanmax(
+          np.abs(plain_got - want) / np.maximum(np.abs(want), 1.0))
+      assert rel <= max(2 * plain_rel, 5e-7), (k, rel, plain_rel)
+
+  def test_fused_pass_runs_once_per_input_pair(self, monkeypatch):
+    monkeypatch.setenv('WBX_PALLAS_INTERPRET', '1')
+    preds, tgts, *_ = self._inputs(nan=False)
+    calls = []
+    orig = crps_pairwise.fused_ensemble_stats
+
+    def spy(x, y, interpret=False):
+      calls.append(x.shape)
+      return orig(x, y, interpret=interpret)
+
+    monkeypatch.setattr(crps_pairwise, 'fused_ensemble_stats', spy)
+    metrics = {'crps': probabilistic.CRPSEnsemble(use_sort=True),
+               'ssr': probabilistic.UnbiasedSpreadSkillRatio(),
+               'umr': probabilistic.UnbiasedEnsembleMeanRMSE()}
+    mbase.compute_unique_statistics_for_all_metrics(metrics, preds, tgts)
+    assert len(calls) == 1, calls
+
+  def test_no_cache_no_fusion(self, monkeypatch):
+    """Outside a compute pass (no active cache) stats keep their
+    standalone paths — the memo must never hold tracers across traces."""
+    monkeypatch.setenv('WBX_PALLAS_INTERPRET', '1')
+    preds, tgts, *_ = self._inputs(nan=False)
+    assert mbase.get_computation_cache() is None
+    stat = probabilistic.CRPSSkill()
+    out = stat.compute(preds, tgts)
+    want = np.abs(np.asarray(preds['t2m'].values)
+                  - np.asarray(tgts['t2m'].values)[None]).mean(0)
+    np.testing.assert_allclose(np.asarray(out['t2m'].values), want,
+                               rtol=1e-6)
+
+  def test_mask_coord_survives_fusion(self, monkeypatch):
+    monkeypatch.setenv('WBX_PALLAS_INTERPRET', '1')
+    preds, tgts, *_ = self._inputs(nan=False)
+    mask = np.random.default_rng(1).random((10, 12)) > 0.3
+    tgts = {'t2m': tgts['t2m'].assign_coords(
+        mask=Coord(('latitude', 'longitude'), mask))}
+    metrics = {'crps': probabilistic.CRPSEnsemble(use_sort=True)}
+    stats = mbase.compute_unique_statistics_for_all_metrics(
+        metrics, preds, tgts)
+    skill = stats['CRPSSkill_number']['t2m']
+    assert skill.has_coord('mask')
+    np.testing.assert_array_equal(
+        np.asarray(skill.coords['mask'].values), mask)

@@ -200,13 +200,21 @@ def test_cf_time_int_overflow_raises():
 
 
 def _write_v3_store(root, arrays, *, codec=None, key_encoding='default',
-                    separator=None, endian='little'):
+                    separator=None, endian='little', shards=None,
+                    index_location='end', skip_inner=(),
+                    corrupt_index=False):
   """Hand-writes a spec-conformant zarr v3 directory store.
 
   ``arrays`` maps name -> (values, dims, chunks, extra_attrs). Written
   straight from the v3 core spec (zarr.json metadata, `c/`-prefixed chunk
   keys for the default encoding) so the reader is tested against
   independent bytes, not its own writer.
+
+  ``shards`` (a shape, multiple of each array's chunks) switches on the
+  ``sharding_indexed`` codec: chunk_grid becomes the shard grid, shard
+  objects hold the encoded inner chunks plus a little-endian
+  (offset, nbytes) index with a crc32c checksum, at ``index_location``.
+  ``skip_inner`` inner-cell ids are omitted (index sentinel 2**64-1).
   """
   from weatherbenchx_tpu import codecs as wbx_codecs
 
@@ -230,13 +238,27 @@ def _write_v3_store(root, arrays, *, codec=None, key_encoding='default',
       codecs_list.append({'name': 'zstd', 'configuration': {'level': 3}})
     elif codec == 'gzip':
       codecs_list.append({'name': 'gzip', 'configuration': {'level': 5}})
+    use_shards = shards is not None and name not in ('valid_time',
+                                                     'latitude', 'longitude')
+    if use_shards:
+      grid_chunks = list(shards)
+      codecs_list = [{'name': 'sharding_indexed', 'configuration': {
+          'chunk_shape': list(chunks),
+          'codecs': codecs_list,
+          'index_codecs': [
+              {'name': 'bytes', 'configuration': {'endian': 'little'}},
+              {'name': 'crc32c'}],
+          'index_location': index_location,
+      }}]
+    else:
+      grid_chunks = list(chunks)
     meta = {
         'zarr_format': 3,
         'node_type': 'array',
         'shape': list(values.shape),
         'data_type': values.dtype.name,
         'chunk_grid': {'name': 'regular',
-                       'configuration': {'chunk_shape': list(chunks)}},
+                       'configuration': {'chunk_shape': grid_chunks}},
         'chunk_key_encoding': {'name': key_encoding,
                                'configuration': {'separator': sep}},
         'fill_value': 'NaN' if values.dtype.kind == 'f' else 0,
@@ -246,8 +268,8 @@ def _write_v3_store(root, arrays, *, codec=None, key_encoding='default',
     }
     with open(os.path.join(adir, 'zarr.json'), 'w') as f:
       json.dump(meta, f)
-    grid = [max(-(-s // c), 1) for s, c in zip(values.shape, chunks)]
-    for cell in np.ndindex(*grid):
+
+    def block_bytes(cell, chunks):
       window = tuple(slice(i * c, (i + 1) * c)
                      for i, c in zip(cell, chunks))
       block = values[window]
@@ -257,15 +279,52 @@ def _write_v3_store(root, arrays, *, codec=None, key_encoding='default',
         full[tuple(slice(0, s) for s in block.shape)] = block
         block = full
       raw = np.ascontiguousarray(block.astype(store_dtype)).tobytes()
-      raw = wbx_codecs.encode_cell(raw, codec, values.dtype.itemsize)
+      return wbx_codecs.encode_cell(raw, codec, values.dtype.itemsize)
+
+    def cell_key(cell):
       if key_encoding == 'default':
-        key = 'c' + ''.join(f'{sep}{i}' for i in cell) if cell else 'c'
-      else:
-        key = sep.join(str(i) for i in cell) if cell else '0'
-      path = os.path.join(adir, key)
+        return 'c' + ''.join(f'{sep}{i}' for i in cell) if cell else 'c'
+      return sep.join(str(i) for i in cell) if cell else '0'
+
+    if use_shards:
+      shard_grid = [max(-(-s // c), 1)
+                    for s, c in zip(values.shape, grid_chunks)]
+      spc = [s // c for s, c in zip(grid_chunks, chunks)]
+      for shard in np.ndindex(*shard_grid):
+        entries = []
+        payload = b''
+        # Offsets are absolute within the shard object: a leading index
+        # shifts every inner chunk by the index size.
+        base = (16 * int(np.prod(spc)) + 4) if index_location == 'start' \
+            else 0
+        for within in np.ndindex(*spc):
+          cell = tuple(s * n + w for s, n, w in zip(shard, spc, within))
+          if cell in set(skip_inner) or any(
+              i * c >= values.shape[d]
+              for d, (i, c) in enumerate(zip(cell, chunks))):
+            entries.append((2**64 - 1, 2**64 - 1))
+            continue
+          enc = block_bytes(cell, chunks)
+          entries.append((base + len(payload), len(enc)))
+          payload += enc
+        index = np.asarray(entries, '<u8').tobytes()
+        index += wbx_codecs.crc32c(index).to_bytes(4, 'little')
+        if corrupt_index:
+          index = index[:-1] + bytes([index[-1] ^ 0xFF])
+        blob = (index + payload if index_location == 'start'
+                else payload + index)
+        path = os.path.join(adir, cell_key(shard))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, 'wb') as f:
+          f.write(blob)
+      continue
+
+    grid = [max(-(-s // c), 1) for s, c in zip(values.shape, chunks)]
+    for cell in np.ndindex(*grid):
+      path = os.path.join(adir, cell_key(cell))
       os.makedirs(os.path.dirname(path), exist_ok=True)
       with open(path, 'wb') as f:
-        f.write(raw)
+        f.write(block_bytes(cell, chunks))
 
 
 def _v3_fixture_arrays(n_time=10, n_lat=5, n_lon=6):
@@ -327,15 +386,64 @@ class TestZarrV3Read:
     assert np.isnan(got[:4, :3, :]).all()
     np.testing.assert_array_equal(got[4:], data[4:])
 
-  def test_v3_sharding_codec_rejected(self, tmp_path):
+  def test_crc32c_known_vector(self):
+    from weatherbenchx_tpu import codecs as wbx_codecs
+    # RFC 3720 / the universal CRC-32C check value.
+    assert wbx_codecs.crc32c(b'123456789') == 0xE3069283
+    assert wbx_codecs.crc32c(b'') == 0
+
+  @pytest.mark.parametrize('codec', [None, 'blosc', 'zstd'])
+  @pytest.mark.parametrize('index_location', ['end', 'start'])
+  def test_v3_sharded_store_reads(self, tmp_path, codec, index_location):
     data, arrays = _v3_fixture_arrays()
     root = str(tmp_path / 'v3shard.zarr')
-    _write_v3_store(root, {'t2m': arrays['t2m']})
+    # 2x1x2 inner chunks per shard; time axis has a ragged final shard.
+    _write_v3_store(root, arrays, codec=codec, shards=[8, 3, 12],
+                    index_location=index_location)
+    ds = zarr_io.open_dataset_zarr(root)
+    da = ds['t2m']
+    assert da.dims == ('valid_time', 'latitude', 'longitude')
+    np.testing.assert_array_equal(np.asarray(da.values), data)
+    # Windowed read touching two shards and inner-chunk interiors.
+    win = np.asarray(da.isel({'valid_time': slice(3, 9),
+                              'latitude': slice(2, 5),
+                              'longitude': slice(1, 5)}).values)
+    np.testing.assert_array_equal(win, data[3:9, 2:5, 1:5])
+
+  def test_v3_sharded_missing_pieces_fill(self, tmp_path):
+    data, arrays = _v3_fixture_arrays()
+    root = str(tmp_path / 'v3shardfill.zarr')
+    # Skip one inner chunk (index sentinel) and delete one whole shard.
+    _write_v3_store(root, arrays, shards=[8, 3, 12],
+                    skip_inner=[(0, 0, 0)])
+    os.remove(os.path.join(root, 't2m', 'c', '1', '0', '0'))
+    ds = zarr_io.open_dataset_zarr(root)
+    got = np.asarray(ds['t2m'].values)
+    assert np.isnan(got[:4, :3, :6]).all()   # sentinel inner chunk
+    assert np.isnan(got[8:, :3, :]).all()    # missing shard object
+    np.testing.assert_array_equal(got[4:8], data[4:8])
+    np.testing.assert_array_equal(got[:8, 3:], data[:8, 3:])
+
+  def test_v3_sharded_index_checksum_verified(self, tmp_path):
+    data, arrays = _v3_fixture_arrays()
+    root = str(tmp_path / 'v3shardbad.zarr')
+    _write_v3_store(root, arrays, shards=[8, 3, 12], corrupt_index=True)
+    ds = zarr_io.open_dataset_zarr(root)
+    with pytest.raises(ValueError, match='crc32c'):
+      np.asarray(ds['t2m'].values)
+
+  def test_v3_nested_sharding_rejected(self, tmp_path):
+    data, arrays = _v3_fixture_arrays()
+    root = str(tmp_path / 'v3nest.zarr')
+    _write_v3_store(root, {'t2m': arrays['t2m']}, shards=[8, 3, 12])
     meta_path = os.path.join(root, 't2m', 'zarr.json')
     with open(meta_path) as f:
       meta = json.load(f)
-    meta['codecs'] = [{'name': 'sharding_indexed', 'configuration': {}}]
+    inner = meta['codecs'][0]['configuration']
+    inner['codecs'] = [{'name': 'sharding_indexed', 'configuration': {
+        'chunk_shape': [2, 3, 6], 'codecs': [{'name': 'bytes'}],
+        'index_codecs': [{'name': 'bytes'}], 'index_location': 'end'}}]
     with open(meta_path, 'w') as f:
       json.dump(meta, f)
-    with pytest.raises(ValueError, match='sharding_indexed'):
+    with pytest.raises(ValueError, match='nested'):
       zarr_io.open_dataset_zarr(root)

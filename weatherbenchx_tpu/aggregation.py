@@ -502,6 +502,30 @@ class Aggregator:
     so operand dtypes match what the traced step contracts with.
     """
     out: dict = {}
+    # Same-layout statistics get the SAME operand objects (the weights /
+    # bin masks depend only on dims, shape, dtype, and coord values):
+    # downstream the evaluator then uploads one device copy of e.g. the
+    # ~141 MB 0.25°x34-bin region-mask stack instead of one per statistic
+    # (a 10-statistic family held 10 copies in HBM before).
+    layout_cache: dict = {}
+
+    def coord_fingerprint(c):
+      v = c.values
+      if isinstance(v, np.ndarray) and v.size <= 4096:
+        # content hash for small coords (lat/lon/time/levels): different
+        # variables routinely carry equal-valued but distinct coord
+        # arrays, and id-keying them would defeat the dedup entirely
+        return (str(v.dtype), v.shape,
+                hash(np.ascontiguousarray(v).tobytes()))
+      return ('id', id(v))
+
+    def layout_key(stat):
+      coords_key = tuple(sorted(
+          (str(n), tuple(c.dims), coord_fingerprint(c))
+          for n, c in stat.coords.items()))
+      return (tuple(stat.dims), tuple(stat.shape),
+              np.dtype(stat.dtype).str, coords_key)
+
     for name, stats in abstract_statistics.items():
       per_var: dict = {}
       for var, stat in stats.items():
@@ -511,7 +535,10 @@ class Aggregator:
           stat = DimArray(
               jax.ShapeDtypeStruct(stat.shape, np.float32), stat.dims,
               stat.coords)
-        per_var[var] = self.aggregation_operands(stat)
+        key = layout_key(stat)
+        if key not in layout_cache:
+          layout_cache[key] = self.aggregation_operands(stat)
+        per_var[var] = layout_cache[key]
       out[name] = per_var
     return out
 

@@ -53,6 +53,29 @@ _FLAG_BITSHUFFLE = 0x4
 _FLAG_NOSPLIT = 0x10
 
 
+_CRC32C_TABLE = None
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+  """CRC-32C (Castagnoli, the zarr v3 `crc32c` codec / shard-index
+  checksum). Table-driven pure Python — only ever run over tiny shard
+  indexes (16 bytes per inner chunk + 4), never over chunk payloads."""
+  global _CRC32C_TABLE
+  if _CRC32C_TABLE is None:
+    poly = 0x82F63B78  # reflected 0x1EDC6F41
+    table = []
+    for i in range(256):
+      c = i
+      for _ in range(8):
+        c = (c >> 1) ^ poly if c & 1 else c >> 1
+      table.append(c)
+    _CRC32C_TABLE = table
+  crc ^= 0xFFFFFFFF
+  for b in data:
+    crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+  return crc ^ 0xFFFFFFFF
+
+
 def _pa_codec(name: str):
   import pyarrow as pa
   return pa.Codec(name)

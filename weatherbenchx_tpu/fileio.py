@@ -57,6 +57,23 @@ def read_bytes(path: str) -> bytes:
     return f.read()
 
 
+def read_byte_range(path: str, offset: int, length: int) -> bytes:
+  """Reads ``length`` bytes at ``offset`` (negative = from the file end).
+
+  The building block for zarr v3 sharded stores: the shard index and each
+  inner chunk are byte ranges inside one shard object, so a windowed read
+  never has to pull the whole (potentially GB-sized) shard.
+  """
+  if not is_remote(path):
+    with open(path, 'rb') as f:
+      f.seek(offset, os.SEEK_END if offset < 0 else os.SEEK_SET)
+      return f.read(length)
+  fs, p = _strip_scheme(path)
+  with fs.open(p, 'rb') as f:
+    f.seek(offset, 2 if offset < 0 else 0)
+    return f.read(length)
+
+
 def write_bytes(path: str, data: bytes) -> None:
   """Plain (non-atomic) write; any filesystem."""
   if not is_remote(path):

@@ -271,6 +271,34 @@ def unique_statistics_for_metrics(
   return out
 
 
+_ACTIVE_COMPUTE_CACHE = threading.local()
+
+
+@contextlib.contextmanager
+def computation_cache():
+  """A per-evaluation memo shared by the statistics of one compute pass.
+
+  Statistics whose values derive from one fused computation (e.g. the
+  CRPS skill/spread + ensemble moments Pallas pass,
+  ``ops/crps_pairwise.fused_ensemble_stats``) store it here keyed by
+  their input array identities, so sibling statistics in the same pass
+  reuse it instead of re-reading the ensemble from HBM. Scoped strictly
+  to one compute_unique_statistics_for_all_metrics call — entries may
+  hold tracers, which must never outlive their trace.
+  """
+  prev = getattr(_ACTIVE_COMPUTE_CACHE, 'cache', None)
+  _ACTIVE_COMPUTE_CACHE.cache = {}
+  try:
+    yield
+  finally:
+    _ACTIVE_COMPUTE_CACHE.cache = prev
+
+
+def get_computation_cache() -> dict | None:
+  """The active per-evaluation memo, or None outside a compute pass."""
+  return getattr(_ACTIVE_COMPUTE_CACHE, 'cache', None)
+
+
 def generate_unique_statistics_for_all_metrics(
     metrics: Mapping[str, Metric],
     predictions: Mapping[Hashable, DimArray],
@@ -278,11 +306,12 @@ def generate_unique_statistics_for_all_metrics(
 ) -> Iterator[tuple[str, Mapping[Hashable, DimArray]]]:
   """Yields (unique_name, values) for each deduplicated statistic."""
   unique_statistics = unique_statistics_for_metrics(metrics)
-  for k, stat in unique_statistics.items():
-    try:
-      yield k, stat.compute(predictions, targets)
-    except Exception as e:
-      raise ValueError(f'Failed to compute statistic {k}={stat}') from e
+  with computation_cache():
+    for k, stat in unique_statistics.items():
+      try:
+        yield k, stat.compute(predictions, targets)
+      except Exception as e:
+        raise ValueError(f'Failed to compute statistic {k}={stat}') from e
 
 
 def compute_unique_statistics_for_all_metrics(

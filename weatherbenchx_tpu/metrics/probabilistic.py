@@ -118,6 +118,10 @@ class CRPSSkill(base.PerVariableStatistic):
     return name
 
   def _compute_per_variable(self, predictions, targets):
+    if not self._skipna_ensemble and self._ensemble_dim not in targets.dims:
+      fused = _fused_ensemble_pass(predictions, targets, self._ensemble_dim)
+      if fused is not None:
+        return fused['skill_sum'] / fused['m']
     reduce_dims = [self._ensemble_dim]
     if self._ensemble_dim in targets.dims:
       kernel_result = self._maybe_cross_kernel(predictions, targets)
@@ -159,6 +163,63 @@ class CRPSSkill(base.PerVariableStatistic):
     coords = darray._merge_coords(tuple(rest), predictions.coords,
                                   targets.coords)
     return DimArray(total / (mx * my), tuple(rest), coords)
+
+
+def _fused_ensemble_pass(predictions, targets, ensemble_dim):
+  """Shared fused-kernel results for this compute pass, or None.
+
+  One Pallas pass over the VMEM-resident ensemble block yields CRPS
+  spread, CRPS skill, the ensemble mean, and Σ(x−mean)² together
+  (``ops/crps_pairwise.fused_ensemble_stats``) — sibling statistics
+  (CRPSSkill/CRPSSpread/UnbiasedEnsembleMeanSquaredError/
+  EnsembleVariance) computed in the same pass then share it via
+  ``base.computation_cache`` instead of re-reading the ~830 MB
+  production ensemble from HBM for a second skill/moments sweep.
+  Deterministic-target case only; the memo holds tracers, so it only
+  activates inside a compute pass (cache is None otherwise — each
+  statistic falls back to its standalone path).
+  """
+  cache = base.get_computation_cache()
+  if cache is None:
+    return None
+  if os.environ.get('WBX_NO_PALLAS', '0') == '1':
+    return None
+  interpret = os.environ.get('WBX_PALLAS_INTERPRET', '0') == '1'
+  if ensemble_dim not in predictions.dims or ensemble_dim in targets.dims:
+    return None
+  m = int(predictions.sizes[ensemble_dim])
+  rest = [d for d in predictions.dims if d != ensemble_dim]
+  if (sorted(str(d) for d in targets.dims) != sorted(str(d) for d in rest)
+      or any(targets.sizes[d] != predictions.sizes[d] for d in rest)
+      or predictions.dtype != targets.dtype):
+    return None
+  if not (interpret or crps_pairwise.fused_supported(
+      m, len(rest), predictions.dtype)) or len(rest) < 2 or m < 2:
+    return None
+  key = ('fused_ens_stats', ensemble_dim,
+         id(predictions.data), id(targets.data))
+  hit = cache.get(key)
+  if hit is not None:
+    return hit
+  order = [ensemble_dim] + rest
+  x = jnp.asarray(predictions.transpose(*order).data)
+  y = jnp.asarray(targets.transpose(*rest).data)
+  spread, skill, mean, sqdev = crps_pairwise.fused_ensemble_stats(
+      x, y, interpret=interpret)
+  out_dims = tuple(rest)
+  p_coords = {k: c for k, c in predictions.coords.items()
+              if set(c.dims).issubset(out_dims)}
+  both_coords = darray._merge_coords(out_dims, predictions.coords,
+                                     targets.coords)
+  out = {
+      'm': m,
+      'spread_sum': DimArray(spread, out_dims, p_coords),
+      'skill_sum': DimArray(skill, out_dims, both_coords),
+      'mean': DimArray(mean, out_dims, p_coords),
+      'sq_dev_sum': DimArray(sqdev, out_dims, p_coords),
+  }
+  cache[key] = out
+  return out
 
 
 class CRPSSpread(base.PerVariableStatistic):
@@ -206,6 +267,12 @@ class CRPSSpread(base.PerVariableStatistic):
       n_ensemble = da.sizes[self._ensemble_dim]
       if n_ensemble < 2:
         raise ValueError('Cannot estimate CRPS spread with n_ensemble < 2.')
+
+    if self._which == 'predictions' and not self._skipna_ensemble:
+      fused = _fused_ensemble_pass(predictions, targets, self._ensemble_dim)
+      if fused is not None:
+        m = fused['m']
+        return fused['spread_sum'] / (m * (m - int(self._fair)))
 
     # WBX_PALLAS_INTERPRET=1 runs the kernel via the Pallas interpreter on
     # any backend — CI exercises this exact selection path on CPU.
@@ -275,6 +342,10 @@ class EnsembleVariance(base.PerVariableStatistic):
             f'{self._skipna_ensemble}')
 
   def _compute_per_variable(self, predictions, targets):
+    if not self._skipna_ensemble:
+      fused = _fused_ensemble_pass(predictions, targets, self._ensemble_dim)
+      if fused is not None:
+        return fused['sq_dev_sum'] / (fused['m'] - 1)
     return predictions.var(self._ensemble_dim, ddof=1,
                            skipna=self._skipna_ensemble)
 
@@ -296,6 +367,12 @@ class UnbiasedEnsembleMeanSquaredError(base.PerVariableStatistic):
     if self._ensemble_dim not in predictions.dims:
       raise ValueError(
           f'Dimension {self._ensemble_dim} not found in {predictions.dims}')
+    fused = (None if self._skipna_ensemble else
+             _fused_ensemble_pass(predictions, targets, self._ensemble_dim))
+    if fused is not None:
+      mean, m = fused['mean'], fused['m']
+      var = fused['sq_dev_sum'] / (m - 1)
+      return (mean - targets) ** 2 - var / m
     predictions_mean = predictions.mean(
         self._ensemble_dim, skipna=self._skipna_ensemble)
     predictions_var = predictions.var(

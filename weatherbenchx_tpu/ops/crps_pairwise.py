@@ -99,7 +99,7 @@ def _spread_group(m: int) -> int:
   return 5 if m >= 32 else m
 
 
-def _spread_kernel(x_ref, out_ref, *, m: int):
+def _spread_value_pairs(x, m: int):
   # Each unordered pair {i, j} is enumerated exactly once — within a
   # group as (i, i+k) slice pairs |xa[k:] − xa[:-k]|, across groups as
   # row-vs-group broadcasts — then doubled for Σ_{i≠j}. Leading-axis
@@ -107,7 +107,6 @@ def _spread_kernel(x_ref, out_ref, *, m: int):
   # pure subtract/abs/accumulate VPU work: an earlier pltpu.roll-based
   # variant paid a real data movement per shift (14.1 ms at M=50 on the
   # production block vs 6.9 ms for this form).
-  x = x_ref[:]
   g = _spread_group(m)
   acc = jnp.zeros(x.shape[1:], x.dtype)
   for a in range(0, m, g):
@@ -119,7 +118,11 @@ def _spread_kernel(x_ref, out_ref, *, m: int):
       xb = x[b:b + min(g, m - b)]
       for i in range(ga):
         acc = acc + jnp.sum(jnp.abs(xa[i:i + 1] - xb), axis=0)
-  out_ref[:] = acc * 2
+  return acc * 2
+
+
+def _spread_kernel(x_ref, out_ref, *, m: int):
+  out_ref[:] = _spread_value_pairs(x_ref[:], m)
 
 
 _PAD = object()  # symbolic +inf row: never materialized, folds in Python
@@ -152,7 +155,7 @@ def _ce_max(a, b):
   return jnp.maximum(a, b)
 
 
-def _spread_kernel_sort(x_ref, out_ref, *, m: int):
+def _spread_value_sort(x, m: int):
   # Sort-form spread: a statically-unrolled bitonic network over the
   # member axis (rows are (sublane, lane) tiles; each compare-exchange is
   # an elementwise min/max pair on the VPU), then the Zamo & Naveau
@@ -161,7 +164,6 @@ def _spread_kernel_sort(x_ref, out_ref, *, m: int):
   # network does O(m log² m) work where pairs do O(m²). Padding to the
   # next power of two is symbolic (+inf rows fold away in Python), so no
   # extra VMEM traffic is paid for the pad.
-  x = x_ref[:]
   rows = [x[i] for i in range(m)]
   p = 1
   while p < m:
@@ -187,7 +189,35 @@ def _spread_kernel_sort(x_ref, out_ref, *, m: int):
     assert rows[idx] is not _PAD  # pads sort above all real rows
     term = rows[idx] * jnp.asarray(coeff, x.dtype)
     acc = term if acc is None else acc + term
-  out_ref[:] = acc * 2
+  return acc * 2
+
+
+def _spread_kernel_sort(x_ref, out_ref, *, m: int):
+  out_ref[:] = _spread_value_sort(x_ref[:], m)
+
+
+def _spread_value(x, m: int):
+  return (_spread_value_sort if _spread_form(m) == 'sort'
+          else _spread_value_pairs)(x, m)
+
+
+def _fused_kernel(x_ref, y_ref, spread_ref, skill_ref, mean_ref,
+                  sqdev_ref, *, m: int):
+  # One pass over the VMEM-resident ensemble block produces all four
+  # ensemble statistics the probabilistic benchmark family needs — the
+  # separate skill/mean/variance XLA pass otherwise re-reads the whole
+  # ensemble from HBM (~830 MB at the production 50×0.25° shape).
+  # The mean/sq-dev pair is deliberately TWO-pass over the block
+  # (mean first, then squared deviations): the one-pass moment form
+  # Σx² − (Σx)²/m is catastrophically inaccurate in f32 when |mean| ≫ std
+  # (e.g. temperatures: 288² vs variance ~9).
+  x = x_ref[:]
+  y = y_ref[:]
+  spread_ref[:] = _spread_value(x, m)
+  skill_ref[:] = jnp.sum(jnp.abs(x - y), axis=0)
+  mean = jnp.sum(x, axis=0) / m
+  mean_ref[:] = mean
+  sqdev_ref[:] = jnp.sum((x - mean) ** 2, axis=0)
 
 
 def _block_shape(m: int, r: int, c: int) -> tuple[int, int]:
@@ -256,6 +286,107 @@ def _pairwise_spread_sum_impl(x: jnp.ndarray, interpret: bool
                              memory_space=pltpu.VMEM),
       interpret=interpret,
   )(x)
+
+
+def _fused_stats_impl(x: jnp.ndarray, y: jnp.ndarray,
+                      interpret: bool) -> tuple:
+  """(spread_sum, skill_sum, mean, sq_dev_sum) in one pass over x.
+
+  x: (M, *rest) ensemble, y: (*rest) deterministic target. Requires at
+  least two trailing data axes (the production layout); callers fall
+  back to the separate paths otherwise.
+  """
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  m, rest = x.shape[0], x.shape[1:]
+  if y.shape != rest:
+    raise ValueError(f'target shape {y.shape} != ensemble rest {rest}')
+  mids, (r, c) = rest[:-2], rest[-2:]
+  br, bc = _block_shape(m, r, c)
+  n_mid = len(mids)
+
+  def in_index(*idx):
+    return (0,) + idx[:n_mid] + (idx[-2], idx[-1])
+
+  def out_index(*idx):
+    return idx[:n_mid] + (idx[-2], idx[-1])
+
+  block = (1,) * n_mid + (br, bc)
+  out_spec = pl.BlockSpec(block, out_index, memory_space=pltpu.VMEM)
+  out_shape = jax.ShapeDtypeStruct(rest, x.dtype)
+  return pl.pallas_call(
+      functools.partial(_fused_kernel, m=m),
+      out_shape=(out_shape,) * 4,
+      grid=mids + (-(-r // br), -(-c // bc)),
+      in_specs=[pl.BlockSpec((m,) + block, in_index,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(block, out_index, memory_space=pltpu.VMEM)],
+      out_specs=(out_spec,) * 4,
+      interpret=interpret,
+  )(x, y)
+
+
+def _make_fused_partitioned(interpret: bool, ndim: int):
+  """GSPMD rule for the fused kernel: like the spread kernel — shard any
+  data dim, replicate the member axis; all four outputs inherit the data
+  sharding."""
+  from jax.experimental.custom_partitioning import custom_partitioning
+  from jax.sharding import NamedSharding, PartitionSpec
+
+  @custom_partitioning
+  def fn(x, y):
+    return _fused_stats_impl(x, y, interpret)
+
+  def infer_sharding(mesh, arg_infos, result_infos):
+    del result_infos
+    spec = _norm_spec(arg_infos[0].sharding.spec, ndim)
+    out = NamedSharding(mesh, PartitionSpec(*spec[1:]))
+    return (out,) * 4
+
+  def partition(mesh, arg_infos, result_infos):
+    del result_infos
+    spec = _norm_spec(arg_infos[0].sharding.spec, ndim)
+    x_sh = NamedSharding(mesh, PartitionSpec(None, *spec[1:]))
+    y_sh = NamedSharding(mesh, PartitionSpec(*spec[1:]))
+    out_sh = NamedSharding(mesh, PartitionSpec(*spec[1:]))
+    def lower(x, y):
+      return _fused_stats_impl(x, y, interpret)
+    return mesh, lower, (out_sh,) * 4, (x_sh, y_sh)
+
+  data_axes = ' '.join(f'd{i}' for i in range(ndim - 1))
+  outs = ', '.join([data_axes] * 4)
+  fn.def_partition(infer_sharding_from_operands=infer_sharding,
+                   partition=partition,
+                   sharding_rule=f'm {data_axes}, {data_axes} -> {outs}')
+  return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_partitioned(interpret: bool, ndim: int):
+  return jax.jit(_make_fused_partitioned(interpret, ndim))
+
+
+def fused_supported(m: int, n_data_dims: int, dtype) -> bool:
+  """The fused ensemble-stats kernel applies (see fused_ensemble_stats)."""
+  return n_data_dims >= 2 and supported(m, dtype)
+
+
+def fused_ensemble_stats(x: jnp.ndarray, y: jnp.ndarray,
+                         interpret: bool = False) -> tuple:
+  """One ensemble pass → (spread_sum, skill_sum, mean, sq_dev_sum).
+
+  spread_sum = Σ_{i≠j}|x_i − x_j|; skill_sum = Σ_i |x_i − y|;
+  mean = (Σ_i x_i)/M; sq_dev_sum = Σ_i (x_i − mean)² — the inputs for
+  CRPS skill/spread, the unbiased ensemble-mean MSE, and the ddof
+  variance, computed from one VMEM-resident block instead of two
+  separate HBM passes over the (M, …) ensemble.
+  """
+  if x.ndim != y.ndim + 1:
+    raise ValueError(f'rank mismatch: {x.shape} vs {y.shape}')
+  if x.ndim < 3:
+    raise ValueError('fused kernel needs >= 2 trailing data axes')
+  return _fused_partitioned(bool(interpret), x.ndim)(x, y)
 
 
 def _cross_kernel(x_ref, y_ref, out_ref, *, my: int):

@@ -293,6 +293,11 @@ class ChunkEvaluator:
     host_ops = self.aggregator.prepare_operands(abstract)
     rd = set(self.aggregator.reduce_dims)
     arrays, slots = [], []
+    # Same-layout statistics share operand objects (prepare_operands
+    # dedups them): upload ONE device copy per distinct host array — at
+    # 0.25° with 34 bins each duplicate would be another ~141 MB on the
+    # wire and in HBM (a 10-statistic family held 10 copies before).
+    array_slot_by_id: dict = {}
     for sname, per_var in host_ops.items():
       for var, ops in per_var.items():
         if ops is None:
@@ -307,8 +312,11 @@ class ChunkEvaluator:
           op = DimArray(op.data, op.dims, coords)
           # Never np.asarray a possibly-device leaf here: on a
           # remote-attached backend that is a blocking D2H fetch.
-          arrays.append(op.data)
-          slots.append((sname, var, i, op))
+          arr_id = id(op.data)
+          if arr_id not in array_slot_by_id:
+            array_slot_by_id[arr_id] = len(arrays)
+            arrays.append(op.data)
+          slots.append((sname, var, i, op, array_slot_by_id[arr_id]))
     if not arrays:
       moved = []
     elif self.mesh is not None:
@@ -324,8 +332,11 @@ class ChunkEvaluator:
     out = {s: {v: (None if ops is None else list(ops))
                for v, ops in per_var.items()}
            for s, per_var in host_ops.items()}
-    for (sname, var, i, op), dev in zip(slots, moved):
-      out[sname][var][i] = DimArray(dev, op.dims, op.coords)
+    placed: dict = {}
+    for sname, var, i, op, arr_slot in slots:
+      if arr_slot not in placed:
+        placed[arr_slot] = DimArray(moved[arr_slot], op.dims, op.coords)
+      out[sname][var][i] = placed[arr_slot]
     if len(self._operand_cache) >= 32:  # bound: ragged runs rebuild per key
       self._operand_cache.pop(next(iter(self._operand_cache)))
     self._operand_cache[key] = out

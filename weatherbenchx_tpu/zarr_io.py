@@ -15,8 +15,9 @@ format directly:
   per-chunk evaluation windows read only the zarr chunks they intersect.
   Both **v2** and **v3** stores are readable (v3: ``zarr.json`` metadata,
   regular chunk grids, default/v2 chunk key encodings, bytes codec either
-  endian, blosc/zstd/gzip compression; the sharding codec is rejected with
-  a clear error).
+  endian, blosc/zstd/gzip compression, and one level of the
+  ``sharding_indexed`` codec — inner chunks resolve through the per-shard
+  index via ranged reads, with crc32c index verification).
   Cell files load in parallel (thread pool; reads and codec inflation both
   release the GIL) and windows scatter via strided slice copies.
 
@@ -301,6 +302,21 @@ class ZarrChunkSource(lazy.ArraySource):
         dtype=self.dtype)
     self._cell_nbytes = int(np.prod(self._chunks, dtype=np.int64)
                             ) * self.dtype.itemsize
+    # zarr v3 sharding: self._chunks is the INNER chunk grid; cell loads
+    # resolve (shard file, byte range) through the shard's trailing (or
+    # leading) index instead of per-cell files.
+    sharding = zarray.get('sharding')
+    self._cells_per_shard = None
+    if sharding is not None:
+      self._cells_per_shard = tuple(
+          s // c for s, c in zip(sharding['shard_chunks'], self._chunks))
+      self._index_location = sharding['index_location']
+      self._index_checksum = bool(sharding['index_checksum'])
+      n_entries = int(np.prod(self._cells_per_shard, dtype=np.int64))
+      self._index_nbytes = 16 * n_entries + (4 if self._index_checksum
+                                             else 0)
+      self._shard_index_cache: dict = {}
+      self._shard_index_lock = threading.Lock()
 
   def _cell_path(self, cell: tuple[int, ...]) -> str:
     if self._key_style == 'default':  # zarr v3 default chunk key encoding
@@ -309,7 +325,65 @@ class ZarrChunkSource(lazy.ArraySource):
       key = self._sep.join(str(i) for i in cell) if cell else '0'
     return os.path.join(self._adir, key)
 
+  def _shard_index(self, shard: tuple[int, ...]):
+    """The shard's (offset, nbytes) index as a (n, 2) uint64 array, or
+    None when the shard object does not exist. Cached (sequential
+    windows revisit the same shard for every inner cell)."""
+    with self._shard_index_lock:
+      if shard in self._shard_index_cache:
+        return self._shard_index_cache[shard]
+    path = self._cell_path(shard)
+    try:
+      raw = fileio.read_byte_range(
+          path, -self._index_nbytes if self._index_location == 'end'
+          else 0, self._index_nbytes)
+    except FileNotFoundError:
+      raw = None
+    if raw is not None:
+      if len(raw) != self._index_nbytes:
+        raise ValueError(f'{path}: shard shorter than its index '
+                         f'({len(raw)} < {self._index_nbytes} bytes)')
+      if self._index_checksum:
+        body, want = raw[:-4], int.from_bytes(raw[-4:], 'little')
+        got = wbx_codecs.crc32c(body)
+        if got != want:
+          raise ValueError(f'{path}: shard index crc32c mismatch '
+                           f'(got {got:#x}, want {want:#x})')
+        raw = body
+      index = np.frombuffer(raw, '<u8').reshape(-1, 2)
+    else:
+      index = None
+    with self._shard_index_lock:
+      if len(self._shard_index_cache) >= 256:
+        self._shard_index_cache.pop(next(iter(self._shard_index_cache)))
+      self._shard_index_cache[shard] = index
+    return index
+
+  _MISSING_CHUNK = 0xFFFFFFFFFFFFFFFF  # spec sentinel for an absent cell
+
+  def _load_sharded_cell(self, cell: tuple[int, ...]) -> np.ndarray:
+    spc = self._cells_per_shard
+    shard = tuple(c // n for c, n in zip(cell, spc))
+    within = tuple(c % n for c, n in zip(cell, spc))
+    index = self._shard_index(shard)
+    if index is None:
+      return np.broadcast_to(self._fill, self._chunks)
+    flat = 0  # C-order (row-major) position in the shard's inner grid
+    for w, n in zip(within, spc):
+      flat = flat * n + w
+    offset, nbytes = int(index[flat, 0]), int(index[flat, 1])
+    if offset == self._MISSING_CHUNK and nbytes == self._MISSING_CHUNK:
+      return np.broadcast_to(self._fill, self._chunks)
+    raw = fileio.read_byte_range(self._cell_path(shard), offset, nbytes)
+    if len(raw) != nbytes:
+      raise ValueError(f'{self._cell_path(shard)}: truncated inner chunk '
+                       f'at {offset} ({len(raw)} < {nbytes} bytes)')
+    raw = wbx_codecs.decode_cell(raw, self._codec, self._cell_nbytes)
+    return np.frombuffer(raw, self.dtype).reshape(self._chunks)
+
   def _load_cell(self, cell: tuple[int, ...]) -> np.ndarray:
+    if self._cells_per_shard is not None:
+      return self._load_sharded_cell(cell)
     try:
       raw = fileio.read_bytes(self._cell_path(cell))
     except FileNotFoundError:
@@ -323,8 +397,12 @@ class ZarrChunkSource(lazy.ArraySource):
     from weatherbenchx_tpu import native
 
     # Raw cells stay on the Python path: frombuffer is zero-copy there,
-    # while the native path would pay an extra staging copy.
+    # while the native path would pay an extra staging copy. Sharded (v3)
+    # cells are byte ranges inside shard objects, not per-cell files — the
+    # native whole-file decode loop doesn't apply; they use the thread
+    # pool below (reads + codecs release the GIL there too).
     if (len(cells) > 0 and self._cell_nbytes > 0 and self._codec is not None
+        and self._cells_per_shard is None
         and not fileio.is_remote(self._adir)
         and native.zarrcodec_available()):
       paths = [self._cell_path(c) for c in cells]
@@ -453,23 +531,16 @@ def _decode_cf_time(values: np.ndarray, attrs: dict) -> np.ndarray:
 _V3_BLOSC_SHUFFLE = {'noshuffle': 0, 'shuffle': 1, 'bitshuffle': 2}
 
 
-def _normalize_v3_array(meta: dict, name: str) -> tuple[dict, dict]:
-  """Maps zarr v3 array metadata (<array>/zarr.json) onto the v2-shaped
-  dict ZarrChunkSource consumes, plus xarray-convention attrs.
-
-  Covers the v3 core spec surface new public stores actually use: regular
-  chunk grids, default/v2 chunk key encodings, the bytes codec (either
-  endian) and one optional blosc/zstd/gzip compression codec. The
-  sharding_indexed codec is rejected with a clear error (deferred).
-  """
-  grid = meta.get('chunk_grid', {})
-  if grid.get('name') != 'regular':
-    raise ValueError(f'{name}: zarr v3 chunk grid {grid.get("name")!r} is '
-                     'not supported (regular only)')
-  dtype = np.dtype(meta['data_type'])
+def _parse_v3_codecs(codec_list: list, name: str,
+                     in_shard: bool = False) -> tuple:
+  """(compressor-config, endian, sharding-config|None) for a v3 codec
+  chain. ``in_shard`` parses a sharding codec's INNER chain, where a
+  nested sharding level is rejected (one level covers the public stores;
+  the spec allows arbitrary nesting)."""
   comp = None
   endian = 'little'
-  for codec in meta.get('codecs', []):
+  sharding = None
+  for codec in codec_list:
     cname, cfg = codec.get('name'), codec.get('configuration') or {}
     if cname == 'bytes':
       endian = cfg.get('endian', 'little')
@@ -483,12 +554,53 @@ def _normalize_v3_array(meta: dict, name: str) -> tuple[dict, dict]:
     elif cname == 'gzip':
       comp = {'id': 'gzip', 'level': cfg.get('level', 5)}
     elif cname == 'sharding_indexed':
-      raise ValueError(
-          f'{name}: the zarr v3 sharding_indexed codec is not supported by '
-          'the self-contained reader yet; rechunk/rewrite the store without '
-          'sharding to read it here')
+      if in_shard:
+        raise ValueError(f'{name}: nested zarr v3 sharding is not '
+                         'supported (one level only)')
+      comp, endian, _ = _parse_v3_codecs(cfg.get('codecs', []), name,
+                                         in_shard=True)
+      # Index codecs: 16-byte little-endian (offset, nbytes) pairs per
+      # inner chunk, optionally followed by a crc32c checksum — the
+      # zarr-python default chain is ["bytes", "crc32c"].
+      checksum = False
+      for icodec in cfg.get('index_codecs', [{'name': 'bytes'}]):
+        iname = icodec.get('name')
+        icfg = icodec.get('configuration') or {}
+        if iname == 'bytes':
+          if icfg.get('endian', 'little') != 'little':
+            raise ValueError(f'{name}: big-endian shard index')
+        elif iname == 'crc32c':
+          checksum = True
+        else:
+          raise ValueError(
+              f'{name}: shard index codec {iname!r} is not supported')
+      loc = cfg.get('index_location', 'end')
+      if loc not in ('start', 'end'):
+        raise ValueError(f'{name}: bad shard index_location {loc!r}')
+      sharding = {'inner_chunks': [int(c) for c in cfg['chunk_shape']],
+                  'index_location': loc, 'index_checksum': checksum}
     else:
       raise ValueError(f'{name}: zarr v3 codec {cname!r} is not supported')
+  return comp, endian, sharding
+
+
+def _normalize_v3_array(meta: dict, name: str) -> tuple[dict, dict]:
+  """Maps zarr v3 array metadata (<array>/zarr.json) onto the v2-shaped
+  dict ZarrChunkSource consumes, plus xarray-convention attrs.
+
+  Covers the v3 core spec surface new public stores actually use: regular
+  chunk grids, default/v2 chunk key encodings, the bytes codec (either
+  endian), one optional blosc/zstd/gzip compression codec, and the
+  ``sharding_indexed`` codec (one level): the inner chunk grid becomes the
+  effective read grid, and cell loads resolve through the per-shard index
+  (see :class:`ZarrChunkSource`).
+  """
+  grid = meta.get('chunk_grid', {})
+  if grid.get('name') != 'regular':
+    raise ValueError(f'{name}: zarr v3 chunk grid {grid.get("name")!r} is '
+                     'not supported (regular only)')
+  dtype = np.dtype(meta['data_type'])
+  comp, endian, sharding = _parse_v3_codecs(meta.get('codecs', []), name)
   if endian == 'big' and dtype.itemsize > 1:
     dtype = dtype.newbyteorder('>')
   kce = meta.get('chunk_key_encoding', {}) or {}
@@ -496,10 +608,22 @@ def _normalize_v3_array(meta: dict, name: str) -> tuple[dict, dict]:
   kce_cfg = kce.get('configuration') or {}
   if kce_name not in ('default', 'v2'):
     raise ValueError(f'{name}: unknown chunk key encoding {kce_name!r}')
+  outer_chunks = [int(c) for c in grid['configuration']['chunk_shape']]
+  if sharding is not None:
+    inner = sharding['inner_chunks']
+    if len(inner) != len(outer_chunks) or any(
+        o % i for o, i in zip(outer_chunks, inner)):
+      raise ValueError(
+          f'{name}: shard shape {outer_chunks} is not a multiple of the '
+          f'inner chunk shape {inner}')
+    sharding = dict(sharding, shard_chunks=outer_chunks)
+    chunks = inner  # the grid windows actually read
+  else:
+    chunks = outer_chunks
   zarray = {
       'zarr_format': 3,
       'shape': list(meta['shape']),
-      'chunks': list(grid['configuration']['chunk_shape']),
+      'chunks': chunks,
       'dtype': dtype.str,
       'compressor': comp,
       'fill_value': meta.get('fill_value'),
@@ -509,6 +633,8 @@ def _normalize_v3_array(meta: dict, name: str) -> tuple[dict, dict]:
           'separator', '/' if kce_name == 'default' else '.'),
       'key_encoding': kce_name,
   }
+  if sharding is not None:
+    zarray['sharding'] = sharding
   attrs = dict(meta.get('attributes') or {})
   dim_names = meta.get('dimension_names')
   if dim_names and '_ARRAY_DIMENSIONS' not in attrs:
