@@ -132,6 +132,15 @@ def shim_installed():
   try:
     yield ns
   finally:
+    # The beam shims (tools/refshim/apache_beam, xarray_beam) are imported
+    # lazily, only when the upstream beam_pipeline_test runs inside this
+    # context; stash them alongside the xarray shim so they are restored on
+    # the next entry and invisible outside.
+    for k in list(sys.modules):
+      if k == 'apache_beam' or k.startswith('apache_beam.') \
+          or k == 'xarray_beam' or k.startswith('xarray_beam.'):
+        _SHIM_MODULES[k] = sys.modules.pop(k)
+        saved.setdefault(k, None)
     for k, v in saved.items():
       if v is None:
         sys.modules.pop(k, None)

@@ -10,8 +10,13 @@ xarray API that the reference's *single-chunk ground-truth path* uses
 binning, weighting, xarray_tree, test_utils).
 
 Design rules:
-  * numpy + pandas only. It must NOT import anything from ``weatherbenchx_tpu``
-    (that would make the parity comparison circular).
+  * numpy + pandas only on the COMPUTE path. No numeric semantics may come
+    from ``weatherbenchx_tpu`` (that would make the parity comparison
+    circular). Sole exception: ``to_netcdf``/``open_dataset('.nc')`` reuse
+    the repo's self-contained netCDF3 writer/reader as a byte transport —
+    there a corrupting bug FAILS the upstream beam-pipeline test (direct,
+    never-serialized values are compared against the serialized ones), it
+    cannot manufacture a pass.
   * Faithful semantics for the operations actually exercised: named-dim
     broadcasting, inner-join label alignment for arithmetic, outer-join
     zero-fill for ``xr.align``, skipna defaults (True for float dtypes),
@@ -205,6 +210,10 @@ class DataArray:
   __slots__ = ('_data', '_dims', '_coords', '_name', '_attrs')
 
   def __init__(self, data=None, coords=None, dims=None, name=None, attrs=None):
+    if data is None and coords is None and dims is None:
+      # Real xarray: DataArray() is a 0-d float NaN scalar (the reference's
+      # empty-input sentinel, beam_pipeline.py:294).
+      data = np.nan
     if isinstance(data, DataArray):
       dims_tuple = ((dims,) if isinstance(dims, str) else
                     tuple(dims) if dims is not None else None)
@@ -2073,32 +2082,91 @@ def align(*objects, join='inner', fill_value=np.nan, copy=True, exclude=()):
   return tuple(out)
 
 
+def _missing_value(dtype):
+  if dtype.kind == 'M':
+    return np.datetime64('NaT')
+  if dtype.kind == 'm':
+    return np.timedelta64('NaT')
+  return np.nan
+
+
+def _promote_for_missing(arr):
+  """Returns a copy of arr able to hold a missing marker (pd.isna-visible)."""
+  arr = np.asarray(arr)
+  if arr.dtype.kind in 'iub':
+    return arr.astype(np.float64)
+  if arr.dtype.kind in 'US':
+    return arr.astype(object)
+  return np.array(arr)
+
+
+def _mark_missing_coords(coords, dim, missing_mask):
+  """Marks positions of ``missing_mask`` along ``dim`` as missing in every
+  non-index coord that includes that dim (real-xarray reindex semantics:
+  labels absent from the source get NaN/NaT non-dim coord values, NOT a
+  copy of some arbitrary source row)."""
+  out = dict(coords)
+  for cname, (cdims, cvals) in coords.items():
+    if cname == dim or dim not in cdims:
+      continue
+    promoted = _promote_for_missing(cvals)
+    sl = [slice(None)] * promoted.ndim
+    sl[cdims.index(dim)] = missing_mask
+    promoted[tuple(sl)] = _missing_value(promoted.dtype)
+    out[cname] = (cdims, promoted)
+  return out
+
+
+def _promote_for_fill(data, fill_value):
+  if data.dtype.kind in 'iub' and isinstance(fill_value, float) and \
+      np.isnan(fill_value):
+    return data.astype(np.float64)
+  elif data.dtype.kind in 'iub' and fill_value == 0:
+    return data.copy()
+  return data.astype(np.promote_types(data.dtype, np.result_type(
+      type(fill_value))))
+
+
 def _reindex(da: DataArray, dim: str, target: pd.Index, fill_value):
   index = da._index(dim)
   pos = index.get_indexer(target)
   found = pos >= 0
+  if len(index) == 0:
+    # Nothing to take from (np.take on a zero-length axis raises even for
+    # a fallback index): build the all-missing result directly.
+    ax = da._dims.index(dim)
+    shape = list(da.shape)
+    shape[ax] = len(target)
+    data = np.full(shape, fill_value,
+                   dtype=_promote_for_fill(da._data, fill_value).dtype)
+    coords = {}
+    for cn, (cd, cv) in da._coords.items():
+      if cn == dim:
+        continue
+      if dim in cd:
+        # Source had no rows: the whole coord is missing at every target.
+        promoted = _promote_for_missing(cv)
+        cshape = tuple(len(target) if d == dim else n
+                       for d, n in zip(cd, promoted.shape))
+        coords[cn] = (cd, np.full(cshape, _missing_value(promoted.dtype),
+                                  dtype=promoted.dtype))
+      else:
+        coords[cn] = (cd, cv)
+    coords[dim] = ((dim,), np.asarray(target))
+    return DataArray._construct(data, da._dims, coords, da._name, da._attrs)
   taken = da.isel({dim: np.where(found, pos, 0)})
   if not found.all():
-    data = taken._data
-    if data.dtype.kind in 'iub' and isinstance(fill_value, float) and \
-        np.isnan(fill_value):
-      data = data.astype(np.float64)
-    elif data.dtype.kind in 'iub' and fill_value == 0:
-      data = data.copy()
-    else:
-      data = data.astype(np.promote_types(data.dtype, np.result_type(
-          type(fill_value))))
+    data = _promote_for_fill(taken._data, fill_value)
     ax = taken._dims.index(dim)
     sl = [slice(None)] * data.ndim
     sl[ax] = ~found
     data = np.array(data)
     data[tuple(sl)] = fill_value
-    taken = DataArray._construct(data, taken._dims, taken._coords,
+    coords = _mark_missing_coords(taken._coords, dim, ~found)
+    taken = DataArray._construct(data, taken._dims, coords,
                                  taken._name, taken._attrs)
   coords = dict(taken._coords)
   coords[dim] = ((dim,), np.asarray(target))
-  # Non-index coords along this dim would be wrong for missing entries; the
-  # label coord itself is what matters for further alignment.
   return DataArray._construct(taken._data, taken._dims, coords, taken._name,
                               taken._attrs)
 
@@ -2415,7 +2483,26 @@ def combine_by_coords(objects, fill_value=np.nan, join='outer', **kwargs):
       else:
         mask = np.ones(filled.shape, bool)
       filled = np.where(mask, ov, filled)
-    return DataArray._construct(filled, out._dims, out._coords, out._name)
+    # Merge non-index coords as well: positions the first array lacked carry
+    # a missing marker from _reindex; take their values from whichever later
+    # array actually had those labels (real combine_by_coords semantics —
+    # reference beam_pipeline.py:295 relies on this for coords carried on
+    # concatenated lead_time chunks).
+    out_coords = dict(out._coords)
+    for cname, (cdims, cvals) in out._coords.items():
+      if cname in out._dims or not cdims:
+        continue
+      merged = np.array(_promote_for_missing(cvals))
+      for o in aligned[1:]:
+        other = o._coords.get(cname)
+        if other is None or tuple(other[0]) != tuple(cdims):
+          continue
+        other_vals = np.asarray(other[1])
+        take = pd.isna(merged) & ~pd.isna(other_vals)
+        if take.any():
+          merged[take] = other_vals[take]
+      out_coords[cname] = (cdims, merged)
+    return DataArray._construct(filled, out._dims, out_coords, out._name)
   raise NotImplementedError('combine_by_coords of Datasets')
 
 
@@ -2455,15 +2542,28 @@ def _zarr_decode(arr, attrs):
   return arr, False
 
 
-def _ds_to_zarr(self, store, mode='w', **kwargs):
+def _ds_to_zarr(self, store, mode='w', chunks=None, **kwargs):
+  """Writes a zarr v2 group. ``chunks`` maps dim name -> chunk size
+  (absent dims / non-positive sizes mean unchunked), so the xarray_beam
+  shim's ChunksToZarr can lay the store out per the caller's zarr_chunks
+  (reference beam_pipeline.py:679-681)."""
   import json
   import os
+  chunks = dict(chunks or {})
   path = os.fspath(store)
   os.makedirs(path, exist_ok=True)
   with open(os.path.join(path, '.zgroup'), 'w') as f:
     json.dump({'zarr_format': 2}, f)
+  ds_attrs = dict(self._attrs)
+  # Record non-index coords (dims != (name,)) so open_zarr can restore them
+  # as coords rather than data variables — the group-level analog of
+  # xarray's per-variable 'coordinates' convention.
+  non_dim_coords = [str(cn) for cn, (cd, _cv) in self._coords.items()
+                    if tuple(cd) != (cn,)]
+  if non_dim_coords:
+    ds_attrs['coordinates'] = ' '.join(non_dim_coords)
   with open(os.path.join(path, '.zattrs'), 'w') as f:
-    json.dump(dict(self._attrs), f, default=str)
+    json.dump(ds_attrs, f, default=str)
   arrays = {}
   for cname, (cdims, cvals) in self._coords.items():
     arrays[cname] = (cdims, np.asarray(cvals), {})
@@ -2473,10 +2573,13 @@ def _ds_to_zarr(self, store, mode='w', **kwargs):
     adir = os.path.join(path, str(name))
     os.makedirs(adir, exist_ok=True)
     dstr, enc, cf = _zarr_encode(data)
+    chunk_shape = [
+        (chunks[d] if chunks.get(d, 0) and chunks[d] > 0 else n)
+        for d, n in zip(dims, enc.shape)]
     meta = {
         'zarr_format': 2,
         'shape': list(enc.shape),
-        'chunks': list(enc.shape) if enc.ndim else [],
+        'chunks': chunk_shape if enc.ndim else [],
         'dtype': dstr,
         'compressor': None,
         'fill_value': None,
@@ -2491,9 +2594,20 @@ def _ds_to_zarr(self, store, mode='w', **kwargs):
                       if isinstance(v, (str, int, float, bool, list))})
     with open(os.path.join(adir, '.zattrs'), 'w') as f:
       json.dump(out_attrs, f)
-    key = '.'.join(['0'] * enc.ndim) or '0'
-    with open(os.path.join(adir, key), 'wb') as f:
-      f.write(enc.tobytes(order='C'))
+    grid = tuple(-(-s // c) for s, c in zip(enc.shape, chunk_shape)) \
+        if enc.ndim else ()
+    for idx in (np.ndindex(*grid) if grid else [()]):
+      sl = tuple(slice(i * c, min((i + 1) * c, s))
+                 for i, c, s in zip(idx, chunk_shape, enc.shape))
+      block = enc[sl]
+      # zarr v2 stores edge chunks padded to the full chunk shape.
+      if block.shape != tuple(chunk_shape) and enc.ndim:
+        padded = np.zeros(chunk_shape, dtype=enc.dtype)
+        padded[tuple(slice(0, b) for b in block.shape)] = block
+        block = padded
+      key = '.'.join(str(i) for i in idx) or '0'
+      with open(os.path.join(adir, key), 'wb') as f:
+        f.write(np.ascontiguousarray(block).tobytes(order='C'))
 
 
 Dataset.to_zarr = _ds_to_zarr
@@ -2550,13 +2664,97 @@ def open_zarr(store, **kwargs):
                   if k not in ('_ARRAY_DIMENSIONS', 'units', 'calendar')}
     arrays[name] = (dims, arr, user_attrs)
   all_dims = {d for dims, _, _ in arrays.values() for d in dims}
+  coord_names = set(str(ds_attrs.pop('coordinates', '')).split())
+  for _name, (_dims, _arr, attrs) in arrays.items():
+    coord_names.update(str(attrs.pop('coordinates', '')).split())
   ds = Dataset(attrs=ds_attrs)
   for name, (dims, arr, attrs) in arrays.items():
-    if name in all_dims and dims == (name,):
+    if (name in all_dims and dims == (name,)) or name in coord_names:
       ds._coords[name] = (dims, arr)
     else:
       ds._vars[name] = (dims, arr, attrs)
   return ds
+
+
+def _dimarray_conversions():
+  """Converters between refshim objects and weatherbenchx_tpu DimArrays.
+
+  The netCDF path reuses the repo's self-contained netCDF3 writer/reader
+  (weatherbenchx_tpu/netcdf_io.py) rather than growing a second CF
+  implementation inside the shim; the same writer/reader pair is already
+  cross-validated against reference-written state files in
+  tests/test_reference_parity.py."""
+  from weatherbenchx_tpu import netcdf_io
+  from weatherbenchx_tpu.darray import Coord, DimArray
+
+  def as_nc(values):
+    values = np.asarray(values)
+    if values.dtype == object:
+      # pandas-style object string columns (e.g. stationName) -> fixed '<U'
+      # so the netCDF3 writer can store them as char matrices.
+      return values.astype(str)
+    return values
+
+  def ds_to_dimarrays(ds):
+    out = {}
+    for name in ds.keys():
+      da = ds[name]
+      coords = {}
+      for cname in da.coords.keys():
+        cda = da.coords[cname]
+        coords[str(cname)] = Coord(tuple(cda.dims), as_nc(cda.values))
+      out[str(name)] = DimArray(as_nc(da.values), tuple(da.dims), coords)
+    return out
+
+  def dimarrays_to_ds(mapping):
+    ds = Dataset()
+    for name, dim_array in mapping.items():
+      coords = {cn: (tuple(c.dims), np.asarray(c.values))
+                for cn, c in dim_array.coords.items()}
+      ds[name] = DataArray(np.asarray(dim_array.data),
+                           dims=tuple(dim_array.dims), coords=coords)
+    return ds
+
+  return netcdf_io, ds_to_dimarrays, dimarrays_to_ds
+
+
+def _ds_to_netcdf(self, path=None, **kwargs):
+  """Dataset.to_netcdf: returns netCDF bytes when no path is given
+  (the reference writes those bytes itself via beam_utils.atomic_write,
+  beam_pipeline.py:380-383)."""
+  import os
+  netcdf_io, ds_to_dimarrays, _ = _dimarray_conversions()
+  data = netcdf_io.dumps_dataset_netcdf(ds_to_dimarrays(self))
+  if path is None:
+    return data
+  with open(os.fspath(path), 'wb') as f:
+    f.write(data)
+  return None
+
+
+Dataset.to_netcdf = _ds_to_netcdf
+
+
+def _ds_drop_attrs(self, deep=True):
+  out = self.copy(deep=False)
+  out._attrs = {}
+  if deep:
+    out._vars = {vn: (dims, data, {})
+                 for vn, (dims, data, _attrs) in out._vars.items()}
+  return out
+
+
+Dataset.drop_attrs = _ds_drop_attrs
+
+
+def _da_drop_attrs(self, deep=True):
+  del deep
+  out = self.copy(deep=False)
+  out._attrs = {}
+  return out
+
+
+DataArray.drop_attrs = _da_drop_attrs
 
 
 def open_dataset(store, engine=None, **kwargs):
@@ -2564,7 +2762,11 @@ def open_dataset(store, engine=None, **kwargs):
   path = os.fspath(store)
   if os.path.isdir(path) and os.path.exists(os.path.join(path, '.zgroup')):
     return open_zarr(path, **kwargs)
-  raise NotImplementedError('shim open_dataset supports zarr groups only')
+  if os.path.isfile(path):
+    netcdf_io, _, dimarrays_to_ds = _dimarray_conversions()
+    return dimarrays_to_ds(netcdf_io.load_dataset_netcdf(path))
+  raise NotImplementedError(
+      'shim open_dataset supports zarr groups and netCDF files only')
 
 
 # -- submodule shims -----------------------------------------------------------
