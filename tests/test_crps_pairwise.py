@@ -86,8 +86,10 @@ class TestSpreadFormParity:
   first use would silently keep the old form).
   """
 
+  @pytest.mark.parametrize('net', ['oem', 'bitonic'])
   @pytest.mark.parametrize('m', [2, 3, 5, 8, 16, 24, 50])
-  def test_forms_agree_with_nan(self, m, monkeypatch):
+  def test_forms_agree_with_nan(self, m, net, monkeypatch):
+    monkeypatch.setenv('WBX_SPREAD_SORT_NET', net)
     rng = np.random.default_rng(m)
     x = rng.normal(size=(m, 9, 130)).astype(np.float32)
     x[m // 2, 3, 7] = np.nan  # poisoned gridpoint
@@ -103,14 +105,17 @@ class TestSpreadFormParity:
       np.testing.assert_allclose(got[~nan_mask], want[~nan_mask],
                                  rtol=2e-5, atol=1e-4, err_msg=form)
 
-  def test_sort_form_odd_m_nan_every_position(self, monkeypatch):
+  @pytest.mark.parametrize('net', ['oem', 'bitonic'])
+  def test_sort_form_odd_m_nan_every_position(self, net, monkeypatch):
     """Odd m: the median rank's PWM coefficient (2r-m-1) is ZERO, so 'the
     NaN row reaches some real output row' does not by itself poison the
     sum — the guarantee rests on the lone NaN DUPLICATING at its first
     real-vs-real compare-exchange (min and max both return NaN), after
     which at least one copy sits at a non-median rank. Exercise m=21
-    (pads 21->32) with the NaN at EVERY member position."""
+    (pads 21->32) with the NaN at EVERY member position, for BOTH
+    sorting networks (odd-even merge default and bitonic)."""
     monkeypatch.setenv('WBX_SPREAD_FORM', 'sort')
+    monkeypatch.setenv('WBX_SPREAD_SORT_NET', net)
     m = 21
     rng = np.random.default_rng(21)
     base = rng.normal(size=(m, 8, 128)).astype(np.float32)
@@ -124,10 +129,12 @@ class TestSpreadFormParity:
       ok = ~np.isnan(want)
       np.testing.assert_allclose(got[ok], want[ok], rtol=2e-5, atol=1e-4)
 
-  def test_sort_form_pads_sort_above_reals(self, monkeypatch):
+  @pytest.mark.parametrize('net', ['oem', 'bitonic'])
+  def test_sort_form_pads_sort_above_reals(self, net, monkeypatch):
     # Non-power-of-two m forces symbolic +inf pads; large magnitudes make
     # a mis-sorted pad row give a wildly wrong weighted sum.
     monkeypatch.setenv('WBX_SPREAD_FORM', 'sort')
+    monkeypatch.setenv('WBX_SPREAD_SORT_NET', net)
     rng = np.random.default_rng(0)
     x = (rng.normal(size=(13, 8, 128)) * 1e6).astype(np.float32)
     got = np.asarray(crps_pairwise._pairwise_spread_sum_impl(

@@ -36,16 +36,24 @@ SHAPE = (4, 721, 1440)  # production 0.25° block: leads × lat × lon
 
 
 def make_fn(m, form, k_iters):
+  # form: 'pairs', 'sort' (default net), or 'sort:oem' / 'sort:bitonic'
+  # to pin the sorting network (WBX_SPREAD_SORT_NET, read at trace time).
+  base, _, net = form.partition(':')
+
   def body(x):
-    old = os.environ.get('WBX_SPREAD_FORM')
-    os.environ['WBX_SPREAD_FORM'] = form  # read at trace time
+    saved = {k: os.environ.get(k)
+             for k in ('WBX_SPREAD_FORM', 'WBX_SPREAD_SORT_NET')}
+    os.environ['WBX_SPREAD_FORM'] = base  # read at trace time
+    if net:
+      os.environ['WBX_SPREAD_SORT_NET'] = net
     try:
       return cp._pairwise_spread_sum_impl(x, interpret=False)
     finally:
-      if old is None:
-        os.environ.pop('WBX_SPREAD_FORM', None)
-      else:
-        os.environ['WBX_SPREAD_FORM'] = old
+      for k, v in saved.items():
+        if v is None:
+          os.environ.pop(k, None)
+        else:
+          os.environ[k] = v
 
   @jax.jit
   def run(seed):
@@ -84,6 +92,8 @@ def main():
           time.perf_counter()) for i in range(5))
   print(f'backend={jax.default_backend()} latency ~{lat*1e3:.1f} ms')
   reps = int(os.environ.get('WBX_AB_REPS', '9'))
+  forms = tuple(f for f in os.environ.get('WBX_AB_FORMS', '').split(',')
+                if f.strip()) or ('pairs', 'sort')
   blocks = [int(b) for b in os.environ.get('WBX_AB_BLOCKS', '').split(',')
             if b.strip()]
   orig_block_shape = cp._block_shape
@@ -95,19 +105,19 @@ def main():
             orig_block_shape(m_, r, c)[0], min(-(-c // 128) * 128, _bc))
       try:
         runs = {}
-        for form in ('pairs', 'sort'):
+        for form in forms:
           runs[form], cs = compile_fn(m, form, k_iters)
           print(f'# m={m} {form}: compile+1st {cs:.1f}s', flush=True)
-        times = {'pairs': [], 'sort': []}
+        times = {form: [] for form in forms}
         for r in range(reps):
-          for form in ('pairs', 'sort'):
+          for form in forms:
             t0 = time.perf_counter()
             float(runs[form](jnp.float32(r + 1.0)))
             times[form].append((time.perf_counter() - t0) / k_iters)
       finally:
         cp._block_shape = orig_block_shape
       tag = f' bc={bc}' if bc is not None else ''
-      for form in ('pairs', 'sort'):
+      for form in forms:
         ts = times[form]
         print(f'm={m:3d} {form:5s}{tag}: median {1e3*statistics.median(ts):8.2f}'
               f' ms/step  best {1e3*min(ts):8.2f}  n={len(ts)}', flush=True)
