@@ -25,6 +25,7 @@ TPU-native mapping:
 """
 
 import dataclasses
+import os
 from typing import Any, Callable, Collection, Hashable, Iterable, Mapping, Sequence
 
 import jax
@@ -341,6 +342,28 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _coord_fingerprint(c) -> tuple:
+  v = c.values
+  if isinstance(v, np.ndarray) and v.size <= 4096:
+    # content hash for small coords (lat/lon/time/levels): different
+    # variables routinely carry equal-valued but distinct coord
+    # arrays, and id-keying them would defeat the dedup entirely
+    return (str(v.dtype), v.shape,
+            hash(np.ascontiguousarray(v).tobytes()))
+  return ('id', id(v))
+
+
+def _layout_key(stat: DimArray) -> tuple:
+  """Hashable key identifying a statistic's aggregation layout: dims,
+  shape, dtype, and coord content (small coords by value, large by id).
+  Equal keys share operand objects and batch into one contraction."""
+  coords_key = tuple(sorted(
+      (str(n), tuple(c.dims), _coord_fingerprint(c))
+      for n, c in stat.coords.items()))
+  return (tuple(stat.dims), tuple(stat.shape),
+          np.dtype(stat.dtype).str, coords_key)
+
+
 @dataclasses.dataclass
 class Aggregator:
   """Weighted/binned/masked aggregation over a set of dimensions.
@@ -394,6 +417,12 @@ class Aggregator:
     def cast(da: DimArray) -> DimArray:
       if da.dtype == stat.dtype:
         return da
+      if da.dtype == np.bool_:
+        # Bin masks STAY bool: darray.dot detects the 0/1 operand and
+        # routes the contraction to the MXU exact-split path, and the
+        # device copy of e.g. the 0.25°x34-bin region stack is 1 B/elt
+        # (~35 MB) instead of the float32 cast's ~141 MB.
+        return da
       d = da.data
       if isinstance(d, np.ndarray):
         # Host cast: DimArray.astype routes through jnp, which on a
@@ -422,14 +451,16 @@ class Aggregator:
     return darray.dot(stat, *operands, dim=tuple(
         d for d in stat.dims if d in reduce_dims_set))
 
-  def aggregate_stat_var(self, stat: DimArray,
-                         operands=_UNSET) -> AggregationState | None:
-    """Aggregate one statistic DimArray for one variable."""
+  def _promote(self, stat: DimArray) -> DimArray:
     if stat.dtype == np.bool_:
       # XLA reduces booleans with logical OR, so a bool statistic (Covered,
       # Confident, ErrorExceedance, ...) would aggregate to "any" instead of
       # a weighted mean. Promote before the einsum (xr.dot promotes too).
-      stat = stat.astype(np.float32)
+      return stat.astype(np.float32)
+    return stat
+
+  def _prepare_masked(self, stat: DimArray) -> tuple[DimArray, DimArray]:
+    """masked/skipna prep: (zeroed statistic, weights-indicator mask)."""
     if self.masked and stat.has_coord('mask'):
       mask = DimArray(stat.coords['mask'].values,
                       stat.coords['mask'].dims)
@@ -444,11 +475,15 @@ class Aggregator:
       stat = stat.where(mask, 0)
     else:
       mask = darray.ones_like(stat, dtype=bool)
-
     assert mask.sizes == stat.sizes
+    return stat, mask.astype(stat.dtype)
 
+  def aggregate_stat_var(self, stat: DimArray,
+                         operands=_UNSET) -> AggregationState | None:
+    """Aggregate one statistic DimArray for one variable."""
+    stat, maskf = self._prepare_masked(self._promote(stat))
     sum_weighted_statistics = self.aggregation_fn(stat, operands)
-    sum_weights = self.aggregation_fn(mask.astype(stat.dtype), operands)
+    sum_weights = self.aggregation_fn(maskf, operands)
     if sum_weighted_statistics is None or sum_weights is None:
       return None
     return AggregationState(sum_weighted_statistics, sum_weights)
@@ -481,16 +516,68 @@ class Aggregator:
     from :meth:`prepare_operands` — device-resident weights/bin masks
     passed into the jitted step instead of being re-derived (and baked as
     HLO constants) at trace time.
+
+    Same-layout (statistic, variable, numerator/denominator) contractions
+    are grouped and lowered as ONE ``darray.dot_batched`` call on TPU: a
+    10-statistic family turns 20 separate (lead, N)x(N, bins) VPU
+    re-scans of the mask stack into a single (20·lead, N)x(N, bins)
+    contraction the MXU mask path can tile. The reference aggregates each
+    ``xr.dot`` separately (``weatherbenchX/aggregation.py:290-328``).
     """
-    per_stat = {name: self.aggregate_stat_vars(
-        stats, operands.get(name) if operands is not None else None)
-        for name, stats in statistics.items()}
-    return AggregationState(
-        sum_weighted_statistics={
-            n: s.sum_weighted_statistics for n, s in per_stat.items()},
-        sum_weights={
-            n: s.sum_weights for n, s in per_stat.items()},
-    )
+    batch_mode = os.environ.get('WBX_AGG_BATCH', 'auto')
+    do_batch = batch_mode == 'force' or (
+        batch_mode != 'off' and jax.default_backend() == 'tpu')
+    reduce_set = set(self.reduce_dims)
+
+    entries: list = []  # (name, var, stat0, maskf, ops)
+    op_memo: dict = {}
+
+    def resolve_operands(name, var, stat):
+      per_name = operands.get(name) if operands is not None else None
+      if per_name is not None and var in per_name:
+        return per_name[var]  # may be None: var dropped
+      key = _layout_key(stat)
+      if key not in op_memo:
+        op_memo[key] = self.aggregation_operands(stat)
+      return op_memo[key]
+
+    for name, stats in statistics.items():
+      for var, stat in stats.items():
+        if stat is None:
+          continue
+        stat = self._promote(stat)
+        ops = resolve_operands(name, var, stat)
+        if ops is None or not reduce_set.issubset(set(stat.dims)):
+          continue
+        stat0, maskf = self._prepare_masked(stat)
+        entries.append((name, var, stat0, maskf, ops))
+
+    groups: dict = {}
+    for i, (name, var, stat0, maskf, ops) in enumerate(entries):
+      gkey = (stat0.dims, stat0.shape, str(stat0.dtype),
+              tuple(id(o) for o in ops))
+      groups.setdefault(gkey, []).append(i)
+
+    results: dict = {}  # entry index -> (num, den)
+    for gkey, idxs in groups.items():
+      _, _, stat0, _, ops = entries[idxs[0]]
+      dims_for_dot = tuple(d for d in stat0.dims if d in reduce_set)
+      statlikes = ([entries[i][2] for i in idxs]
+                   + [entries[i][3] for i in idxs])
+      if do_batch and len(statlikes) > 1:
+        outs = darray.dot_batched(statlikes, *ops, dim=dims_for_dot)
+      else:
+        outs = [darray.dot(s, *ops, dim=dims_for_dot) for s in statlikes]
+      for j, i in enumerate(idxs):
+        results[i] = (outs[j], outs[len(idxs) + j])
+
+    sums: dict = {name: {} for name in statistics}
+    weights: dict = {name: {} for name in statistics}
+    for i, (name, var, *_rest) in enumerate(entries):
+      if i in results:
+        sums[name][var], weights[name][var] = results[i]
+    return AggregationState(sum_weighted_statistics=sums,
+                            sum_weights=weights)
 
   def prepare_operands(
       self,
@@ -505,26 +592,10 @@ class Aggregator:
     # Same-layout statistics get the SAME operand objects (the weights /
     # bin masks depend only on dims, shape, dtype, and coord values):
     # downstream the evaluator then uploads one device copy of e.g. the
-    # ~141 MB 0.25°x34-bin region-mask stack instead of one per statistic
-    # (a 10-statistic family held 10 copies in HBM before).
+    # 0.25°x34-bin region-mask stack instead of one per statistic
+    # (a 10-statistic family held 10 copies in HBM before). The shared
+    # identity ALSO keys aggregate_statistics' same-layout batching.
     layout_cache: dict = {}
-
-    def coord_fingerprint(c):
-      v = c.values
-      if isinstance(v, np.ndarray) and v.size <= 4096:
-        # content hash for small coords (lat/lon/time/levels): different
-        # variables routinely carry equal-valued but distinct coord
-        # arrays, and id-keying them would defeat the dedup entirely
-        return (str(v.dtype), v.shape,
-                hash(np.ascontiguousarray(v).tobytes()))
-      return ('id', id(v))
-
-    def layout_key(stat):
-      coords_key = tuple(sorted(
-          (str(n), tuple(c.dims), coord_fingerprint(c))
-          for n, c in stat.coords.items()))
-      return (tuple(stat.dims), tuple(stat.shape),
-              np.dtype(stat.dtype).str, coords_key)
 
     for name, stats in abstract_statistics.items():
       per_var: dict = {}
@@ -535,7 +606,7 @@ class Aggregator:
           stat = DimArray(
               jax.ShapeDtypeStruct(stat.shape, np.float32), stat.dims,
               stat.coords)
-        key = layout_key(stat)
+        key = _layout_key(stat)
         if key not in layout_cache:
           layout_cache[key] = self.aggregation_operands(stat)
         per_var[var] = layout_cache[key]

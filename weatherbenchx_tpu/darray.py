@@ -26,6 +26,7 @@ A "Dataset" in this framework is simply ``dict[str, DimArray]``; see
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Hashable, Mapping, Sequence
 
 import jax
@@ -867,6 +868,160 @@ def _coord_parts_identical(vals: Sequence[Any]) -> bool:
   return True
 
 
+def _mask_dot_mode() -> str:
+  """WBX_MASK_DOT: 'auto' (TPU heuristic), 'off', or 'force' (any backend,
+  any size — used by tests to exercise the lowering on CPU)."""
+  mode = os.environ.get('WBX_MASK_DOT', 'auto')
+  return mode if mode in ('auto', 'off', 'force') else 'auto'
+
+
+def _mask_mxu_candidate(arrays, operands, dims, out_dims, sizes):
+  """Detect the bin-mask contraction pattern and decide if the MXU path
+  applies: exactly ONE bool operand carrying output dims of its own (the
+  0/1 bin-mask stack), every other operand on the statistic side.
+
+  Returns ``(mask_i, mask_out, k_shared)`` or None.
+  """
+  mode = _mask_dot_mode()
+  if mode == 'off' or len(arrays) < 2:
+    return None
+  dims_set = set(dims)
+  mask_i = None
+  for i, op in enumerate(operands):
+    if op.dtype != jnp.bool_:
+      continue
+    extra = [d for d in arrays[i].dims if d not in dims_set]
+    if extra:
+      if mask_i is not None:
+        return None  # two bool bin-mask stacks: fall back
+      mask_i = i
+  if mask_i is None:
+    return None
+  mask_dims = arrays[mask_i].dims
+  mask_out = tuple(d for d in mask_dims if d not in dims_set)
+  for j, a in enumerate(arrays):
+    if j != mask_i and any(d in mask_out for d in a.dims):
+      return None  # mask out-dims must be exclusive to the mask
+  if any(np.dtype(op.dtype) != np.float32
+         for i, op in enumerate(operands)
+         if i != mask_i and op.dtype != jnp.bool_):
+    return None  # the split-3 representation is f32-grade only
+  k_shared = tuple(d for d in dims if d in mask_dims)
+  if not k_shared:
+    return None
+  rows = 1
+  for d in out_dims:
+    if d not in mask_out:
+      rows *= sizes[d]
+  kk = 1
+  for d in k_shared:
+    kk *= sizes[d]
+  if mode != 'force' and not (
+      jax.default_backend() == 'tpu' and rows >= 8 and kk >= 65536):
+    return None
+  return mask_i, mask_out, k_shared
+
+
+def _mask_mxu_dot(arrays, operands, dims, out_dims, sizes,
+                  mask_i, mask_out, k_shared):
+  """0/1-mask contraction on the MXU via an exact 3-term bf16 split.
+
+  ``out[r.., b..] = Σ_K z[r.., K] · mask[b.., K]`` with z the product of
+  every non-mask operand (statistic × weights × folded validity). The
+  mask's 0/1 values are EXACT in bfloat16, so after splitting
+  ``z = z_hi + z_lo + z_t`` (three bf16 terms carrying ~24 mantissa bits,
+  Dekker-style) every partial product on the MXU is exact and the only
+  rounding is the f32 accumulation — the same error class as the
+  reference's ``np.einsum`` f32 contraction. A 2-term split (~2^-17)
+  measurably breaks the 1e-5 parity envelope on cancellation-heavy
+  signed statistics (Bias over a region); three terms restore f32 grade.
+
+  Why MXU at all: the fused VPU multiply+reduce issues 2·R·B·N element
+  loads (BASELINE.md: the deterministic family runs at ~96% of that load
+  bound), while the matmul form does the same contraction in B/128-padded
+  systolic passes — the batched production aggregation (rows ≥ 8) is
+  bound by reading the operands once, not by B re-scans.
+  """
+  dims_set = set(dims)
+  k_z = tuple(d for d in dims if d not in k_shared)  # mask-broadcast dims
+  rows_dims = tuple(d for d in out_dims if d not in mask_out)
+  z_order = rows_dims + k_z + k_shared
+
+  z = None
+  for j, (a, op) in enumerate(zip(arrays, operands)):
+    if j == mask_i:
+      continue
+    if op.dtype == jnp.bool_:
+      op = op.astype(jnp.float32)  # 0/1: exact in f32, folds exactly
+    present = [d for d in z_order if d in a.dims]
+    t = jnp.transpose(op, [a.dims.index(d) for d in present])
+    for i, d in enumerate(z_order):
+      if d not in a.dims:
+        t = jnp.expand_dims(t, i)
+    z = t if z is None else z * t
+  if k_z:
+    z = z.sum(tuple(z_order.index(d) for d in k_z))
+
+  rows = 1
+  for d in rows_dims:
+    rows *= sizes[d]
+  kk = 1
+  for d in k_shared:
+    kk *= sizes[d]
+  z = jnp.broadcast_to(
+      z, tuple(sizes[d] for d in rows_dims + k_shared)).reshape(rows, kk)
+
+  m = operands[mask_i]
+  mask_dims = arrays[mask_i].dims
+  m = jnp.transpose(
+      m, [mask_dims.index(d) for d in mask_out + k_shared])
+  n_bins = 1
+  for d in mask_out:
+    n_bins *= sizes[d]
+  m = jnp.broadcast_to(
+      m, tuple(sizes[d] for d in mask_out + k_shared)
+  ).reshape(n_bins, kk).astype(jnp.bfloat16)
+
+  zh = z.astype(jnp.bfloat16)
+  r1 = z - zh.astype(jnp.float32)
+  zl = r1.astype(jnp.bfloat16)
+  zt = (r1 - zl.astype(jnp.float32)).astype(jnp.bfloat16)
+
+  # Chunk the contraction so no f32 accumulator sees more than ~128k
+  # sequential adds: the MXU accumulates K-tiles in order (random-walk
+  # error ~√K·2^-24), while the VPU form this path replaces tree-reduces
+  # (~log K). Chunk partials are tree-summed in f32, bounding the error
+  # independent of K. Chunks must divide K exactly (a pad would copy the
+  # whole split operand); production K = 721·1440 has rich divisors.
+  n_chunks = 1
+  if kk > 131072:
+    for c in range(2, 64):
+      if kk % c == 0 and kk // c <= 131072:
+        n_chunks = c
+        break
+
+  def mm(a):
+    if n_chunks == 1:
+      return jax.lax.dot_general(a, m, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    a3 = a.reshape(a.shape[0], n_chunks, kk // n_chunks)
+    m3 = m.reshape(m.shape[0], n_chunks, kk // n_chunks)
+    parts = jax.lax.dot_general(  # (chunk, rows, bins)
+        a3.transpose(1, 0, 2), m3.transpose(1, 2, 0),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    return parts.sum(0)
+
+  out = mm(zh) + mm(zl) + mm(zt)
+  cur_dims = rows_dims + mask_out
+  out = out.reshape(tuple(sizes[d] for d in cur_dims))
+  perm = [cur_dims.index(d) for d in out_dims]
+  if perm != list(range(len(perm))):
+    out = jnp.transpose(out, perm)
+  coords = _merge_coords(out_dims, *[a.coords for a in arrays])
+  return DimArray(out, out_dims, coords)
+
+
 def dot(*arrays: DimArray, dim: Sequence[str] | str) -> DimArray:
   """Named contraction: multiply all arrays and sum over ``dim``.
 
@@ -900,7 +1055,9 @@ def dot(*arrays: DimArray, dim: Sequence[str] | str) -> DimArray:
 
   sizes: dict = {}
   for a in arrays:
-    sizes.update(a.sizes)
+    for d, n in a.sizes.items():
+      if sizes.get(d, 1) == 1:
+        sizes[d] = n
   product_elems = 1
   for d in all_dims:
     product_elems *= sizes[d]
@@ -913,6 +1070,10 @@ def dot(*arrays: DimArray, dim: Sequence[str] | str) -> DimArray:
   # (rank histogram: 51 ranks × 34 regions, ratio ~200) blow the product
   # up 51× and measured 4× slower than the MXU (21 vs 5 ms/step).
   vpu_friendly = product_elems <= 8 * max_operand
+
+  mxu = _mask_mxu_candidate(arrays, operands, dims, out_dims, sizes)
+  if mxu is not None:
+    return _mask_mxu_dot(arrays, operands, dims, out_dims, sizes, *mxu)
 
   if jax.default_backend() != 'tpu' or not vpu_friendly:
     # CPU/GPU: einsum reproduces the reference's np.einsum summation order
@@ -943,6 +1104,52 @@ def dot(*arrays: DimArray, dim: Sequence[str] | str) -> DimArray:
   data = prod.sum(tuple(i for i, d in enumerate(all_dims) if d in dims))
   coords = _merge_coords(out_dims, *[a.coords for a in arrays])
   return DimArray(data, out_dims, coords)
+
+
+def dot_batched(stats: Sequence[DimArray], *operands: DimArray,
+                dim: Sequence[str] | str) -> list[DimArray]:
+  """Contract several SAME-LAYOUT arrays against shared operands at once.
+
+  Equivalent to ``[dot(s, *operands, dim=dim) for s in stats]`` (rows of
+  a contraction are independent), but stacks the statistics on a fresh
+  leading axis so the whole group lowers as ONE contraction. This is what
+  feeds the MXU mask path its rows: the production aggregation calls dot
+  per (statistic, variable, numerator/denominator) with only ``lead``
+  (~4) rows each — batching a family's 20 same-layout calls gives an
+  (80, N)x(N, 34) matmul instead of 20 VPU re-scans of the mask stack.
+
+  The reference has no analogue (each ``xr.dot`` is separate inside
+  beam's per-chunk combine, ``weatherbenchX/aggregation.py:290-328``);
+  this is a TPU-first restructuring.
+  """
+  stats = list(stats)
+  if not stats:
+    return []
+  first = stats[0]
+  for s in stats[1:]:
+    if s.dims != first.dims or s.shape != first.shape:
+      raise ValueError('dot_batched requires identical dims/shape: '
+                       f'{s.dims}{s.shape} vs {first.dims}{first.shape}')
+  if len(stats) == 1:
+    return [dot(first, *operands, dim=dim)]
+  batch_dim = '__stack__'
+  assert batch_dim not in first.dims
+  stacked = jnp.stack([jnp.asarray(s.data) for s in stats])
+  # Dim coords of the shared layout ride along; per-entry non-dim coords
+  # are re-merged per split below exactly as dot() would.
+  sda = DimArray(stacked, (batch_dim,) + first.dims,
+                 {k: c for k, c in first.coords.items()
+                  if set(c.dims).issubset(first.dims)})
+  outb = dot(sda, *operands, dim=dim)
+  ax = outb.dims.index(batch_dim)
+  out_dims = tuple(d for d in outb.dims if d != batch_dim)
+  outs = []
+  for i, s in enumerate(stats):
+    data = jnp.take(outb.data, i, axis=ax)
+    coords = _merge_coords(out_dims, s.coords,
+                           *[a.coords for a in operands])
+    outs.append(DimArray(data, out_dims, coords))
+  return outs
 
 
 def apply_ufunc(
