@@ -457,7 +457,7 @@ class TestCrossComboAlignment:
 
 class TestUnaggregatedZarr:
   def _run(self, tmp_path, out_name, mesh=None, dim_to_axis=None,
-           init_chunk=4, lead_chunk=2, compressor=None):
+           init_chunk=4, lead_chunk=2, compressor=None, zarr_format=2):
     ppath, tpath, cpath, init, lead = _write_source_files(tmp_path)
     metrics = {'rmse': deterministic.RMSE()}
     times = tc.TimeChunks(init, lead, init_time_chunk_size=init_chunk,
@@ -469,7 +469,8 @@ class TestUnaggregatedZarr:
         loaders.TargetsFromDataset(path=tpath,
                                    variables=['2m_temperature']),
         times, out_path=str(tmp_path / out_name),
-        mesh=mesh, dim_to_axis=dim_to_axis, compressor=compressor)
+        mesh=mesh, dim_to_axis=dim_to_axis, compressor=compressor,
+        zarr_format=zarr_format)
     pl = loaders.PredictionsFromDataset(path=ppath,
                                         variables=['2m_temperature'])
     tl = loaders.TargetsFromDataset(path=tpath,
@@ -485,6 +486,25 @@ class TestUnaggregatedZarr:
     zarray = _json.load(open(os.path.join(
         out, 'SquaredError.2m_temperature', '.zarray')))
     assert zarray['compressor']['id'] == 'blosc'
+    da = unaggregated.load_unaggregated(out)['SquaredError.2m_temperature']
+    np.testing.assert_allclose(
+        np.asarray(da.transpose(*direct.dims).values),
+        np.asarray(direct.values), atol=1e-5)
+
+  def test_v3_store_roundtrip(self, tmp_path):
+    # zarr_format=3 streams the same cells into a v3 layout (zarr.json
+    # nodes, c/-prefixed keys, no consolidated metadata) that the
+    # self-contained v3 reader assembles identically.
+    out, direct, init, lead = self._run(tmp_path, 'unagg_v3.zarr',
+                                        compressor='zstd', zarr_format=3)
+    import json as _json
+    root = _json.load(open(os.path.join(out, 'zarr.json')))
+    assert root['node_type'] == 'group'
+    meta = _json.load(open(os.path.join(
+        out, 'SquaredError.2m_temperature', 'zarr.json')))
+    assert meta['node_type'] == 'array'
+    assert [c['name'] for c in meta['codecs']] == ['bytes', 'zstd']
+    assert not os.path.exists(os.path.join(out, '.zmetadata'))
     da = unaggregated.load_unaggregated(out)['SquaredError.2m_temperature']
     np.testing.assert_allclose(
         np.asarray(da.transpose(*direct.dims).values),

@@ -49,6 +49,79 @@ class TestZarrRoundTrip:
             np.asarray(got.coords[cname].values), np.asarray(c.values))
         assert got.coords[cname].values.dtype == np.asarray(c.values).dtype
 
+  @pytest.mark.parametrize('compressor', [None, 'blosc', 'zstd', 'gzip'])
+  def test_v3_write_roundtrip(self, tmp_path, compressor):
+    """v3 write → the self-contained v3 reader (which the r4 fixtures
+    validated against zarr-python-written stores) round-trips values,
+    dims, coord dtypes, and ragged edge chunks."""
+    ds = _dataset()
+    path = str(tmp_path / 'store_v3.zarr')
+    zarr_io.save_dataset_zarr(path, ds, chunks={'valid_time': 4},
+                              compressor=compressor, zarr_format=3)
+    back = zarr_io.open_dataset_zarr(path)
+    assert set(back) == set(ds)
+    for k, da in ds.items():
+      got = back[k]
+      assert got.dims == da.dims
+      np.testing.assert_array_equal(np.asarray(got.data), da.values)
+      for cname, c in da.coords.items():
+        np.testing.assert_array_equal(
+            np.asarray(got.coords[cname].values), np.asarray(c.values))
+        assert got.coords[cname].values.dtype == np.asarray(c.values).dtype
+
+  def test_v3_write_layout(self, tmp_path):
+    """The on-disk v3 layout matches the spec surface zarr-python reads:
+    root zarr.json, per-array zarr.json with regular grid + bytes codec +
+    dimension_names, and c/-prefixed chunk keys."""
+    ds = _dataset(n_time=6)
+    path = str(tmp_path / 'store_v3.zarr')
+    zarr_io.save_dataset_zarr(path, ds, chunks={'valid_time': 4},
+                              compressor='blosc', zarr_format=3)
+    root = json.loads(open(os.path.join(path, 'zarr.json')).read())
+    assert root == {'zarr_format': 3, 'node_type': 'group',
+                    'attributes': {}}
+    meta = json.loads(open(os.path.join(path, 't2m', 'zarr.json')).read())
+    assert meta['node_type'] == 'array'
+    assert meta['data_type'] == 'float32'
+    assert meta['fill_value'] == 'NaN'
+    assert meta['chunk_grid'] == {
+        'name': 'regular', 'configuration': {'chunk_shape': [4, 7, 8]}}
+    assert meta['dimension_names'] == ['valid_time', 'latitude',
+                                       'longitude']
+    names = [c['name'] for c in meta['codecs']]
+    assert names == ['bytes', 'blosc']
+    assert meta['codecs'][1]['configuration']['typesize'] == 4
+    assert os.path.exists(os.path.join(path, 't2m', 'c', '0', '0', '0'))
+    assert os.path.exists(os.path.join(path, 't2m', 'c', '1', '0', '0'))
+    assert not os.path.exists(os.path.join(path, '.zmetadata'))
+    # time coord: CF-encoded int64 with units in attributes
+    tmeta = json.loads(
+        open(os.path.join(path, 'valid_time', 'zarr.json')).read())
+    assert tmeta['data_type'] == 'int64'
+    assert 'since' in tmeta['attributes']['units']
+
+  def test_v3_write_rejects_strings_and_zlib(self, tmp_path):
+    ds = {'v': DimArray(np.arange(3, dtype=np.float32), ('station',),
+                        {'station': np.array(['a', 'b', 'c'])})}
+    with pytest.raises(ValueError, match='v2-only'):
+      zarr_io.save_dataset_zarr(str(tmp_path / 's1'), ds, zarr_format=3)
+    ds2 = {'v': DimArray(np.arange(3, dtype=np.float32), ('x',))}
+    with pytest.raises(ValueError, match='zarr v3'):
+      zarr_io.save_dataset_zarr(str(tmp_path / 's2'), ds2,
+                                compressor='zlib', zarr_format=3)
+
+  def test_v3_write_bool_and_missing_chunk_fill(self, tmp_path):
+    ds = {'flag': DimArray(np.arange(10) % 3 == 0, ('x',))}
+    path = str(tmp_path / 'b.zarr')
+    zarr_io.save_dataset_zarr(path, ds, chunks={'x': 4}, zarr_format=3)
+    os.remove(os.path.join(path, 'flag', 'c', '1'))  # drop middle chunk
+    back = zarr_io.open_dataset_zarr(path)
+    got = np.asarray(back['flag'].data)
+    assert got.dtype == np.bool_
+    want = (np.arange(10) % 3 == 0)
+    want[4:8] = False  # fill_value
+    np.testing.assert_array_equal(got, want)
+
   def test_lazy_window_reads_only_needed_chunks(self, tmp_path, monkeypatch):
     ds = _dataset(n_time=16)
     path = str(tmp_path / 'store.zarr')

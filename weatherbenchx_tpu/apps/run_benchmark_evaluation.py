@@ -81,6 +81,8 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument('--skip_failed_chunks', action='store_true',
                  help='Skip (and report) chunks whose transient failures '
                       'survive all retries, instead of failing the run')
+  p.add_argument('--zarr_format', type=int, default=2, choices=(2, 3),
+                 help='Zarr store format for --unaggregated_zarr output')
   p.add_argument('--zarr_compressor', default=None,
                  choices=['zlib', 'zstd', 'blosc'],
                  help='Compression for --unaggregated_zarr cells')
@@ -311,7 +313,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     from weatherbenchx_tpu.parallel import unaggregated
     stats_store = unaggregated.ZarrStatsStore(
         times, os.path.join(args.output_dir, filename + '_stats.zarr'),
-        compressor=args.zarr_compressor)
+        compressor=args.zarr_compressor, zarr_format=args.zarr_format)
 
   values = pipeline_lib.evaluate(
       all_metrics, aggregation_method, prediction_loader, target_loader,

@@ -243,7 +243,7 @@ def blosc_compress(data: bytes, typesize: int, cname: str = 'lz4',
 # ---------------------------------------------------------------------------
 
 SUPPORTED_DECODERS = ('zlib', 'gzip', 'zstd', 'blosc')
-SUPPORTED_ENCODERS = ('zlib', 'zstd', 'blosc')
+SUPPORTED_ENCODERS = ('zlib', 'gzip', 'zstd', 'blosc')
 
 
 def decode_cell(raw: bytes, codec: Optional[str], out_nbytes: int):
@@ -297,6 +297,8 @@ def compressor_config(codec: Optional[str], typesize: int,
     return None
   if codec == 'zlib':
     return {'id': 'zlib', 'level': 1 if level is None else level}
+  if codec == 'gzip':
+    return {'id': 'gzip', 'level': 5 if level is None else level}
   if codec == 'zstd':
     return {'id': 'zstd', 'level': 3 if level is None else level}
   if codec == 'blosc':

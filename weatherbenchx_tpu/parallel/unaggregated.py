@@ -49,7 +49,8 @@ class ZarrStatsStore:
   def __init__(self, times: time_chunks_lib.TimeChunks, path: str,
                compressor: Optional[str] = None,
                distributed: bool = False,
-               zarr_chunks: Optional[Mapping[str, int]] = None) -> None:
+               zarr_chunks: Optional[Mapping[str, int]] = None,
+               zarr_format: int = 2) -> None:
     if isinstance(times.lead_times, slice):
       raise ValueError(
           'Zarr unaggregated output needs exact lead_times: a lead '
@@ -80,7 +81,16 @@ class ZarrStatsStore:
               'cell spans compute chunks owned by different processes and '
               'no single process can assemble it')
     self._compressor = compressor
+    self._zarr_format = int(zarr_format)
     self._distributed = distributed
+    if self._zarr_format == 3:
+      # v3 root node, written eagerly for the same crash-resume reason as
+      # the coordinates below. v3 has no consolidated-metadata file; the
+      # reader scans per-array zarr.json nodes.
+      fileio.write_bytes(
+          os.path.join(self._path, 'zarr.json'),
+          json.dumps({'zarr_format': 3, 'node_type': 'group',
+                      'attributes': {}}).encode())
     self._writers: dict[str, zarr_io.ZarrArrayWriter] = {}
     # (key, cell) -> [partial ndarray buffer, covered element count]
     self._buffers: dict = {}
@@ -103,7 +113,8 @@ class ZarrStatsStore:
         [self._out_chunk(d, self._init_chunk) if d == 'init_time' else
          self._out_chunk(d, self._lead_chunk) if d == 'lead_time' else
          self._out_chunk(d, s)
-         for d, s in zip(c.dims, np.shape(c.values))]))
+         for d, s in zip(c.dims, np.shape(c.values))],
+        zarr_format=self._zarr_format))
 
   def _full_size(self, dim: str, chunk_size: int) -> tuple[int, int]:
     if dim == 'init_time':
@@ -139,7 +150,7 @@ class ZarrStatsStore:
     return zarr_io.ZarrArrayWriter(
         self._path, key, shape, chunks, np.asarray(da.values).dtype,
         da.dims, extra_attrs={'coordinates': ' '.join(aux)} if aux else None,
-        compressor=self._compressor)
+        compressor=self._compressor, zarr_format=self._zarr_format)
 
   def write_chunk(self, i: int,
                   offsets: time_chunks_lib.TimeChunkOffsets,
@@ -226,6 +237,10 @@ class ZarrStatsStore:
       if jax.process_index() != 0:
         return self._path
     path = self._path
+    if self._zarr_format == 3:
+      # No consolidated metadata in v3: the eager root zarr.json plus the
+      # per-array nodes written as cells streamed make the store complete.
+      return path
     if not self._writers and fileio.exists(os.path.join(path, '.zmetadata')):
       # A rerun that wrote no chunks (e.g. checkpoint-resume of a finished
       # run): the store on disk is complete — rewriting .zmetadata from
@@ -275,6 +290,7 @@ class UnaggregatedPipeline:
   dim_to_axis: Optional[Mapping[str, str]] = None
   distributed: bool = False
   compressor: Optional[str] = None  # zarr cells: None/'zlib'/'zstd'/'blosc'
+  zarr_format: int = 2  # 3: zarr v3 store layout (zarr.json nodes)
   # Output store chunk sizes per dim (e.g. {'init_time': 64}); defaults to
   # the compute chunking. The reference's xbeam.Rechunk zarr_chunks analog.
   zarr_chunks: Optional[Mapping[str, int]] = None
@@ -346,7 +362,8 @@ class UnaggregatedPipeline:
     store = ZarrStatsStore(self.times, self.out_path,
                            compressor=self.compressor,
                            distributed=self.distributed,
-                           zarr_chunks=self.zarr_chunks)
+                           zarr_chunks=self.zarr_chunks,
+                           zarr_format=self.zarr_format)
     for i, offsets, (predictions, targets) in self._stream():
       store.write_chunk(i, offsets,
                         self._chunk_stats(predictions, targets))

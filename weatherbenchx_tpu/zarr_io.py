@@ -1,15 +1,17 @@
-"""Self-contained Zarr v2 directory-store reader/writer.
+"""Self-contained Zarr v2/v3 directory-store reader/writer.
 
 zarr/xarray are optional in this environment, but Zarr is the lingua franca
 of the reference's ecosystem: inputs are Zarr stores and the unaggregated
 pipeline writes one (reference ``beam_pipeline.py:610-681``,
-``xarray_loaders.py:55-141``). This module implements the v2 directory
-format directly:
+``xarray_loaders.py:55-141``). This module implements the directory
+formats directly:
 
 * :func:`save_dataset_zarr` writes a store any xarray/zarr install can open
   (``_ARRAY_DIMENSIONS`` convention, CF-encoded datetime64/timedelta64
-  coordinates, optional consolidated metadata; raw, zlib, zstd or
-  blosc-lz4 chunks);
+  coordinates, optional consolidated metadata; raw, zlib, zstd, gzip or
+  blosc-lz4 chunks). ``zarr_format=3`` emits the v3 layout instead
+  (per-node ``zarr.json``, ``dimension_names``, bytes+compressor codec
+  chains, ``c/``-prefixed chunk keys) for zarr-python-3-first consumers;
 * :func:`open_dataset_zarr` opens a local store LAZILY — each variable is a
   :class:`~weatherbenchx_tpu.lazy.LazyArray` over a chunk-grid source, so
   per-chunk evaluation windows read only the zarr chunks they intersect.
@@ -80,6 +82,49 @@ def _fill_value_json(dtype: np.dtype):
   return None
 
 
+def _v3_data_type(dtype: np.dtype) -> str:
+  """numpy dtype → zarr v3 core data type name."""
+  if dtype.kind == 'b':
+    return 'bool'
+  if dtype.kind in 'iuf':
+    return f'{np.dtype(dtype).name}'  # int32/uint8/float64/...
+  raise ValueError(
+      f'dtype {dtype} has no zarr v3 core data type (strings and '
+      'structured dtypes are v2-only in this writer)')
+
+
+_V3_SHUFFLE_NAMES = {0: 'noshuffle', 1: 'shuffle', 2: 'bitshuffle'}
+
+
+def _v3_codec_chain(comp: Optional[dict], typesize: int) -> list:
+  """The v3 'codecs' list for a v2-style compressor config (the inverse
+  of :func:`_parse_v3_codecs`, which round-trips it on read)."""
+  chain: list = [{'name': 'bytes', 'configuration': {'endian': 'little'}}]
+  if comp is None:
+    return chain
+  cid = comp.get('id')
+  if cid == 'blosc':
+    chain.append({'name': 'blosc', 'configuration': {
+        'cname': comp.get('cname', 'lz4'),
+        'clevel': comp.get('clevel', 5),
+        'shuffle': _V3_SHUFFLE_NAMES.get(comp.get('shuffle', 0),
+                                         'noshuffle'),
+        'typesize': typesize,
+        'blocksize': comp.get('blocksize', 0)}})
+  elif cid == 'zstd':
+    chain.append({'name': 'zstd', 'configuration': {
+        'level': comp.get('level', 3), 'checksum': False}})
+  elif cid == 'gzip':
+    chain.append({'name': 'gzip', 'configuration': {
+        'level': comp.get('level', 5)}})
+  else:
+    # v2's raw-zlib codec has no v3 equivalent (v3 gzip framing differs).
+    raise ValueError(
+        f'compressor {cid!r} cannot be written to a zarr v3 store '
+        "(use 'zstd', 'blosc', 'gzip' or None)")
+  return chain
+
+
 class ZarrArrayWriter:
   """Incremental writer for one zarr v2 array.
 
@@ -93,17 +138,48 @@ class ZarrArrayWriter:
                chunks: Sequence[int], dtype, dims: Sequence[str],
                extra_attrs: Optional[dict] = None,
                compressor: Optional[str] = None,
-               compression_level: Optional[int] = None) -> None:
+               compression_level: Optional[int] = None,
+               zarr_format: int = 2) -> None:
     self._adir = os.path.join(root, name)
     fileio.makedirs(self._adir)
     self.shape = tuple(int(s) for s in shape)
     self.chunks = tuple(min(int(c), max(int(s), 1)) or 1
                         for c, s in zip(chunks, self.shape))
     self.dtype = np.dtype(dtype)
+    if zarr_format == 3 and self.dtype.byteorder == '>':
+      self.dtype = self.dtype.newbyteorder('<')  # chain declares little
     self._codec = compressor
     self._level = compression_level
+    self._format = int(zarr_format)
+    if self._format not in (2, 3):
+      raise ValueError(f'zarr_format must be 2 or 3, got {zarr_format}')
     self._comp = wbx_codecs.compressor_config(
         compressor, self.dtype.itemsize, compression_level)
+    if self._format == 3:
+      zarray = {
+          'zarr_format': 3,
+          'node_type': 'array',
+          'shape': list(self.shape),
+          'data_type': _v3_data_type(self.dtype),
+          'chunk_grid': {'name': 'regular',
+                         'configuration': {'chunk_shape': list(self.chunks)}},
+          'chunk_key_encoding': {'name': 'default',
+                                 'configuration': {'separator': '/'}},
+          'fill_value': (
+              'NaN' if self.dtype.kind == 'f'
+              else False if self.dtype.kind == 'b' else 0),
+          'codecs': _v3_codec_chain(self._comp, self.dtype.itemsize),
+          'dimension_names': list(dims),
+          'attributes': dict(extra_attrs or {}),
+      }
+      fileio.write_bytes_atomic(
+          os.path.join(self._adir, 'zarr.json'),
+          json.dumps(zarray, default=_json_default).encode())
+      # Normalized v2-shaped entries so in-process consumers (store
+      # readers, tests) see one metadata schema for both formats.
+      norm, attrs = _normalize_v3_array(zarray, name)
+      self.metadata = {f'{name}/.zarray': norm, f'{name}/.zattrs': attrs}
+      return
     zarray = {
         'zarr_format': 2,
         'shape': list(self.shape),
@@ -125,15 +201,22 @@ class ZarrArrayWriter:
           json.dumps(payload, default=_json_default).encode())
     self.metadata = {f'{name}/.zarray': zarray, f'{name}/.zattrs': zattrs}
 
+  def _cell_key(self, cell: Sequence[int]) -> str:
+    if self._format == 3:  # default v3 encoding: c/i/j/... ('c' for 0-d)
+      return 'c' + ''.join(f'/{int(i)}' for i in cell) if cell else 'c'
+    return '.'.join(str(int(i)) for i in cell) or '0'
+
   def write_block(self, cell: Sequence[int], block: np.ndarray) -> None:
     """Writes one chunk-grid cell. Ragged edge blocks are padded to full
-    chunk extent with fill (the v2 storage contract)."""
+    chunk extent with fill (the v2/v3 storage contract)."""
     block = self._pad_to_cell(block)
-    key = '.'.join(str(int(i)) for i in cell) or '0'
+    path = os.path.join(self._adir, self._cell_key(cell))
+    if self._format == 3 and cell:
+      fileio.makedirs(os.path.dirname(path))
     raw = np.ascontiguousarray(block).tobytes()
     raw = wbx_codecs.encode_cell(raw, self._codec, self.dtype.itemsize,
                                  self._level)
-    fileio.write_bytes(os.path.join(self._adir, key), bytes(raw))
+    fileio.write_bytes(path, bytes(raw))
 
   def _pad_to_cell(self, block: np.ndarray) -> np.ndarray:
     block = np.asarray(block).astype(self.dtype, copy=False)
@@ -171,9 +254,11 @@ class ZarrArrayWriter:
         group = cells[i:i + batch]
         blocks = [self._pad_to_cell(values[self._cell_window(c)])
                   for c in group]
-        paths = [os.path.join(
-            self._adir, '.'.join(str(int(j)) for j in c) or '0')
-            for c in group]
+        paths = [os.path.join(self._adir, self._cell_key(c))
+                 for c in group]
+        if self._format == 3:
+          for p in paths:
+            fileio.makedirs(os.path.dirname(p))
         native.encode_cells(paths, self._codec, blocks,
                             self.dtype.itemsize, self._level,
                             threads=_READ_THREADS)
@@ -189,7 +274,8 @@ class ZarrArrayWriter:
 def _write_array(root: str, name: str, values: np.ndarray,
                  dims: Sequence[str], chunks: Sequence[int],
                  extra_attrs: Optional[dict] = None,
-                 compressor: Optional[str] = None) -> dict:
+                 compressor: Optional[str] = None,
+                 zarr_format: int = 2) -> dict:
   """Writes one complete zarr array; returns its .zmetadata entries."""
   values, time_attrs = _encode_cf_time(np.asarray(values))
   if not values.flags.c_contiguous:
@@ -197,7 +283,7 @@ def _write_array(root: str, name: str, values: np.ndarray,
   writer = ZarrArrayWriter(
       root, name, values.shape, chunks, values.dtype, dims,
       extra_attrs={**time_attrs, **(extra_attrs or {})},
-      compressor=compressor)
+      compressor=compressor, zarr_format=zarr_format)
   writer.write_full(values)
   return writer.metadata
 
@@ -208,17 +294,31 @@ def save_dataset_zarr(
     chunks: Optional[Mapping[str, int]] = None,
     compressor: Optional[str] = None,
     consolidated: bool = True,
+    zarr_format: int = 2,
 ) -> None:
-  """Writes a dict[var, DimArray] dataset as a Zarr v2 directory store.
+  """Writes a dict[var, DimArray] dataset as a Zarr directory store.
 
   ``chunks`` maps dim name → chunk length (default: whole dim). Non-dim
   coordinates are recorded per variable via the CF ``coordinates`` attr.
+  ``zarr_format=3`` writes the v3 layout (per-node ``zarr.json``, regular
+  chunk grid, default ``c/``-prefixed chunk keys, bytes+compressor codec
+  chain, ``dimension_names``) that zarr-python 3 / new public stores use;
+  v3 has no core fixed-length string data type, so string coordinates
+  (sparse station ids) require the default v2.
   """
+  if zarr_format not in (2, 3):
+    raise ValueError(f'zarr_format must be 2 or 3, got {zarr_format}')
   fileio.makedirs(path)
   metadata: dict[str, Any] = {'.zgroup': {'zarr_format': 2}, '.zattrs': {}}
-  fileio.write_bytes(os.path.join(path, '.zgroup'),
-                     json.dumps(metadata['.zgroup']).encode())
-  fileio.write_bytes(os.path.join(path, '.zattrs'), b'{}')
+  if zarr_format == 3:
+    fileio.write_bytes(
+        os.path.join(path, 'zarr.json'),
+        json.dumps({'zarr_format': 3, 'node_type': 'group',
+                    'attributes': {}}).encode())
+  else:
+    fileio.write_bytes(os.path.join(path, '.zgroup'),
+                       json.dumps(metadata['.zgroup']).encode())
+    fileio.write_bytes(os.path.join(path, '.zattrs'), b'{}')
 
   chunks = dict(chunks or {})
   written: dict[str, tuple] = {}  # coord name -> (dims, id of values)
@@ -236,14 +336,15 @@ def save_dataset_zarr(
         continue
       metadata.update(_write_array(
           path, str(cname), cvals, c.dims,
-          chunk_spec(c.dims, cvals.shape), compressor=compressor))
+          chunk_spec(c.dims, cvals.shape), compressor=compressor,
+          zarr_format=zarr_format))
     extra = {'coordinates': ' '.join(aux)} if aux else None
     metadata.update(_write_array(
         path, str(var), np.asarray(da.values), da.dims,
         chunk_spec(da.dims, da.shape), extra_attrs=extra,
-        compressor=compressor))
+        compressor=compressor, zarr_format=zarr_format))
 
-  if consolidated:
+  if consolidated and zarr_format == 2:
     fileio.write_bytes_atomic(
         os.path.join(path, '.zmetadata'),
         json.dumps({'metadata': metadata, 'zarr_consolidated_format': 1},
