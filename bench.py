@@ -84,6 +84,21 @@ def main():
   except ImportError:
     has_prob = False
 
+  if os.environ.get('WBX_BENCH_HEADLINE', '1') == '0':
+    # A/B mode: skip the headline and run (a subset of) the full suite.
+    import jax.numpy as jnp
+    tiny = jax.jit(lambda v: v + 1)
+    z = jax.device_put(jnp.zeros(()))
+    float(tiny(z))
+    lat_samples = []
+    for i in range(5):
+      lat0 = time.perf_counter()
+      float(tiny(z + i))
+      lat_samples.append(time.perf_counter() - lat0)
+    latency = sorted(lat_samples)[len(lat_samples) // 2]
+    print(json.dumps({'full_suite': full_suite(latency)}))
+    return
+
   n_lead, nlat, nlon = 4, 721, 1440
   ens = 50 if has_prob else None
   pred_np, tgt_np, dims, lats, lons = _make_data(n_lead, nlat, nlon, ens)
@@ -587,6 +602,10 @@ def full_suite(latency, time_budget_s=240.0):
   ]
   out = {'bins': 34, 'grid': '0.25deg', 'n_lead': n_lead, 'masked': True,
          'roofline_peaks_measured': peaks}
+  only = os.environ.get('WBX_BENCH_FAMILIES')  # comma list, for A/B runs
+  if only:
+    wanted = {f.strip() for f in only.split(',')}
+    families = [(n, f) for n, f in families if n in wanted]
   for name, fn in families:
     if time.perf_counter() - t_start > time_budget_s:
       out[name] = 'skipped_time_budget'

@@ -1,14 +1,14 @@
-"""Tests for the MXU 0/1-mask contraction path and same-layout batching.
+"""Tests for same-layout aggregation batching (``darray.dot_batched``).
 
-The production aggregation contraction (reference semantics:
-``xr.dot(stat, *weights, *bin_masks, dim=reduce_dims)``,
-/root/reference/weatherbenchX/aggregation.py:290-328) detects the bool
-bin-mask operand in ``darray.dot`` and lowers to an exact 3-term bf16
-split on the MXU (``darray._mask_mxu_dot``); ``Aggregator.
-aggregate_statistics`` batches same-layout (statistic, variable,
-num/den) contractions into one ``darray.dot_batched`` call. Both paths
-are TPU-gated in production; ``WBX_MASK_DOT=force`` / ``WBX_AGG_BATCH=
-force`` exercise the lowerings on the CPU suite.
+``Aggregator.aggregate_statistics`` groups same-layout (statistic,
+variable, num/den) contractions (reference semantics: separate
+``xr.dot`` calls, /root/reference/weatherbenchX/aggregation.py:290-328)
+and, when the traffic model says the stack copy costs less than the
+shared-operand re-reads it saves, lowers each group as ONE batched
+contraction. TPU-gated in production; ``WBX_AGG_BATCH=force`` exercises
+the lowering on the CPU suite. (Round 4's manual bf16-split MXU mask
+path was removed in round 5 after on-chip measurement — see
+``darray.dot`` history note.)
 """
 
 import numpy as np
@@ -28,149 +28,6 @@ def _mk(seed, shape, dims, **coords):
   rng = np.random.default_rng(seed)
   return DimArray(rng.standard_normal(shape).astype(np.float32), dims,
                   coords or None)
-
-
-class TestMaskMxuDot:
-
-  def setup_method(self):
-    self.w = DimArray(
-        np.abs(np.random.default_rng(9).standard_normal(37)
-               ).astype(np.float32), ('lat',))
-    self.m = DimArray(
-        np.random.default_rng(8).random((5, 37, 72)) > 0.4,
-        ('bin', 'lat', 'lon'))
-
-  def _both(self, *arrays, dim, monkeypatch):
-    monkeypatch.setenv('WBX_MASK_DOT', 'off')
-    ref = darray.dot(*arrays, dim=dim)
-    monkeypatch.setenv('WBX_MASK_DOT', 'force')
-    got = darray.dot(*arrays, dim=dim)
-    assert got.dims == ref.dims
-    assert got.shape == ref.shape
-    return got, ref
-
-  def test_matches_einsum(self, monkeypatch):
-    stat = _mk(0, (4, 37, 72), ('lead', 'lat', 'lon'))
-    got, ref = self._both(stat, self.w, self.m, dim=('lat', 'lon'),
-                          monkeypatch=monkeypatch)
-    assert _rel(got.data, ref.data) < 1e-5
-
-  def test_contraction_dim_missing_from_mask(self, monkeypatch):
-    # init is reduced but the mask broadcasts over it: z pre-reduces.
-    # Cancellation-heavy sums (8k random-sign terms) make PLAIN rel-err
-    # compare two f32 rounding walks against each other, so tolerate at
-    # the output's magnitude scale too.
-    stat = _mk(1, (3, 4, 37, 72), ('init', 'lead', 'lat', 'lon'))
-    got, ref = self._both(stat, self.w, self.m,
-                          dim=('init', 'lat', 'lon'),
-                          monkeypatch=monkeypatch)
-    scale = float(np.max(np.abs(np.asarray(ref.data))))
-    np.testing.assert_allclose(np.asarray(got.data), np.asarray(ref.data),
-                               rtol=1e-5, atol=1e-6 * scale)
-
-  def test_nan_poisons_all_bins_like_reference_path(self, monkeypatch):
-    stat = _mk(2, (4, 37, 72), ('lead', 'lat', 'lon'))
-    d = np.asarray(stat.data).copy()
-    d[1, 3, 5] = np.nan
-    stat = stat.copy(data=d)
-    got, ref = self._both(stat, self.w, self.m, dim=('lat', 'lon'),
-                          monkeypatch=monkeypatch)
-    assert np.array_equal(np.isnan(np.asarray(got.data)),
-                          np.isnan(np.asarray(ref.data)))
-    ok = ~np.isnan(np.asarray(ref.data))
-    assert _rel(np.asarray(got.data)[ok], np.asarray(ref.data)[ok]) < 1e-5
-
-  def test_bool_fold_operand(self, monkeypatch):
-    # A second bool operand WITHOUT exclusive out dims folds into z
-    # exactly (0/1 x f32); only the bin mask rides the MXU columns.
-    stat = _mk(3, (4, 37, 72), ('lead', 'lat', 'lon'))
-    valid = DimArray(np.random.default_rng(4).random((37, 72)) > 0.2,
-                     ('lat', 'lon'))
-    got, ref = self._both(stat, self.w, valid, self.m, dim=('lat', 'lon'),
-                          monkeypatch=monkeypatch)
-    assert _rel(got.data, ref.data) < 1e-5
-
-  def test_two_bin_masks_fall_back(self, monkeypatch):
-    # Two bool operands with their own out dims: candidate must bail
-    # (force included) and results still match.
-    stat = _mk(5, (4, 37, 72), ('lead', 'lat', 'lon'))
-    m2 = DimArray(np.random.default_rng(6).random((3, 37)) > 0.5,
-                  ('latbin', 'lat'))
-    got, ref = self._both(stat, self.w, self.m, m2, dim=('lat', 'lon'),
-                          monkeypatch=monkeypatch)
-    np.testing.assert_array_equal(np.asarray(got.data),
-                                  np.asarray(ref.data))
-
-  def test_out_dim_order_interleaved(self, monkeypatch):
-    # Mask out-dim appears BEFORE a row dim in xarray broadcast order:
-    # the (rows, bins) matmul result must transpose back.
-    stat = _mk(7, (37, 72, 4), ('lat', 'lon', 'lead'))
-    got, ref = self._both(self.m, stat, self.w, dim=('lat', 'lon'),
-                          monkeypatch=monkeypatch)
-    assert ref.dims == ('bin', 'lead')
-    assert _rel(got.data, ref.data) < 1e-5
-
-  def test_multi_out_dim_mask(self, monkeypatch):
-    m = DimArray(np.random.default_rng(10).random((3, 2, 37, 72)) > 0.5,
-                 ('b1', 'b2', 'lat', 'lon'))
-    stat = _mk(11, (4, 37, 72), ('lead', 'lat', 'lon'))
-    got, ref = self._both(stat, self.w, m, dim=('lat', 'lon'),
-                          monkeypatch=monkeypatch)
-    assert ref.dims == ('lead', 'b1', 'b2')
-    assert _rel(got.data, ref.data) < 1e-5
-
-  def test_cancellation_heavy_rows_stay_f32_grade(self, monkeypatch):
-    """The 3-term split must hold 1e-5 RELATIVE error on bins whose sum
-    cancels (Bias over a region of random-sign error) — the case a
-    2-term bf16 split (~2^-17 absolute) measurably fails."""
-    rng = np.random.default_rng(12)
-    z = rng.standard_normal((8, 64, 128)).astype(np.float32)
-    stat = DimArray(z, ('lead', 'lat', 'lon'))
-    m = DimArray(rng.random((6, 64, 128)) > 0.3, ('bin', 'lat', 'lon'))
-    f64 = np.einsum('rij,bij->rb', z.astype(np.float64),
-                    np.asarray(m.data).astype(np.float64))
-    monkeypatch.setenv('WBX_MASK_DOT', 'force')
-    got = np.asarray(darray.dot(stat, m, dim=('lat', 'lon')).data,
-                     np.float64)
-    assert np.max(np.abs(got - f64) / np.maximum(np.abs(f64), 1e-9)) < 1e-5
-
-
-class TestMaskMxuSharded:
-  """The MXU mask path under GSPMD: contraction dims sharded over the
-  8-device CPU mesh must psum to the unsharded result (the v5e pod
-  layout shards lat/lon data dims; bins replicate)."""
-
-  def test_sharded_jit_matches_unsharded(self, monkeypatch):
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec
-
-    monkeypatch.setenv('WBX_MASK_DOT', 'force')
-    mesh = Mesh(np.array(jax.devices()[:8]), ('space',))
-    rng = np.random.default_rng(3)
-    stat = DimArray(rng.standard_normal((4, 16, 128)).astype(np.float32),
-                    ('lead', 'lat', 'lon'))
-    m = DimArray(rng.random((5, 16, 128)) > 0.4, ('bin', 'lat', 'lon'))
-    w = DimArray(np.abs(rng.standard_normal(16)).astype(np.float32),
-                 ('lat',))
-
-    def contract(s_data, m_data, w_data):
-      s = DimArray(s_data, stat.dims)
-      mm = DimArray(m_data, m.dims)
-      ww = DimArray(w_data, w.dims)
-      return darray.dot(s, ww, mm, dim=('lat', 'lon')).data
-
-    want = np.asarray(jax.jit(contract)(
-        jnp.asarray(stat.data), jnp.asarray(m.data), jnp.asarray(w.data)))
-    sd = jax.device_put(jnp.asarray(stat.data),
-                        NamedSharding(mesh, PartitionSpec(None, 'space')))
-    md = jax.device_put(jnp.asarray(m.data),
-                        NamedSharding(mesh, PartitionSpec(None, 'space')))
-    wd = jax.device_put(jnp.asarray(w.data),
-                        NamedSharding(mesh, PartitionSpec('space')))
-    got = np.asarray(jax.jit(contract)(sd, md, wd))
-    np.testing.assert_allclose(got, want, rtol=1e-5,
-                               atol=1e-6 * np.max(np.abs(want)))
 
 
 class TestDotBatched:
@@ -266,20 +123,6 @@ class TestAggregatorBatching:
           assert np.array_equal(ok, ~np.isnan(gv))
           np.testing.assert_allclose(gv[ok], rv[ok], rtol=1e-5, atol=1e-7)
 
-  def test_batched_with_forced_mxu(self, monkeypatch):
-    # Both new paths together: grouped rows through the MXU lowering.
-    agg, stats = self._setup(masked=True)
-    monkeypatch.setenv('WBX_AGG_BATCH', 'off')
-    monkeypatch.setenv('WBX_MASK_DOT', 'off')
-    ref = agg.aggregate_statistics(stats)
-    monkeypatch.setenv('WBX_AGG_BATCH', 'force')
-    monkeypatch.setenv('WBX_MASK_DOT', 'force')
-    got = agg.aggregate_statistics(stats)
-    r = ref.sum_weighted_statistics['se']['a']
-    g = got.sum_weighted_statistics['se']['a']
-    np.testing.assert_allclose(np.asarray(g.data), np.asarray(r.data),
-                               rtol=1e-5, atol=1e-7)
-
   def test_metric_values_end_to_end(self, monkeypatch):
     # finalize through metric_values so output coords survive batching
     from weatherbenchx_tpu.metrics import deterministic
@@ -309,6 +152,63 @@ class TestAggregatorBatching:
       np.testing.assert_allclose(np.asarray(got[k].data),
                                  np.asarray(ref[k].data),
                                  rtol=1e-5, atol=1e-7)
+
+  def test_auto_batch_gated_by_regime_change(self, monkeypatch):
+    """auto batches only when stacking CHANGES the lowering regime
+    (per-statlike VPU -> batched MXU). Round-5 on-chip rule: REV /
+    rank-histogram-shaped groups whose per-statlike dot is already
+    matmul-routed must stay unbatched (batching measured 2.09 vs 0.68
+    and 5.6 vs 3.3 ms/step there), while the deterministic family's
+    small-row groups must batch (3.2 vs 5.9)."""
+    import weatherbenchx_tpu.aggregation as agg_mod
+    monkeypatch.setenv('WBX_AGG_BATCH', 'auto')
+    monkeypatch.setattr(agg_mod.jax, 'default_backend', lambda: 'tpu')
+    calls = []
+    orig = darray.dot_batched
+    monkeypatch.setattr(
+        agg_mod.darray, 'dot_batched',
+        lambda *a, **k: calls.append(len(a[0])) or orig(*a, **k))
+
+    # A production-proportioned aggregator: >8 bins (5 lat bands x
+    # all/land = 10 regions) so the batched form is matmul-shaped.
+    nlat, nlon = 13, 24
+    lats = np.linspace(-90, 90, nlat)
+    lons = np.linspace(0, 360, nlon, endpoint=False)
+    coords = {'latitude': lats, 'longitude': lons}
+    rng = np.random.default_rng(0)
+    land = DimArray(rng.random((nlat, nlon)) > 0.5,
+                    ('latitude', 'longitude'), coords)
+    regions = {f'band{i}': ((-90.0 + 36.0 * i, -54.0 + 36.0 * i),
+                            (0.0, 360.0)) for i in range(5)}
+    agg = aggregation.Aggregator(
+        reduce_dims=['latitude', 'longitude'],
+        bin_by=[binning.Regions(regions, land_sea_mask=land)],
+        weigh_by=[weighting.GridAreaWeighting()])
+
+    def da(seed, extra=()):
+      r = np.random.default_rng(seed)
+      dims = ('lead_time',) + tuple(n for n, _ in extra) + (
+          'latitude', 'longitude')
+      shape = (2,) + tuple(s for _, s in extra) + (nlat, nlon)
+      return DimArray(r.standard_normal(shape).astype(np.float32),
+                      dims, coords)
+
+    # Deterministic-shaped group: 3 stats x 2 vars -> 12 statlikes of
+    # 2 lead rows each. Per-statlike ratio product/max_operand = 2
+    # (VPU); batched rows 24 > 8 against the 10-bin mask (MXU) -> batch.
+    stats = {'se': {'a': da(1), 'b': da(2)},
+             'err': {'a': da(3), 'b': da(4)},
+             'bias': {'a': da(5), 'b': da(6)}}
+    agg.aggregate_statistics(stats)
+    assert calls, 'small-row group must batch under auto'
+    calls.clear()
+
+    # Rank-histogram shaped: a 64-rank non-reduced dim makes the
+    # per-statlike dot ALREADY matmul-routed -> batching only adds the
+    # stack copy -> no batch.
+    big = {'rh': {'a': da(7, extra=(('rank', 64),))}}
+    agg.aggregate_statistics(big)
+    assert not calls, 'matmul-shaped group must NOT batch under auto'
 
   def test_operands_stay_bool(self):
     # prepare_operands must keep bin masks bool (the MXU trigger and the

@@ -26,6 +26,7 @@ TPU-native mapping:
 
 import dataclasses
 import os
+import sys
 from typing import Any, Callable, Collection, Hashable, Iterable, Mapping, Sequence
 
 import jax
@@ -518,10 +519,12 @@ class Aggregator:
     HLO constants) at trace time.
 
     Same-layout (statistic, variable, numerator/denominator) contractions
-    are grouped and lowered as ONE ``darray.dot_batched`` call on TPU: a
-    10-statistic family turns 20 separate (lead, N)x(N, bins) VPU
-    re-scans of the mask stack into a single (20·lead, N)x(N, bins)
-    contraction the MXU mask path can tile. The reference aggregates each
+    are grouped and — when batching upgrades the group's lowering regime
+    (see the gate below) — lowered
+    as ONE ``darray.dot_batched`` call on TPU: a 10-statistic family
+    turns 20 separate (lead, N)x(N, bins) VPU re-scans of the mask stack
+    into a single (20·lead, N)x(N, bins) matmul-shaped contraction
+    (einsum-HIGHEST on the MXU). The reference aggregates each
     ``xr.dot`` separately (``weatherbenchX/aggregation.py:290-328``).
     """
     batch_mode = os.environ.get('WBX_AGG_BATCH', 'auto')
@@ -550,21 +553,52 @@ class Aggregator:
         if ops is None or not reduce_set.issubset(set(stat.dims)):
           continue
         stat0, maskf = self._prepare_masked(stat)
-        entries.append((name, var, stat0, maskf, ops))
+        entries.append((name, var, stat0, maskf, ops, _layout_key(stat)))
 
+    # Group by the statistic's LAYOUT key — the same key
+    # ``prepare_operands`` shares operand objects by, so equal keys imply
+    # equal-valued operands. Grouping by operand id() instead breaks
+    # under jit: the evaluator passes ONE deduped device array through
+    # the step's pytree, but every (statistic, variable) leaf position
+    # unflattens to a distinct tracer, so id-groups degenerate to n=2
+    # (num+den) and the family never batches (measured 5.5 vs 3.2
+    # ms/step on the deterministic family).
     groups: dict = {}
-    for i, (name, var, stat0, maskf, ops) in enumerate(entries):
-      gkey = (stat0.dims, stat0.shape, str(stat0.dtype),
-              tuple(id(o) for o in ops))
+    for i, (name, var, stat0, maskf, ops, lkey) in enumerate(entries):
+      gkey = (stat0.dims, stat0.shape, str(stat0.dtype), lkey)
       groups.setdefault(gkey, []).append(i)
 
     results: dict = {}  # entry index -> (num, den)
     for gkey, idxs in groups.items():
-      _, _, stat0, _, ops = entries[idxs[0]]
+      _, _, stat0, _, ops, _ = entries[idxs[0]]
       dims_for_dot = tuple(d for d in stat0.dims if d in reduce_set)
       statlikes = ([entries[i][2] for i in idxs]
                    + [entries[i][3] for i in idxs])
-      if do_batch and len(statlikes) > 1:
+      # Batch only when stacking CHANGES the contraction's regime: a
+      # group of small-row (VPU-routed) dots becomes one matmul-shaped
+      # (MXU-routed) contraction, replacing n broadcast re-scans of the
+      # bin-mask stack with a single systolic pass that reads every
+      # operand once. When the per-statlike dot is ALREADY matmul-shaped
+      # (REV's threshold rows, the rank histogram's 51 ranks), batching
+      # only adds a materialized stack copy and breaks XLA's fusion of
+      # the statistic producers into the contraction. Round-5 on-chip
+      # A/B (ms/step, batched vs unbatched): deterministic family
+      # (20 lead-row statlikes) 3.2 vs 5.9 — batch; REV 2.09 vs 0.68 and
+      # rank histogram 5.6 vs 3.3 — don't. 'force' batches any group.
+      n_sl = len(statlikes)
+      op_specs = [(o.dims, o.shape) for o in ops]
+      per_regime = darray.dot_regime(
+          [(stat0.dims, stat0.shape)] + op_specs, dims_for_dot)
+      batched_regime = darray.dot_regime(
+          [(('__stack__',) + stat0.dims, (n_sl,) + stat0.shape)]
+          + op_specs, dims_for_dot)
+      worth_it = per_regime == 'vpu' and batched_regime == 'mxu'
+      if os.environ.get('WBX_AGG_BATCH_DEBUG'):
+        print(f'# agg group n_sl={n_sl} stat={stat0.dims}{stat0.shape} '
+              f'ops={[(o.dims, o.shape) for o in ops]} per={per_regime} '
+              f'batched={batched_regime} do_batch={do_batch}',
+              file=sys.stderr, flush=True)
+      if n_sl > 1 and (batch_mode == 'force' or (do_batch and worth_it)):
         outs = darray.dot_batched(statlikes, *ops, dim=dims_for_dot)
       else:
         outs = [darray.dot(s, *ops, dim=dims_for_dot) for s in statlikes]

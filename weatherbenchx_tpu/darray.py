@@ -868,158 +868,31 @@ def _coord_parts_identical(vals: Sequence[Any]) -> bool:
   return True
 
 
-def _mask_dot_mode() -> str:
-  """WBX_MASK_DOT: 'auto' (TPU heuristic), 'off', or 'force' (any backend,
-  any size — used by tests to exercise the lowering on CPU)."""
-  mode = os.environ.get('WBX_MASK_DOT', 'auto')
-  return mode if mode in ('auto', 'off', 'force') else 'auto'
+def dot_regime(specs: Sequence[tuple], dim: Sequence[str] | str) -> str:
+  """Which lowering :func:`dot` takes on TPU for these operand layouts.
 
-
-def _mask_mxu_candidate(arrays, operands, dims, out_dims, sizes):
-  """Detect the bin-mask contraction pattern and decide if the MXU path
-  applies: exactly ONE bool operand carrying output dims of its own (the
-  0/1 bin-mask stack), every other operand on the statistic side.
-
-  Returns ``(mask_i, mask_out, k_shared)`` or None.
+  ``specs`` is a list of ``(dims, shape)`` pairs (one per operand, in
+  :func:`dot` argument order); returns ``'vpu'`` (fused broadcast
+  multiply + tree reduce) or ``'mxu'`` (einsum-HIGHEST). Shape-only so
+  callers — notably ``Aggregator.aggregate_statistics``'s batching gate
+  — can ask about hypothetical layouts (e.g. a stacked statistic group)
+  without materializing them. The rule: the broadcast product must stay
+  within 8x the largest operand, else the product blow-up loses to the
+  matmul form (measured 21 vs 5 ms/step on the 51-rank histogram shape).
   """
-  mode = _mask_dot_mode()
-  if mode == 'off' or len(arrays) < 2:
-    return None
-  dims_set = set(dims)
-  mask_i = None
-  for i, op in enumerate(operands):
-    if op.dtype != jnp.bool_:
-      continue
-    extra = [d for d in arrays[i].dims if d not in dims_set]
-    if extra:
-      if mask_i is not None:
-        return None  # two bool bin-mask stacks: fall back
-      mask_i = i
-  if mask_i is None:
-    return None
-  mask_dims = arrays[mask_i].dims
-  mask_out = tuple(d for d in mask_dims if d not in dims_set)
-  for j, a in enumerate(arrays):
-    if j != mask_i and any(d in mask_out for d in a.dims):
-      return None  # mask out-dims must be exclusive to the mask
-  if any(np.dtype(op.dtype) != np.float32
-         for i, op in enumerate(operands)
-         if i != mask_i and op.dtype != jnp.bool_):
-    return None  # the split-3 representation is f32-grade only
-  k_shared = tuple(d for d in dims if d in mask_dims)
-  if not k_shared:
-    return None
-  rows = 1
-  for d in out_dims:
-    if d not in mask_out:
-      rows *= sizes[d]
-  kk = 1
-  for d in k_shared:
-    kk *= sizes[d]
-  if mode != 'force' and not (
-      jax.default_backend() == 'tpu' and rows >= 8 and kk >= 65536):
-    return None
-  return mask_i, mask_out, k_shared
-
-
-def _mask_mxu_dot(arrays, operands, dims, out_dims, sizes,
-                  mask_i, mask_out, k_shared):
-  """0/1-mask contraction on the MXU via an exact 3-term bf16 split.
-
-  ``out[r.., b..] = Σ_K z[r.., K] · mask[b.., K]`` with z the product of
-  every non-mask operand (statistic × weights × folded validity). The
-  mask's 0/1 values are EXACT in bfloat16, so after splitting
-  ``z = z_hi + z_lo + z_t`` (three bf16 terms carrying ~24 mantissa bits,
-  Dekker-style) every partial product on the MXU is exact and the only
-  rounding is the f32 accumulation — the same error class as the
-  reference's ``np.einsum`` f32 contraction. A 2-term split (~2^-17)
-  measurably breaks the 1e-5 parity envelope on cancellation-heavy
-  signed statistics (Bias over a region); three terms restore f32 grade.
-
-  Why MXU at all: the fused VPU multiply+reduce issues 2·R·B·N element
-  loads (BASELINE.md: the deterministic family runs at ~96% of that load
-  bound), while the matmul form does the same contraction in B/128-padded
-  systolic passes — the batched production aggregation (rows ≥ 8) is
-  bound by reading the operands once, not by B re-scans.
-  """
-  dims_set = set(dims)
-  k_z = tuple(d for d in dims if d not in k_shared)  # mask-broadcast dims
-  rows_dims = tuple(d for d in out_dims if d not in mask_out)
-  z_order = rows_dims + k_z + k_shared
-
-  z = None
-  for j, (a, op) in enumerate(zip(arrays, operands)):
-    if j == mask_i:
-      continue
-    if op.dtype == jnp.bool_:
-      op = op.astype(jnp.float32)  # 0/1: exact in f32, folds exactly
-    present = [d for d in z_order if d in a.dims]
-    t = jnp.transpose(op, [a.dims.index(d) for d in present])
-    for i, d in enumerate(z_order):
-      if d not in a.dims:
-        t = jnp.expand_dims(t, i)
-    z = t if z is None else z * t
-  if k_z:
-    z = z.sum(tuple(z_order.index(d) for d in k_z))
-
-  rows = 1
-  for d in rows_dims:
-    rows *= sizes[d]
-  kk = 1
-  for d in k_shared:
-    kk *= sizes[d]
-  z = jnp.broadcast_to(
-      z, tuple(sizes[d] for d in rows_dims + k_shared)).reshape(rows, kk)
-
-  m = operands[mask_i]
-  mask_dims = arrays[mask_i].dims
-  m = jnp.transpose(
-      m, [mask_dims.index(d) for d in mask_out + k_shared])
-  n_bins = 1
-  for d in mask_out:
-    n_bins *= sizes[d]
-  m = jnp.broadcast_to(
-      m, tuple(sizes[d] for d in mask_out + k_shared)
-  ).reshape(n_bins, kk).astype(jnp.bfloat16)
-
-  zh = z.astype(jnp.bfloat16)
-  r1 = z - zh.astype(jnp.float32)
-  zl = r1.astype(jnp.bfloat16)
-  zt = (r1 - zl.astype(jnp.float32)).astype(jnp.bfloat16)
-
-  # Chunk the contraction so no f32 accumulator sees more than ~128k
-  # sequential adds: the MXU accumulates K-tiles in order (random-walk
-  # error ~√K·2^-24), while the VPU form this path replaces tree-reduces
-  # (~log K). Chunk partials are tree-summed in f32, bounding the error
-  # independent of K. Chunks must divide K exactly (a pad would copy the
-  # whole split operand); production K = 721·1440 has rich divisors.
-  n_chunks = 1
-  if kk > 131072:
-    for c in range(2, 64):
-      if kk % c == 0 and kk // c <= 131072:
-        n_chunks = c
-        break
-
-  def mm(a):
-    if n_chunks == 1:
-      return jax.lax.dot_general(a, m, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    a3 = a.reshape(a.shape[0], n_chunks, kk // n_chunks)
-    m3 = m.reshape(m.shape[0], n_chunks, kk // n_chunks)
-    parts = jax.lax.dot_general(  # (chunk, rows, bins)
-        a3.transpose(1, 0, 2), m3.transpose(1, 2, 0),
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    return parts.sum(0)
-
-  out = mm(zh) + mm(zl) + mm(zt)
-  cur_dims = rows_dims + mask_out
-  out = out.reshape(tuple(sizes[d] for d in cur_dims))
-  perm = [cur_dims.index(d) for d in out_dims]
-  if perm != list(range(len(perm))):
-    out = jnp.transpose(out, perm)
-  coords = _merge_coords(out_dims, *[a.coords for a in arrays])
-  return DimArray(out, out_dims, coords)
+  dims = (dim,) if isinstance(dim, str) else tuple(dim)
+  del dims  # routing depends only on the broadcast product vs operands
+  all_dims = broadcast_dims(*[d for d, _ in specs])
+  sizes: dict = {}
+  for dd, ss in specs:
+    for d, n in zip(dd, ss):
+      if sizes.get(d, 1) == 1:
+        sizes[d] = n
+  product_elems = 1
+  for d in all_dims:
+    product_elems *= sizes[d]
+  max_operand = max(int(np.prod(s)) if s else 1 for _, s in specs)
+  return 'vpu' if product_elems <= 8 * max_operand else 'mxu'
 
 
 def dot(*arrays: DimArray, dim: Sequence[str] | str) -> DimArray:
@@ -1053,27 +926,25 @@ def dot(*arrays: DimArray, dim: Sequence[str] | str) -> DimArray:
     # floats. (Mixed operands promote to float on multiply.)
     operands = [op.astype(jnp.float32) for op in operands]
 
-  sizes: dict = {}
-  for a in arrays:
-    for d, n in a.sizes.items():
-      if sizes.get(d, 1) == 1:
-        sizes[d] = n
-  product_elems = 1
-  for d in all_dims:
-    product_elems *= sizes[d]
-  max_operand = max(int(np.prod(op.shape)) if op.shape else 1
-                    for op in operands)
   # The broadcast multiply + reduce only wins while the (fused) product
   # stays near the operands' size — one extra "bin" dim (34 regions over a
   # lead×lat×lon statistic, ratio ~4) fuses into a single VPU pass, but
   # genuinely matmul-shaped contractions with several large output dims
   # (rank histogram: 51 ranks × 34 regions, ratio ~200) blow the product
   # up 51× and measured 4× slower than the MXU (21 vs 5 ms/step).
-  vpu_friendly = product_elems <= 8 * max_operand
-
-  mxu = _mask_mxu_candidate(arrays, operands, dims, out_dims, sizes)
-  if mxu is not None:
-    return _mask_mxu_dot(arrays, operands, dims, out_dims, sizes, *mxu)
+  vpu_friendly = dot_regime(
+      [(a.dims, a.shape) for a in arrays], dims) == 'vpu'
+  # History (round 5): a manual 3-term bf16 Dekker-split MXU lowering for
+  # single-bool-mask contractions (round 4's darray._mask_mxu_dot) was
+  # REMOVED after on-chip measurement (tools/bench_mask_dot_forms.py):
+  # it materialized the broadcast product + three bf16 splits in HBM
+  # (rank_histogram 4.6 -> 25 ms/step in BENCH_r04), and XLA reassociates
+  # dot(zh,m)+dot(zl,m)+dot(zt,m) into dot(zh+zl+zt,m) on TPU, collapsing
+  # the split back to bf16 grade (measured 6e-3 max rel error vs the
+  # 1e-5 parity envelope). einsum-HIGHEST (== the BF16_BF16_F32_X6 dot
+  # algorithm) keeps the 6-pass decomposition INSIDE the fused MXU
+  # pipeline: measured 1.3e-5 max rel err and 1.35 ms at the 204-row
+  # production shape vs the manual split's 6e-3 / 4.1 ms.
 
   if jax.default_backend() != 'tpu' or not vpu_friendly:
     # CPU/GPU: einsum reproduces the reference's np.einsum summation order
