@@ -535,3 +535,38 @@ class TestFusedEnsemblePass:
     assert skill.has_coord('mask')
     np.testing.assert_array_equal(
         np.asarray(skill.coords['mask'].values), mask)
+
+  def test_memo_pins_inputs_against_id_reuse(self, monkeypatch):
+    """The id()-keyed memo must hold references to the keyed arrays.
+
+    In eager passes, wrapper transforms build fresh same-shape arrays per
+    statistic; once freed, CPython reuses the id and a later statistic
+    with DIFFERENT data would silently get the previous statistic's
+    fused results (ADVICE r4, high). Pinning the inputs in the entry
+    makes id collision impossible while the entry lives.
+    """
+    monkeypatch.setenv('WBX_PALLAS_INTERPRET', '1')
+    preds, tgts, x, _, _ = self._inputs(nan=False)
+    with mbase.computation_cache():
+      cache = mbase.get_computation_cache()
+      out = probabilistic._fused_ensemble_pass(
+          preds['t2m'], tgts['t2m'], 'number')
+      assert out is not None
+      entry = next(v for v in cache.values()
+                   if isinstance(v, dict) and 'spread_sum' in v)
+      assert entry['_pin'][0] is preds['t2m'].data
+      assert entry['_pin'][1] is tgts['t2m'].data
+      # Functional check: drop the caller's reference, build a fresh
+      # same-shape array (the id-reuse scenario), and verify the pass
+      # does NOT return the stale entry for the new data.
+      skill_a = np.asarray(out['skill_sum'].values).copy()
+      dims, coords = preds['t2m'].dims, dict(preds['t2m'].coords)
+      del preds, out, entry
+      x2 = np.ascontiguousarray(x + 100.0)
+      preds2 = DimArray(x2, dims,
+                        {k: c for k, c in coords.items()})
+      out2 = probabilistic._fused_ensemble_pass(
+          preds2, tgts['t2m'], 'number')
+      assert out2 is not None
+      skill_b = np.asarray(out2['skill_sum'].values)
+      assert not np.allclose(skill_a, skill_b)

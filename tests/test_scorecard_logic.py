@@ -162,6 +162,15 @@ class TestPageSelfTest:
     assert m, 'SELFTEST payload missing from page'
     fixtures = json.loads(m.group(1))
     assert len(fixtures) >= 15
+    md = re.search(r'const DATA = (\{.*?\});\n', page, re.S)
+    data_values = json.loads(md.group(1))['values']
+    # The full values mapping must appear ONCE (in DATA), never inlined
+    # into fixture args (ADVICE r4: 9 copies ~10x'd page size).
+    resolve = lambda a: (data_values
+                         if a == scorecard_logic.VALUES_SENTINEL else a)
+    for f in fixtures:
+      f['args'] = [resolve(a) for a in f['args']]
+    assert page.count(json.dumps(data_values)[:200]) == 1
     covered = {f['fn'] for f in fixtures}
     assert covered == {'lookupEntry', 'applyRelative', 'maskLeadZero',
                        'seepsGuard', 'categoryFor', 'defaultHidden'}

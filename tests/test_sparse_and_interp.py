@@ -632,6 +632,27 @@ class TestParquetFileCache:
             np.asarray(plain[var].coords[cname].values),
             np.asarray(cached[var].coords[cname].values), err_msg=cname)
 
+  def test_non_rowwise_preprocess_rejected(self):
+    """Cached preprocessing must be row-wise (ADVICE r4): time edits,
+    sorting, and row additions are detected; row-wise value edits and
+    drops pass."""
+    t = np.array(['2020-01-01T00', '2020-01-01T02', '2020-01-01T01',
+                  '2020-01-01T02'], dtype='datetime64[ns]')
+    check = sparse_parquet._check_rowwise_preprocess
+    check(t, t)                      # identity
+    check(t, t[[0, 2, 3]])           # row drops keep order
+    with pytest.raises(ValueError, match='row-wise'):
+      check(t, np.sort(t))           # sorting reorders
+    with pytest.raises(ValueError, match='row-wise'):
+      check(t, t + np.timedelta64(1, 'h'))  # time edit
+    with pytest.raises(ValueError, match='row-wise'):
+      check(t, np.concatenate([t, t[:1]]))  # addition
+    # Large-file fallback: multiset check catches edits/additions.
+    big = np.repeat(t, 3)
+    check(big, big[::2], exact_limit=4)
+    with pytest.raises(ValueError, match='row-wise'):
+      check(big, big[::2] + np.timedelta64(1, 'h'), exact_limit=4)
+
   def test_decodes_once_per_file(self, tmp_path, monkeypatch):
     path, _ = _write_parquet_fixture(tmp_path)
     import pandas as pd

@@ -136,6 +136,11 @@ LOGIC_JS = pyjs.transpile(LOGIC_FUNCTIONS,
                           consts={'SL_PROB_METRICS': SL_PROB_METRICS})
 
 
+# Fixture-arg placeholder for the page's full DATA.values mapping; the
+# self-test runner substitutes the live object at run time.
+VALUES_SENTINEL = '__DATA_VALUES__'
+
+
 def golden_fixtures(data: dict) -> list:
   """Interaction fixtures over real page DATA, evaluated with the Python
   source of truth. The page runs each case against the generated JS on
@@ -169,8 +174,12 @@ def golden_fixtures(data: dict) -> list:
           year_res = next(iter(by_yr))
           got = lookup_entry(values, variable, metric, level, region,
                              year_res)
-          add('lookupEntry', [values, variable, metric, level, region,
-                              year_res], got,
+          # Sentinel instead of inlining the full values mapping: the JS
+          # runner (and the Python mirror test) resolve it to DATA.values
+          # at run time — 9 inlined copies multiplied page size ~10x for
+          # large scorecards (ADVICE r4).
+          add('lookupEntry', [VALUES_SENTINEL, variable, metric, level,
+                              region, year_res], got,
               f'lookup {variable}/{metric}/{level}/{region}/{year_res}')
           n_lookups += 1
           if n_lookups >= 8:
@@ -181,8 +190,8 @@ def golden_fixtures(data: dict) -> list:
         break
     if n_lookups >= 8:
       break
-  add('lookupEntry', [values, '__no_such_variable__', metrics[0], 'all',
-                      'all', 'all'], None, 'lookup miss')
+  add('lookupEntry', [VALUES_SENTINEL, '__no_such_variable__', metrics[0],
+                      'all', 'all', 'all'], None, 'lookup miss')
 
   # Relative mode on the first populated entry, plain + ACC path.
   def first_rows():
@@ -244,7 +253,9 @@ function sl_runSelfTests(fixtures) {
   const failures = [];
   for (const f of fixtures) {
     let got;
-    try { got = window['sl_' + f.fn](...f.args); }
+    const args = f.args.map(
+        (a) => a === '__DATA_VALUES__' ? DATA.values : a);
+    try { got = window['sl_' + f.fn](...args); }
     catch (e) { failures.push(`${f.name}: threw ${e}`); continue; }
     if (!sl_deepNear(got, f.expected))
       failures.push(`${f.name}: got ${JSON.stringify(got)} != ` +

@@ -205,6 +205,56 @@ class _ColumnTable:
     return _ColumnTable(out)
 
 
+def _check_rowwise_preprocess(times_before, times_after,
+                              exact_limit: int = 500_000):
+  """Validates that a preprocessing_fn behaved row-wise w.r.t. time.
+
+  With ``cache_files`` enabled the fn runs once per FILE (before
+  windowing) instead of once per extracted window; the two application
+  orders agree exactly when the fn only drops/edits rows independently
+  and never rewrites the time column or reorders rows. This checks the
+  fn's output time column is a subsequence of the input's — catching the
+  failure modes that silently change window membership (time edits,
+  row additions, sorting). Files beyond ``exact_limit`` rows fall back
+  to a vectorized multiset-subset check (catches edits/additions, not
+  pure reorderings) to keep validation negligible next to the decode.
+  """
+  before = np.asarray(times_before)
+  after = np.asarray(times_after)
+  msg = ('preprocessing_fn edited, reordered, or added time-column rows; '
+         'with cache_files it must be row-wise: surviving rows keep '
+         'their original times and order '
+         '(see SparseObservationsFromParquet docstring)')
+  if len(after) > len(before):
+    raise ValueError(msg)
+  if len(after) == len(before):  # common case: value edits, no drops
+    if not np.array_equal(after, before):
+      raise ValueError(msg)
+    return
+  if len(before) > exact_limit:
+    ub, cb = np.unique(before, return_counts=True)
+    ua, ca = np.unique(after, return_counts=True)
+    pos = np.searchsorted(ub, ua)
+    if (pos >= len(ub)).any() or (ub[np.minimum(pos, len(ub) - 1)]
+                                  != ua).any() or (ca > cb[pos]).any():
+      raise ValueError(msg)
+    return
+  bi = 0
+  n = len(before)
+  # Compare raw int64 views: datetime64.tolist() yields python ints,
+  # which never compare equal to datetime64 scalars.
+  b_list = before.view('i8').tolist() if before.dtype.kind in 'mM' \
+      else before.tolist()
+  a_list = after.view('i8').tolist() if after.dtype.kind in 'mM' \
+      else after.tolist()
+  for t in a_list:  # exact two-pointer subsequence check
+    while bi < n and b_list[bi] != t:
+      bi += 1
+    if bi == n:
+      raise ValueError(msg)
+    bi += 1
+
+
 class _FileFrameCache:
   """Thread-safe LRU of fully-decoded, time-indexed partition files.
 
@@ -248,7 +298,9 @@ class _FileFrameCache:
         return self._frames[fn]
     frame = pd.read_parquet(fn)
     if self.preprocess is not None and len(frame):
+      before = frame[self.time_column].to_numpy(copy=True)
       frame = self.preprocess(frame)
+      _check_rowwise_preprocess(before, frame[self.time_column].to_numpy())
     table = _ColumnTable.from_frame(frame)
     if len(table):
       times = np.asarray(table.cols[self.time_column],
@@ -333,6 +385,16 @@ class SparseObservationsFromParquet(base.DataLoader):
   match, +/- tolerance, or a lead interval), optionally keep only the
   closest observation per station, and stack everything into flat
   ``index``-dim arrays.
+
+  ``preprocessing_fn`` contract: the fn must be ROW-WISE — it may edit
+  values or drop rows, where each row's fate depends only on that row,
+  and surviving rows must keep their original times and relative order.
+  Without ``cache_files`` it runs per extracted window; with
+  ``cache_files`` it runs once per partition file before windowing, and
+  the two orders only agree for row-wise fns (window-relative filtering,
+  time-column edits, or sorting would silently change results between
+  cached and uncached runs). The cached path validates this by checking
+  the fn's output time column is a subsequence of its input's.
   """
 
   def __init__(

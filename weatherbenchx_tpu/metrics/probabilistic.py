@@ -201,6 +201,7 @@ def _fused_ensemble_pass(predictions, targets, ensemble_dim):
   hit = cache.get(key)
   if hit is not None:
     return hit
+  pin = (predictions.data, targets.data)  # see below
   order = [ensemble_dim] + rest
   x = jnp.asarray(predictions.transpose(*order).data)
   y = jnp.asarray(targets.transpose(*rest).data)
@@ -217,6 +218,12 @@ def _fused_ensemble_pass(predictions, targets, ensemble_dim):
       'skill_sum': DimArray(skill, out_dims, both_coords),
       'mean': DimArray(mean, out_dims, p_coords),
       'sq_dev_sum': DimArray(sqdev, out_dims, p_coords),
+      # Pin the keyed inputs: the key is id()-based, and in EAGER passes
+      # wrapper transforms build fresh same-shape arrays per statistic —
+      # once freed, CPython reuses the id and a later statistic with
+      # different data would get a false hit. Holding a reference keeps
+      # the ids live for the lifetime of the entry.
+      '_pin': pin,
   }
   cache[key] = out
   return out
