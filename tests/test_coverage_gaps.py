@@ -278,3 +278,81 @@ class TestRemainingPublics:
     np.testing.assert_array_equal(np.asarray(filled.values), [1.0, 0.0, 3.0])
     np.testing.assert_array_equal(
         np.asarray(da.notnull().values), [True, False, True])
+
+
+class TestComparisonSafeThresholds:
+  """Float64 thresholds vs f32 data: directional rounding preserves the
+  reference's float64 comparison semantics exactly.
+
+  Round-5 TPU parity fuzz find (wrappers seed 49): an f32-lattice member
+  value tied the round-to-nearest f32 image of a float64 RPS bin
+  threshold, flipping a CDF indicator by 1/M at one gridpoint relative to
+  the reference's float64 compare (``weatherbenchX/metrics/wrappers.py:
+  333-374``). The fix rounds each constant to the largest f32 <= t (for
+  ``<=``/``>``) or the smallest f32 >= t (for ``<``/``>=``), after which
+  comparing at ANY precision gives the float64 answer.
+  """
+
+  def _tie_case(self):
+    # x is an exact f32 value; t64 lies strictly ABOVE x in float64 but
+    # rounds DOWN to exactly x in f32 (round-to-nearest).
+    x = np.float32(0.3360923)
+    up = np.nextafter(x, np.float32(np.inf))
+    t64 = float(x) + 0.25 * (float(up) - float(x))
+    assert float(x) < t64 and np.float32(t64) == x
+    return x, t64
+
+  def test_directional_rounding_matches_f64_all_ops(self):
+    from weatherbenchx_tpu import darray as dr
+    x, t64 = self._tie_case()
+    thr = DimArray(np.array([t64]), ('t',), {'t': np.array([t64])})
+    for op, fn in (('<=', lambda a, b: a <= b), ('<', lambda a, b: a < b),
+                   ('>', lambda a, b: a > b), ('>=', lambda a, b: a >= b)):
+      adj = dr.comparison_safe_threshold(thr, np.float32, op)
+      got_f32 = bool(fn(x, np.asarray(adj.values, np.float32)[0]))
+      want_f64 = bool(fn(float(x), t64))
+      assert got_f32 == want_f64, (op, float(x), t64)
+    # No-op cases: float64 data, exactly-representable thresholds,
+    # device-resident thresholds.
+    adj = dr.comparison_safe_threshold(thr, np.float64, '<=')
+    assert np.asarray(adj.values)[0] == t64
+    exact = DimArray(np.array([0.5]), ('t',), {'t': np.array([0.5])})
+    adj = dr.comparison_safe_threshold(exact, np.float32, '<=')
+    assert np.asarray(adj.values)[0] == np.float32(0.5)
+
+  def test_binarize_and_cdf_match_reference_f64_semantics(self):
+    from weatherbenchx_tpu.metrics import wrappers
+    x, t64 = self._tie_case()
+    da = DimArray(np.array([x, np.float32(0.1)], np.float32), ('p',),
+                  {'p': np.arange(2)})
+    # Reference computes x > t in float64: x < t64 -> False.
+    got = wrappers.binarize_thresholds(da, [t64], 'thr')
+    np.testing.assert_array_equal(
+        np.asarray(got.values), [[0.0], [0.0]])
+    # CDF right-inclusive: x <= t64 in float64 -> True.
+    got = wrappers.compute_cdf([t64], da, 'thr',
+                               enforce_monotonicity=False)
+    np.testing.assert_array_equal(
+        np.asarray(got.values), [[1.0], [1.0]])
+    # CDF left-exclusive with a threshold strictly BELOW x that rounds UP
+    # to x: x < t64b in float64 -> False.
+    down = np.nextafter(x, np.float32(-np.inf))
+    t64b = float(x) - 0.25 * (float(x) - float(down))
+    assert np.float32(t64b) == x and t64b < float(x)
+    got = wrappers.compute_cdf([t64b], da, 'thr',
+                               enforce_monotonicity=False,
+                               right_inclusive=False)
+    np.testing.assert_array_equal(
+        np.asarray(got.values), [[0.0], [1.0]])
+
+  def test_error_exceedance_tie(self):
+    from weatherbenchx_tpu.metrics import deterministic
+    x, t64 = self._tie_case()
+    preds = {'v': DimArray(np.array([x], np.float32), ('p',),
+                           {'p': np.arange(1)})}
+    targs = {'v': DimArray(np.zeros(1, np.float32), ('p',),
+                           {'p': np.arange(1)})}
+    stat = deterministic.ErrorExceedance(thresholds=[t64])
+    out = stat.compute(preds, targs)['v']
+    # |error| = x < t64 in float64 -> not exceeded.
+    np.testing.assert_array_equal(np.asarray(out.values).ravel(), [0.0])

@@ -770,6 +770,57 @@ def where(cond: DimArray, x, y) -> DimArray:
   return xd.where(cond, y)
 
 
+def comparison_safe_threshold(thresholds: DimArray, data_dtype,
+                              op: str) -> DimArray:
+  """Pre-rounds float64 comparison constants for sub-f64 data dtypes.
+
+  Under jit with x64 disabled, a float64 threshold constant is silently
+  stored at float32, so a data value on the f32 lattice can TIE the
+  round-to-nearest image of the threshold even though in float64 it lies
+  strictly on one side — flipping indicator statistics (CDF / binarize /
+  exceedance) relative to the reference, which compares in float64
+  (``weatherbenchX/metrics/wrappers.py:333-374``; caught by the round-5
+  100-seed TPU parity fuzz: one exact f32 tie flipped an RPS bin count by
+  1/M at one gridpoint, 7e-4 on the aggregate).
+
+  For data x exactly representable in ``data_dtype`` and a float64
+  threshold t, the float64 comparison is preserved EXACTLY by rounding t
+  directionally in ``data_dtype``:
+
+  * ops ``<=`` and ``>``: the largest ``data_dtype`` value <= t;
+  * ops ``<`` and ``>=``: the smallest ``data_dtype`` value >= t;
+
+  after which the comparison may run at ANY precision (f32 on device, f64
+  on host) with an identical result — a host-side constant adjustment with
+  zero device cost. No-op when the data dtype is float64/non-float or the
+  thresholds are device-resident (data-dependent thresholds are computed
+  at data precision on both sides, so ties there are shared, not skewed).
+  """
+  try:
+    dt = np.dtype(data_dtype)
+  except TypeError:
+    return thresholds
+  tvals = thresholds.data
+  if not (_is_host_value(tvals)
+          and np.issubdtype(dt, np.floating) and np.finfo(dt).bits < 64
+          and np.issubdtype(np.asarray(tvals).dtype, np.floating)):
+    return thresholds
+  t64 = np.asarray(tvals, np.float64)
+  t_near = t64.astype(dt)
+  with np.errstate(invalid='ignore', over='ignore'):
+    if op in ('<=', '>'):
+      overshoot = t_near.astype(np.float64) > t64
+      rounded = np.where(overshoot,
+                         np.nextafter(t_near, dt.type(-np.inf)), t_near)
+    elif op in ('<', '>='):
+      undershoot = t_near.astype(np.float64) < t64
+      rounded = np.where(undershoot,
+                         np.nextafter(t_near, dt.type(np.inf)), t_near)
+    else:
+      raise ValueError(f'unsupported comparison op {op!r}')
+  return thresholds.copy(data=rounded.astype(dt))
+
+
 def maximum(a: DimArray, b) -> DimArray:
   return a._binary_op(b, jnp.maximum)
 

@@ -162,7 +162,11 @@ class ErrorExceedance(base.PerVariableStatistic):
 
   def __init__(self, thresholds: Sequence[float] | DimArray):
     if not isinstance(thresholds, DimArray):
-      t = np.asarray(thresholds, dtype=np.float32)
+      # Stored at float64 so the comparison constants can be rounded
+      # DIRECTIONALLY to the data dtype at compute time (round-to-nearest
+      # f32 can tie an f32-lattice |error| that float64 puts strictly on
+      # one side — see darray.comparison_safe_threshold).
+      t = np.asarray(thresholds, dtype=np.float64)
       thresholds = DimArray(
           t, ('error_exceedance_thresholds',),
           {'error_exceedance_thresholds': t})
@@ -171,7 +175,9 @@ class ErrorExceedance(base.PerVariableStatistic):
   def _compute_per_variable(self, predictions, targets):
     abs_error = abs(predictions - targets)
     thresholds = self._thresholds
-    out = (abs_error > thresholds).astype(predictions.dtype)
+    thresholds_cmp = darray.comparison_safe_threshold(
+        thresholds, abs_error.dtype, '>')
+    out = (abs_error > thresholds_cmp).astype(predictions.dtype)
     out = out.where(~abs_error.isnull())
     out = out.where(~thresholds.isnull())
     return out

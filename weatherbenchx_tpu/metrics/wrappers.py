@@ -51,7 +51,8 @@ def binarize_thresholds(
   Reference ``wrappers.py:50-88``.
   """
   threshold = _thresholds_for(thresholds, threshold_dim, name)
-  return (x > threshold).where(~x.isnull()).astype(np.float32)
+  threshold_cmp = darray.comparison_safe_threshold(threshold, x.dtype, '>')
+  return (x > threshold_cmp).where(~x.isnull()).astype(np.float32)
 
 
 class InputTransform(abc.ABC):
@@ -246,10 +247,12 @@ def compute_cdf(
       raise ValueError(
           'Bin values must be monotonically increasing. To turn off this'
           ' check, set `enforce_monotonicity=False`.')
+  op = '<=' if right_inclusive else '<'
+  thresholds_cmp = darray.comparison_safe_threshold(thresholds, da.dtype, op)
   if right_inclusive:
-    cdf = (da <= thresholds).astype(np.float32)
+    cdf = (da <= thresholds_cmp).astype(np.float32)
   else:
-    cdf = (da < thresholds).astype(np.float32)
+    cdf = (da < thresholds_cmp).astype(np.float32)
   cdf = cdf.where(~da.isnull()).where(~thresholds.isnull())
   return cdf
 
