@@ -520,3 +520,176 @@ class TestZarrV3Read:
       json.dump(meta, f)
     with pytest.raises(ValueError, match='nested'):
       zarr_io.open_dataset_zarr(root)
+
+
+# ---------------------------------------------------------------------------
+# zarr v3 sharded (sharding_indexed) WRITE support
+# ---------------------------------------------------------------------------
+
+
+class TestZarrV3ShardedWrite:
+  """Writer side of the sharding_indexed codec (VERDICT r4 item 7): shard
+  objects pack inner chunks + an end-located uint64 (offset, nbytes) index
+  with crc32c — the layout zarr-python 3 defaults to for many-small-chunk
+  stores (consumer surface of reference ``beam_pipeline.py:678-681``)."""
+
+  @pytest.mark.parametrize('compressor', [None, 'blosc', 'zstd', 'gzip'])
+  def test_roundtrip(self, tmp_path, compressor):
+    ds = _dataset()
+    path = str(tmp_path / 'sharded.zarr')
+    # time: 2 ragged-edged shards of 2 chunks; lat/lon: shard == whole dim.
+    zarr_io.save_dataset_zarr(path, ds, chunks={'valid_time': 3},
+                              compressor=compressor, zarr_format=3,
+                              shards={'valid_time': 6})
+    back = zarr_io.open_dataset_zarr(path)
+    assert set(back) == set(ds)
+    for k, da in ds.items():
+      got = back[k]
+      assert got.dims == da.dims
+      np.testing.assert_array_equal(np.asarray(got.data), da.values)
+      for cname, c in da.coords.items():
+        np.testing.assert_array_equal(
+            np.asarray(got.coords[cname].values), np.asarray(c.values))
+    # Windowed read crossing the shard boundary.
+    win = np.asarray(back['t2m'].isel({'valid_time': slice(4, 9)}).values)
+    np.testing.assert_array_equal(win, ds['t2m'].values[4:9])
+
+  def test_layout_and_index(self, tmp_path):
+    """On-disk bytes follow the spec: shard-grid chunk keys, payload +
+    little-endian index + crc32c at the end, missing sentinel for
+    out-of-bounds cells of the ragged edge shard."""
+    from weatherbenchx_tpu import codecs as wbx_codecs
+
+    ds = _dataset()  # time=10 → chunks of 3 → 4 cells; shards of 6 → 2
+    path = str(tmp_path / 'sharded.zarr')
+    zarr_io.save_dataset_zarr(path, ds, chunks={'valid_time': 3},
+                              zarr_format=3, shards={'valid_time': 6})
+    meta = json.loads(open(os.path.join(path, 't2m', 'zarr.json')).read())
+    assert meta['chunk_grid'] == {
+        'name': 'regular', 'configuration': {'chunk_shape': [6, 7, 8]}}
+    (codec,) = meta['codecs']
+    assert codec['name'] == 'sharding_indexed'
+    cfg = codec['configuration']
+    assert cfg['chunk_shape'] == [3, 7, 8]
+    assert cfg['index_location'] == 'end'
+    assert [c['name'] for c in cfg['index_codecs']] == ['bytes', 'crc32c']
+    assert [c['name'] for c in cfg['codecs']] == ['bytes']
+    # Shard-grid keys on disk (2 shards along time), no inner-cell files.
+    assert os.path.exists(os.path.join(path, 't2m', 'c', '0', '0', '0'))
+    assert os.path.exists(os.path.join(path, 't2m', 'c', '1', '0', '0'))
+    assert not os.path.exists(os.path.join(path, 't2m', 'c', '2', '0', '0'))
+    # Edge shard: cells 0-1 cover times 6..10 (cell 1 ragged, padded);
+    # index entries are (offset, nbytes) uint64-le + crc32c over the index.
+    raw = open(os.path.join(path, 't2m', 'c', '1', '0', '0'), 'rb').read()
+    index_nbytes = 16 * 2 + 4
+    body, crc = raw[-index_nbytes:-4], raw[-4:]
+    assert int.from_bytes(crc, 'little') == wbx_codecs.crc32c(body)
+    index = np.frombuffer(body, '<u8').reshape(-1, 2)
+    cell_nbytes = 3 * 7 * 8 * 4  # raw (uncompressed) inner cells
+    np.testing.assert_array_equal(index,
+                                  [[0, cell_nbytes],
+                                   [cell_nbytes, cell_nbytes]])
+    assert len(raw) == 2 * cell_nbytes + index_nbytes
+
+  def test_shard_rounds_up_to_chunk_multiple(self, tmp_path):
+    ds = {'v': DimArray(np.arange(20, dtype=np.float32), ('x',))}
+    path = str(tmp_path / 'round.zarr')
+    zarr_io.save_dataset_zarr(path, ds, chunks={'x': 4}, zarr_format=3,
+                              shards={'x': 5})  # → 8 (2 chunks/shard)
+    meta = json.loads(open(os.path.join(path, 'v', 'zarr.json')).read())
+    assert meta['chunk_grid']['configuration']['chunk_shape'] == [8]
+    back = zarr_io.open_dataset_zarr(path)
+    np.testing.assert_array_equal(np.asarray(back['v'].data),
+                                  ds['v'].values)
+
+  def test_shard_equal_to_chunk_degenerates_to_plain_store(self, tmp_path):
+    ds = {'v': DimArray(np.arange(8, dtype=np.float32), ('x',))}
+    path = str(tmp_path / 'degen.zarr')
+    zarr_io.save_dataset_zarr(path, ds, chunks={'x': 4}, zarr_format=3,
+                              shards={'x': 4})
+    meta = json.loads(open(os.path.join(path, 'v', 'zarr.json')).read())
+    assert [c['name'] for c in meta['codecs']] == ['bytes']
+
+  def test_shards_require_v3(self, tmp_path):
+    ds = {'v': DimArray(np.arange(8, dtype=np.float32), ('x',))}
+    with pytest.raises(ValueError, match='zarr_format=3'):
+      zarr_io.save_dataset_zarr(str(tmp_path / 's'), ds,
+                                chunks={'x': 4}, shards={'x': 8})
+    with pytest.raises(ValueError, match='zarr_format=3'):
+      zarr_io.ZarrArrayWriter(str(tmp_path), 'v', (8,), (4,), np.float32,
+                              ('x',), zarr_format=2, shards=(8,))
+
+  def test_partial_write_close_fills_missing_cells(self, tmp_path):
+    """Streaming writers (skip-failed / ragged coverage) flush partial
+    shards at close(): absent cells carry the missing sentinel and read
+    back as fill."""
+    with open(os.path.join(str(tmp_path), 'zarr.json'), 'w') as f:
+      json.dump({'zarr_format': 3, 'node_type': 'group',
+                 'attributes': {}}, f)
+    w = zarr_io.ZarrArrayWriter(str(tmp_path), 'v', (12, 4), (3, 4),
+                                np.float32, ('t', 'x'), zarr_format=3,
+                                shards=(6, 4))
+    vals = np.arange(48, dtype=np.float32).reshape(12, 4)
+    w.write_block((0, 0), vals[0:3])   # shard 0 incomplete (cell (1,0) absent)
+    w.write_block((2, 0), vals[6:9])   # shard 1 complete after next write
+    w.write_block((3, 0), vals[9:12])
+    # Complete shard was written eagerly, before close.
+    assert os.path.exists(os.path.join(str(tmp_path), 'v', 'c', '1', '0'))
+    assert not os.path.exists(os.path.join(str(tmp_path), 'v', 'c', '0', '0'))
+    w.close()
+    back = zarr_io.open_dataset_zarr(str(tmp_path))
+    got = np.asarray(back['v'].data)
+    np.testing.assert_array_equal(got[0:3], vals[0:3])
+    assert np.isnan(got[3:6]).all()
+    np.testing.assert_array_equal(got[6:12], vals[6:12])
+
+  def test_tensorstore_reads_our_sharded_store(self, tmp_path):
+    """Independent-implementation check: Google tensorstore's zarr3
+    driver (not derived from this codebase) decodes our sharded bytes."""
+    ts = pytest.importorskip('tensorstore')
+    ds = _dataset()
+    path = str(tmp_path / 'sharded.zarr')
+    zarr_io.save_dataset_zarr(path, ds, chunks={'valid_time': 3},
+                              compressor='zstd', zarr_format=3,
+                              shards={'valid_time': 6})
+    arr = ts.open({'driver': 'zarr3', 'kvstore': {
+        'driver': 'file', 'path': os.path.join(path, 't2m')}}).result()
+    np.testing.assert_array_equal(arr.read().result(), ds['t2m'].values)
+
+  def test_our_reader_reads_tensorstore_sharded_store(self, tmp_path):
+    ts = pytest.importorskip('tensorstore')
+    rng = np.random.default_rng(3)
+    vals = rng.standard_normal((10, 7)).astype(np.float32)
+    path = str(tmp_path / 'ts.zarr' / 'v')
+    arr = ts.open({
+        'driver': 'zarr3',
+        'kvstore': {'driver': 'file', 'path': path},
+        'metadata': {
+            'shape': [10, 7],
+            'chunk_grid': {'name': 'regular',
+                           'configuration': {'chunk_shape': [6, 4]}},
+            'codecs': [{'name': 'sharding_indexed', 'configuration': {
+                'chunk_shape': [3, 2],
+                'codecs': [{'name': 'bytes',
+                            'configuration': {'endian': 'little'}},
+                           {'name': 'zstd',
+                            'configuration': {'level': 3}}],
+                'index_codecs': [
+                    {'name': 'bytes',
+                     'configuration': {'endian': 'little'}},
+                    {'name': 'crc32c'}],
+                'index_location': 'end'}}],
+            'data_type': 'float32',
+            'fill_value': 'NaN',
+            'dimension_names': ['t', 'x'],
+        },
+        'create': True,
+    }).result()
+    arr.write(vals).result()
+    # group-level zarr.json so open_dataset_zarr recognizes a v3 store
+    with open(os.path.join(str(tmp_path / 'ts.zarr'), 'zarr.json'),
+              'w') as f:
+      json.dump({'zarr_format': 3, 'node_type': 'group',
+                 'attributes': {}}, f)
+    back = zarr_io.open_dataset_zarr(str(tmp_path / 'ts.zarr'))
+    np.testing.assert_array_equal(np.asarray(back['v'].data), vals)

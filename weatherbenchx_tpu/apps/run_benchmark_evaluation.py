@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument('--zarr_compressor', default=None,
                  choices=['zlib', 'zstd', 'blosc'],
                  help='Compression for --unaggregated_zarr cells')
+  p.add_argument('--zarr_shards', default=None,
+                 help='v3 sharding_indexed shard sizes per dim for '
+                      '--unaggregated_zarr output, e.g. '
+                      '"init_time=64,lead_time=16" (elements; rounded up '
+                      'to a chunk multiple). Requires --zarr_format=3')
   p.add_argument('--unaggregated_zarr', action='store_true',
                  help='Also stream raw per-point statistics into a '
                       '<output>_stats.zarr store (reference unaggregated '
@@ -311,9 +316,15 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     # in one Beam graph, ``beam_pipeline.py:449-540,610-681``) — the
     # dataset is read and transferred once.
     from weatherbenchx_tpu.parallel import unaggregated
+    zarr_shards = None
+    if args.zarr_shards:
+      zarr_shards = {k: int(v) for k, v in
+                     (kv.split('=', 1)
+                      for kv in args.zarr_shards.split(','))}
     stats_store = unaggregated.ZarrStatsStore(
         times, os.path.join(args.output_dir, filename + '_stats.zarr'),
-        compressor=args.zarr_compressor, zarr_format=args.zarr_format)
+        compressor=args.zarr_compressor, zarr_format=args.zarr_format,
+        zarr_shards=zarr_shards)
 
   values = pipeline_lib.evaluate(
       all_metrics, aggregation_method, prediction_loader, target_loader,

@@ -50,7 +50,8 @@ class ZarrStatsStore:
                compressor: Optional[str] = None,
                distributed: bool = False,
                zarr_chunks: Optional[Mapping[str, int]] = None,
-               zarr_format: int = 2) -> None:
+               zarr_format: int = 2,
+               zarr_shards: Optional[Mapping[str, int]] = None) -> None:
     if isinstance(times.lead_times, slice):
       raise ValueError(
           'Zarr unaggregated output needs exact lead_times: a lead '
@@ -70,6 +71,12 @@ class ZarrStatsStore:
     # whose extent doesn't cover a whole output cell are assembled in
     # host-side buffers and flushed when the cell completes.
     self._zarr_chunks = {k: int(v) for k, v in (zarr_chunks or {}).items()}
+    # v3 sharding_indexed output: shards group output cells into shard
+    # objects; a shard, like a straddling output cell, must be assembled
+    # by one process/writer (encoded cells buffer until it completes).
+    self._zarr_shards = {k: int(v) for k, v in (zarr_shards or {}).items()}
+    if self._zarr_shards and int(zarr_format) != 3:
+      raise ValueError('zarr_shards (sharding_indexed) needs zarr_format=3')
     if distributed:
       for d, cc in (('init_time', self._init_chunk),
                     ('lead_time', self._lead_chunk)):
@@ -80,6 +87,13 @@ class ZarrStatsStore:
               f'divide the compute chunk size {cc}: otherwise one output '
               'cell spans compute chunks owned by different processes and '
               'no single process can assemble it')
+        zs = self._zarr_shards.get(d)
+        if zs is not None and (zs > cc or cc % zs != 0):
+          raise ValueError(
+              f'distributed zarr output needs zarr_shards[{d!r}]={zs} to '
+              f'divide the compute chunk size {cc}: otherwise one shard '
+              'object spans compute chunks owned by different processes '
+              'and no single process can assemble it')
     self._compressor = compressor
     self._zarr_format = int(zarr_format)
     self._distributed = distributed
@@ -147,10 +161,15 @@ class ZarrStatsStore:
       else:
         self._coord_arrays[cname] = Coord(c.dims, np.asarray(c.values))
       self._write_coord(cname, self._coord_arrays[cname])
+    shards = None
+    if self._zarr_shards and any(d in self._zarr_shards for d in da.dims):
+      shards = [self._zarr_shards.get(d, c)
+                for d, c in zip(da.dims, chunks)]
     return zarr_io.ZarrArrayWriter(
         self._path, key, shape, chunks, np.asarray(da.values).dtype,
         da.dims, extra_attrs={'coordinates': ' '.join(aux)} if aux else None,
-        compressor=self._compressor, zarr_format=self._zarr_format)
+        compressor=self._compressor, zarr_format=self._zarr_format,
+        shards=shards)
 
   def write_chunk(self, i: int,
                   offsets: time_chunks_lib.TimeChunkOffsets,
@@ -231,6 +250,11 @@ class ZarrStatsStore:
     for (key, cell), (buf, _) in list(self._buffers.items()):
       self._writers[key].write_block(cell, buf)
     self._buffers.clear()
+    # Sharded (v3) writers: flush partial shard objects — absent cells
+    # keep the missing-chunk sentinel (readers see the fill value), the
+    # same contract as the uncovered-cell fill above.
+    for w in self._writers.values():
+      w.close()
     if self._distributed and jax.process_count() > 1:
       from jax.experimental import multihost_utils
       multihost_utils.sync_global_devices('wbx_unaggregated_zarr_cells')
@@ -294,6 +318,10 @@ class UnaggregatedPipeline:
   # Output store chunk sizes per dim (e.g. {'init_time': 64}); defaults to
   # the compute chunking. The reference's xbeam.Rechunk zarr_chunks analog.
   zarr_chunks: Optional[Mapping[str, int]] = None
+  # v3 only: shard object sizes per dim (elements, rounded up to a chunk
+  # multiple) — emits the sharding_indexed codec layout zarr-python 3
+  # consumers default to for many-small-chunk stores.
+  zarr_shards: Optional[Mapping[str, int]] = None
   # Transient-failure policy for chunk loads (see pipeline.RetryPolicy).
   # With ``skip_failed`` a dropped chunk's cells keep the store's fill
   # value (NaN) and are listed in ``failed_chunks`` after the run.
@@ -363,7 +391,8 @@ class UnaggregatedPipeline:
                            compressor=self.compressor,
                            distributed=self.distributed,
                            zarr_chunks=self.zarr_chunks,
-                           zarr_format=self.zarr_format)
+                           zarr_format=self.zarr_format,
+                           zarr_shards=self.zarr_shards)
     for i, offsets, (predictions, targets) in self._stream():
       store.write_chunk(i, offsets,
                         self._chunk_stats(predictions, targets))

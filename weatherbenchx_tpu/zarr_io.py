@@ -132,14 +132,26 @@ class ZarrArrayWriter:
   via :meth:`write_block` — the building block for the unaggregated
   pipeline's chunk-at-a-time store writes (the xarray_beam
   template+ChunksToZarr analog, reference ``beam_pipeline.py:543-681``).
+
+  ``shards`` (v3 only) writes the ``sharding_indexed`` codec layout
+  zarr-python 3 defaults to for many-small-chunk stores: ``chunks`` stays
+  the logical (inner) cell grid ``write_block`` addresses, but cells are
+  packed into shard objects of ``shards`` elements per axis (rounded up
+  to a chunk multiple) with an end-located ``(offset, nbytes)`` uint64
+  index + crc32c. Encoded cells buffer in memory until their shard is
+  complete; :meth:`close` flushes partial shards with the spec's
+  missing-chunk sentinel (readers substitute the fill value).
   """
+
+  _MISSING = 0xFFFFFFFFFFFFFFFF  # spec sentinel for an absent inner cell
 
   def __init__(self, root: str, name: str, shape: Sequence[int],
                chunks: Sequence[int], dtype, dims: Sequence[str],
                extra_attrs: Optional[dict] = None,
                compressor: Optional[str] = None,
                compression_level: Optional[int] = None,
-               zarr_format: int = 2) -> None:
+               zarr_format: int = 2,
+               shards: Optional[Sequence[int]] = None) -> None:
     self._adir = os.path.join(root, name)
     fileio.makedirs(self._adir)
     self.shape = tuple(int(s) for s in shape)
@@ -155,20 +167,60 @@ class ZarrArrayWriter:
       raise ValueError(f'zarr_format must be 2 or 3, got {zarr_format}')
     self._comp = wbx_codecs.compressor_config(
         compressor, self.dtype.itemsize, compression_level)
+    self.shards = None
+    if shards is not None:
+      if self._format != 3:
+        raise ValueError('sharding (shards=) requires zarr_format=3')
+      if len(tuple(shards)) != len(self.shape):
+        raise ValueError(f'shards {tuple(shards)} rank != shape '
+                         f'{self.shape} rank')
+      norm = []
+      for s, c in zip(shards, self.chunks):
+        if int(s) <= 0:
+          raise ValueError(f'shard sizes must be positive, got {shards}')
+        norm.append(-(-int(s) // c) * c)  # round UP to a chunk multiple
+      if tuple(norm) != self.chunks:  # shard == one cell: plain store
+        self.shards = tuple(norm)
+    if self.shards is not None:
+      self._cells_per_shard = tuple(
+          s // c for s, c in zip(self.shards, self.chunks))
+      # inner chunk grid (what write_block addresses)
+      self._inner_grid = tuple(
+          max(-(-s // c), 1) for s, c in zip(self.shape, self.chunks))
+      # encoded-cell staging: shard cell -> {flat inner index: bytes}
+      self._shard_parts: dict[tuple, dict[int, bytes]] = {}
+      self._shard_lock = threading.Lock()
     if self._format == 3:
+      if self.shards is not None:
+        grid_shape = list(self.shards)
+        codec_chain = [{
+            'name': 'sharding_indexed',
+            'configuration': {
+                'chunk_shape': list(self.chunks),
+                'codecs': _v3_codec_chain(self._comp, self.dtype.itemsize),
+                'index_codecs': [
+                    {'name': 'bytes',
+                     'configuration': {'endian': 'little'}},
+                    {'name': 'crc32c'},
+                ],
+                'index_location': 'end',
+            }}]
+      else:
+        grid_shape = list(self.chunks)
+        codec_chain = _v3_codec_chain(self._comp, self.dtype.itemsize)
       zarray = {
           'zarr_format': 3,
           'node_type': 'array',
           'shape': list(self.shape),
           'data_type': _v3_data_type(self.dtype),
           'chunk_grid': {'name': 'regular',
-                         'configuration': {'chunk_shape': list(self.chunks)}},
+                         'configuration': {'chunk_shape': grid_shape}},
           'chunk_key_encoding': {'name': 'default',
                                  'configuration': {'separator': '/'}},
           'fill_value': (
               'NaN' if self.dtype.kind == 'f'
               else False if self.dtype.kind == 'b' else 0),
-          'codecs': _v3_codec_chain(self._comp, self.dtype.itemsize),
+          'codecs': codec_chain,
           'dimension_names': list(dims),
           'attributes': dict(extra_attrs or {}),
       }
@@ -207,16 +259,77 @@ class ZarrArrayWriter:
     return '.'.join(str(int(i)) for i in cell) or '0'
 
   def write_block(self, cell: Sequence[int], block: np.ndarray) -> None:
-    """Writes one chunk-grid cell. Ragged edge blocks are padded to full
-    chunk extent with fill (the v2/v3 storage contract)."""
+    """Writes one (inner) chunk-grid cell. Ragged edge blocks are padded
+    to full chunk extent with fill (the v2/v3 storage contract). In
+    sharded mode the encoded cell is staged and its shard object is
+    written once every in-bounds cell of the shard has arrived."""
     block = self._pad_to_cell(block)
+    raw = np.ascontiguousarray(block).tobytes()
+    raw = bytes(wbx_codecs.encode_cell(raw, self._codec,
+                                       self.dtype.itemsize, self._level))
+    if self.shards is not None:
+      self._stash_sharded(tuple(int(i) for i in cell), raw)
+      return
     path = os.path.join(self._adir, self._cell_key(cell))
     if self._format == 3 and cell:
       fileio.makedirs(os.path.dirname(path))
-    raw = np.ascontiguousarray(block).tobytes()
-    raw = wbx_codecs.encode_cell(raw, self._codec, self.dtype.itemsize,
-                                 self._level)
-    fileio.write_bytes(path, bytes(raw))
+    fileio.write_bytes(path, raw)
+
+  def _stash_sharded(self, cell: tuple[int, ...], raw: bytes) -> None:
+    spc = self._cells_per_shard
+    shard = tuple(c // n for c, n in zip(cell, spc))
+    flat = 0  # C-order position in the shard's inner grid
+    for c, n in zip(cell, spc):
+      flat = flat * n + (c % n)
+    with self._shard_lock:
+      parts = self._shard_parts.setdefault(shard, {})
+      parts[flat] = raw
+      if len(parts) < self._expected_cells(shard):
+        return
+      del self._shard_parts[shard]
+    self._write_shard(shard, parts)
+
+  def _expected_cells(self, shard: tuple[int, ...]) -> int:
+    """Inner cells of this shard that intersect the array shape (edge
+    shards extend past it; out-of-bounds cells stay missing-sentinel)."""
+    n = 1
+    for sh, spc, grid in zip(shard, self._cells_per_shard,
+                             self._inner_grid):
+      n *= max(min((sh + 1) * spc, grid) - sh * spc, 0)
+    return n
+
+  def _write_shard(self, shard: tuple[int, ...],
+                   parts: Mapping[int, bytes]) -> None:
+    """Assembles payload + end-located uint64-le (offset, nbytes) index
+    + crc32c and writes the shard object atomically."""
+    n = int(np.prod(self._cells_per_shard, dtype=np.int64))
+    index = np.full((n, 2), self._MISSING, dtype='<u8')
+    chunks_out = []
+    offset = 0
+    for flat in sorted(parts):
+      raw = parts[flat]
+      index[flat, 0] = offset
+      index[flat, 1] = len(raw)
+      chunks_out.append(raw)
+      offset += len(raw)
+    index_bytes = index.tobytes()
+    crc = wbx_codecs.crc32c(index_bytes).to_bytes(4, 'little')
+    path = os.path.join(self._adir, self._cell_key(shard))
+    if shard:
+      fileio.makedirs(os.path.dirname(path))
+    fileio.write_bytes_atomic(path, b''.join(chunks_out) + index_bytes + crc)
+
+  def close(self) -> None:
+    """Flushes partial shards (skip-failed / ragged coverage): absent
+    cells keep the missing sentinel, so readers see the fill value. A
+    no-op for unsharded writers and complete shards."""
+    if self.shards is None:
+      return
+    with self._shard_lock:
+      pending = self._shard_parts
+      self._shard_parts = {}
+    for shard, parts in pending.items():
+      self._write_shard(shard, parts)
 
   def _pad_to_cell(self, block: np.ndarray) -> np.ndarray:
     block = np.asarray(block).astype(self.dtype, copy=False)
@@ -235,6 +348,14 @@ class ZarrArrayWriter:
 
     grid = [max(-(-s // c), 1) for s, c in zip(self.shape, self.chunks)]
     cells = list(np.ndindex(*grid))
+    if self.shards is not None:
+      # Encode thread-parallel (codecs release the GIL); shards assemble
+      # and write as their last staged cell lands, partials at close().
+      list(_read_pool().map(
+          lambda c: self.write_block(c, values[self._cell_window(c)]),
+          cells))
+      self.close()
+      return
     if len(cells) <= 1:
       for cell in cells:
         self.write_block(cell, values[self._cell_window(cell)])
@@ -275,7 +396,8 @@ def _write_array(root: str, name: str, values: np.ndarray,
                  dims: Sequence[str], chunks: Sequence[int],
                  extra_attrs: Optional[dict] = None,
                  compressor: Optional[str] = None,
-                 zarr_format: int = 2) -> dict:
+                 zarr_format: int = 2,
+                 shards: Optional[Sequence[int]] = None) -> dict:
   """Writes one complete zarr array; returns its .zmetadata entries."""
   values, time_attrs = _encode_cf_time(np.asarray(values))
   if not values.flags.c_contiguous:
@@ -283,7 +405,7 @@ def _write_array(root: str, name: str, values: np.ndarray,
   writer = ZarrArrayWriter(
       root, name, values.shape, chunks, values.dtype, dims,
       extra_attrs={**time_attrs, **(extra_attrs or {})},
-      compressor=compressor, zarr_format=zarr_format)
+      compressor=compressor, zarr_format=zarr_format, shards=shards)
   writer.write_full(values)
   return writer.metadata
 
@@ -295,6 +417,7 @@ def save_dataset_zarr(
     compressor: Optional[str] = None,
     consolidated: bool = True,
     zarr_format: int = 2,
+    shards: Optional[Mapping[str, int]] = None,
 ) -> None:
   """Writes a dict[var, DimArray] dataset as a Zarr directory store.
 
@@ -305,9 +428,16 @@ def save_dataset_zarr(
   chain, ``dimension_names``) that zarr-python 3 / new public stores use;
   v3 has no core fixed-length string data type, so string coordinates
   (sparse station ids) require the default v2.
+
+  ``shards`` (v3 only) maps dim name → shard length in elements; arrays
+  with at least one dim in the mapping are written with the
+  ``sharding_indexed`` codec (inner chunks from ``chunks``, shard lengths
+  rounded up to a chunk multiple; unmapped dims shard at one chunk).
   """
   if zarr_format not in (2, 3):
     raise ValueError(f'zarr_format must be 2 or 3, got {zarr_format}')
+  if shards and zarr_format != 3:
+    raise ValueError('shards= (sharding_indexed) requires zarr_format=3')
   fileio.makedirs(path)
   metadata: dict[str, Any] = {'.zgroup': {'zarr_format': 2}, '.zattrs': {}}
   if zarr_format == 3:
@@ -323,8 +453,15 @@ def save_dataset_zarr(
   chunks = dict(chunks or {})
   written: dict[str, tuple] = {}  # coord name -> (dims, id of values)
 
+  shards = dict(shards or {})
+
   def chunk_spec(dims, shape):
     return [chunks.get(d, s) for d, s in zip(dims, shape)]
+
+  def shard_spec(dims, cspec):
+    if not shards or not any(d in shards for d in dims):
+      return None
+    return [shards.get(d, c) for d, c in zip(dims, cspec)]
 
   for var, da in dataset.items():
     aux = []
@@ -334,15 +471,18 @@ def save_dataset_zarr(
         aux.append(str(cname))
       if not cf.check_shared_coord(written, cname, c.dims, cvals, 'zarr'):
         continue
+      cspec = chunk_spec(c.dims, cvals.shape)
       metadata.update(_write_array(
           path, str(cname), cvals, c.dims,
-          chunk_spec(c.dims, cvals.shape), compressor=compressor,
-          zarr_format=zarr_format))
+          cspec, compressor=compressor,
+          zarr_format=zarr_format, shards=shard_spec(c.dims, cspec)))
     extra = {'coordinates': ' '.join(aux)} if aux else None
+    cspec = chunk_spec(da.dims, da.shape)
     metadata.update(_write_array(
         path, str(var), np.asarray(da.values), da.dims,
-        chunk_spec(da.dims, da.shape), extra_attrs=extra,
-        compressor=compressor, zarr_format=zarr_format))
+        cspec, extra_attrs=extra,
+        compressor=compressor, zarr_format=zarr_format,
+        shards=shard_spec(da.dims, cspec)))
 
   if consolidated and zarr_format == 2:
     fileio.write_bytes_atomic(
