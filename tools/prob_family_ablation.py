@@ -182,8 +182,9 @@ def main():
   with metrics_base.device_resources(res):
     stats0 = metrics_base.compute_unique_statistics_for_all_metrics(
         metrics, p_prep, t_prep)
-  stats0 = jax.device_put(jax.tree_util.tree_map(
-      lambda a: np.asarray(a), stats0, is_leaf=lambda a: hasattr(a, 'dims')))
+  stats0 = {sn: {vn: da.copy(data=jax.device_put(jnp.asarray(da.data)))
+                 for vn, da in sv.items()}
+            for sn, sv in stats0.items()}
 
   def scan_agg(ks, stats):
     def step(c, kk):
