@@ -306,10 +306,22 @@ def generate_unique_statistics_for_all_metrics(
 ) -> Iterator[tuple[str, Mapping[Hashable, DimArray]]]:
   """Yields (unique_name, values) for each deduplicated statistic."""
   unique_statistics = unique_statistics_for_metrics(metrics)
+
+  def strip_gathered(values):
+    # Pre-gathered climatology slices (CLIM_VALUE_PREFIX coords, chunk-
+    # sized) propagate through arithmetic like any coord; once statistics
+    # are computed they are dead weight — and would bloat unaggregated
+    # sinks — so drop them from the outputs here.
+    out = {}
+    for var, da in values.items():
+      names = [n for n in da.coords if str(n).startswith(CLIM_VALUE_PREFIX)]
+      out[var] = da.drop_coords(names) if names else da
+    return out
+
   with computation_cache():
     for k, stat in unique_statistics.items():
       try:
-        yield k, stat.compute(predictions, targets)
+        yield k, strip_gathered(stat.compute(predictions, targets))
       except Exception as e:
         raise ValueError(f'Failed to compute statistic {k}={stat}') from e
 
@@ -478,9 +490,53 @@ def gather_climatology(
   return DimArray(gathered, dims, coords)
 
 
+def gather_climatology_host(
+    clim: DimArray,
+    indices: Mapping[str, np.ndarray],
+    out_dims: tuple[str, ...],
+) -> DimArray:
+  """Numpy twin of :func:`gather_climatology` for the host-gather path.
+
+  Runs in the pipeline's prepare/prefetch threads on host climatology
+  arrays (never touching the device), producing the chunk-aligned slice
+  that ships as a ``CLIM_VALUE_PREFIX`` device leaf. Same gather
+  semantics, so values are bit-identical to the device gather.
+  """
+  data = np.asarray(clim.data)
+  clim_dims = clim.dims
+  time_dims = [d for d in clim_dims if d in indices]
+  other_dims = [d for d in clim_dims if d not in indices]
+  order = [clim_dims.index(d) for d in time_dims + other_dims]
+  data = np.transpose(data, order)
+  tshape = data.shape[:len(time_dims)]
+  data = data.reshape((-1,) + data.shape[len(time_dims):])
+  first = np.asarray(indices[time_dims[0]])
+  flat_idx = np.zeros(first.shape, dtype=np.int64)
+  stride = 1
+  for d, s in zip(reversed(time_dims), reversed(tshape)):
+    flat_idx = flat_idx + np.asarray(indices[d]) * stride
+    stride *= s
+  gathered = np.take(data, flat_idx.reshape(-1), axis=0)
+  gathered = gathered.reshape(tuple(first.shape) + data.shape[1:])
+  return DimArray(gathered, tuple(out_dims) + tuple(other_dims), {})
+
+
 # Device coords carrying precomputed climatology gather indices, attached by
 # the pipeline before the jit boundary (see parallel.evaluator.prepare_chunk).
 CLIM_INDEX_PREFIX = '_clim_idx_'
+
+# Device coords carrying HOST-PRE-GATHERED climatology values for one chunk.
+# Used when a climatology is too large to live in HBM for the whole run
+# (production arity: a 366x4 dayofyear/hour climatology over ~85 field-levels
+# is ~14 GB at 240x121 and ~200 GB at 0.25 degrees — it can never be a
+# resident device resource). The evaluator marks oversized gather-only
+# climatologies (see ChunkEvaluator._plan_resources) and the statistic's
+# prepare_chunk hook then gathers the chunk's aligned slice on HOST and ships
+# it as a per-chunk device leaf instead — bounded by chunk size, at the cost
+# of re-transferring the aligned slice each chunk. Coord name is keyed by the
+# climatology array's resource_id so multiple statistics sharing one
+# climatology share one gathered copy.
+CLIM_VALUE_PREFIX = '_clim_val_'
 
 
 def attach_climatology_indices(
@@ -519,10 +575,15 @@ def attach_climatology_indices(
 def aligned_climatology_for(clim: DimArray, pred: DimArray) -> DimArray:
   """Climatology aligned to pred's valid_time, via either path.
 
-  Pipeline path: ``_clim_idx_*`` device index coords were attached by
-  ``prepare_chunk`` (retrace-free gather). Notebook path: align host-side
-  from datetime coords.
+  Pipeline path: a ``_clim_val_<rid>`` coord (host-pre-gathered slice for
+  oversized climatologies) is used verbatim if present; otherwise
+  ``_clim_idx_*`` device index coords attached by ``prepare_chunk``
+  (retrace-free on-device gather from the resident resource). Notebook
+  path: align host-side from datetime coords.
   """
+  val = pred.coords.get(f'{CLIM_VALUE_PREFIX}{resource_id(clim)}')
+  if val is not None:
+    return DimArray(val.values, val.dims, {})
   idx_coords = {
       name[len(CLIM_INDEX_PREFIX):]: c
       for name, c in pred.coords.items()
@@ -540,6 +601,11 @@ def aligned_climatology_for(clim: DimArray, pred: DimArray) -> DimArray:
 class StatisticWithClimatology(Statistic):
   """Mixin providing climatology storage + the pipeline prepare hook."""
 
+  # resource_ids the evaluator decided NOT to keep device-resident (too
+  # large for the resource budget); prepare_chunk host-gathers these per
+  # chunk instead. Set via set_host_gather_resources.
+  _host_gather_ids: frozenset = frozenset()
+
   def __init__(self, climatology: Mapping[Hashable, DimArray]):
     self._climatology = dict(climatology)
 
@@ -556,9 +622,44 @@ class StatisticWithClimatology(Statistic):
     """{resource_id: host array} for the evaluator to upload once."""
     return {resource_id(da): da.data for da in self._climatology.values()}
 
+  def host_gatherable_resource_arrays(self) -> dict[str, DimArray]:
+    """{resource_id: DimArray} of entries consumed ONLY through
+    ``aligned_climatology_for`` — safe to host-gather per chunk when the
+    resident-resource budget overflows. Subclasses using an entry
+    directly in compute (not via alignment) must exclude it."""
+    return {resource_id(da): da for da in self._climatology.values()}
+
+  def set_host_gather_resources(self, ids) -> None:
+    self._host_gather_ids = frozenset(ids)
+
+  def _aligned_clim_keys(self, var: Hashable) -> tuple:
+    """Climatology keys whose arrays compute() aligns to variable ``var``
+    (used to pre-gather the right array on the host-gather path)."""
+    return (var,) if var in self._climatology else ()
+
+  def _attach_host_gathered(self, predictions: dict) -> dict:
+    """Attaches host-gathered aligned slices for oversized climatologies."""
+    if not self._host_gather_ids:
+      return predictions
+    for var, da in list(predictions.items()):
+      for key in self._aligned_clim_keys(var):
+        clim = self._climatology[key]
+        rid = resource_id(clim)
+        if rid not in self._host_gather_ids:
+          continue
+        name = f'{CLIM_VALUE_PREFIX}{rid}'
+        if name in da.coords:
+          continue  # another statistic sharing this climatology attached it
+        vt_dims, vt = valid_time_coord(da)
+        idx = climatology_alignment_indices(clim, vt)
+        g = gather_climatology_host(clim, idx, vt_dims)
+        da = da.assign_coords(**{name: Coord(g.dims, g.data)})
+      predictions[var] = da
+    return predictions
+
   def prepare_chunk(self, predictions, targets):
-    return attach_climatology_indices(
-        dict(predictions), self._climatology), targets
+    return self._attach_host_gathered(attach_climatology_indices(
+        dict(predictions), self._climatology)), targets
 
 
 class PerVariableStatisticWithClimatology(StatisticWithClimatology):

@@ -93,6 +93,18 @@ class SEEPS(base.StatisticWithClimatology):
     assert len(self._variables) == len(self._dry_threshold_mm) == len(
         self._min_p1) == len(self._max_p1), (
             'All arguments must have the same length.')
+    # p1 (the climatological dry fraction averaged over its time dims) is
+    # constant across the whole evaluation, so precompute it host-side
+    # once instead of shipping the full (dayofyear, hour, lat, lon) dry-
+    # fraction array to the device and re-averaging it per chunk — at
+    # production 0.25 degrees that array is ~2.4 GB/variable of HBM for a
+    # value that never changes.
+    self._p1 = {}
+    for variable in self._variables:
+      df = self._climatology[f'{variable}_seeps_dry_fraction']
+      tdims = tuple(
+          d for d in ('hour', 'dayofyear', 'time') if d in df.dims)
+      self._p1[variable] = df.mean(tdims) if tdims else df
 
   @property
   def unique_name(self) -> str:
@@ -102,6 +114,28 @@ class SEEPS(base.StatisticWithClimatology):
               + '_min_p1_' + '_'.join(str(s) for s in self._min_p1)
               + '_max_p1_' + '_'.join(str(s) for s in self._max_p1))
     return f'SEEPS_{suffix}'
+
+  def device_resource_arrays(self):
+    """Wet thresholds + precomputed p1 — NOT the raw dry-fraction array
+    (p1 replaces it; see __init__)."""
+    out = {}
+    for variable in self._variables:
+      thr = self._climatology[f'{variable}_seeps_threshold']
+      out[base.resource_id(thr)] = thr.data
+      p1 = self._p1[variable]
+      out[base.resource_id(p1)] = p1.data
+    return out
+
+  def host_gatherable_resource_arrays(self):
+    """Only the wet thresholds are consumed via alignment; p1 is used
+    directly in compute and must stay resident (it is small)."""
+    return {
+        base.resource_id(self._climatology[f'{v}_seeps_threshold']):
+            self._climatology[f'{v}_seeps_threshold']
+        for v in self._variables}
+
+  def _aligned_clim_keys(self, var):
+    return (f'{var}_seeps_threshold',) if var in self._variables else ()
 
   def compute(self, predictions, targets):
     out = {}
@@ -132,9 +166,7 @@ class SEEPS(base.StatisticWithClimatology):
     f_dry, f_light, f_heavy = self._rain_bands(predictions, wet, dry_mm)
     t_dry, t_light, t_heavy = self._rain_bands(targets, wet, dry_mm)
 
-    dry_fraction = self.clim(f'{variable}_seeps_dry_fraction')
-    p1 = dry_fraction.mean(tuple(
-        d for d in ('hour', 'dayofyear', 'time') if d in dry_fraction.dims))
+    p1 = base.resolve_resource(self._p1[variable])
 
     # Fused select-sum over the six nonzero cells of the Rodwell scoring
     # matrix (entry expressions verbatim from the spec so each selected

@@ -22,6 +22,8 @@ once and replays for every chunk.
 """
 
 import dataclasses
+import logging
+import os
 from typing import Hashable, Mapping, Optional, Sequence
 
 import jax
@@ -44,6 +46,25 @@ _TIMEDELTA_COORDS = ('lead_time',)
 # before restoration in the same process, and a name is only ever one kind.
 _CONVERTED_TIME_COORDS: dict[str, str] = (
     {n: 'M' for n in _DATETIME_COORDS} | {n: 'm' for n in _TIMEDELTA_COORDS})
+
+
+def _resource_budget_bytes() -> int:
+  """HBM budget for device-resident statistic resources (climatologies).
+
+  ``WBX_RESOURCE_BYTES`` overrides; otherwise 45% of the device's
+  reported memory limit (leaving the rest for chunk data, statistics and
+  aggregation), falling back to 8 GB when the backend reports nothing
+  (CPU test meshes).
+  """
+  env = os.environ.get('WBX_RESOURCE_BYTES')
+  if env:
+    return int(float(env))
+  try:
+    stats = jax.local_devices()[0].memory_stats() or {}
+    limit = int(stats.get('bytes_limit', 0))
+  except Exception:  # noqa: BLE001 — backend-optional API
+    limit = 0
+  return int(0.45 * limit) if limit else 8 << 30
 
 
 def prepare_chunk(
@@ -102,7 +123,8 @@ def _convert_chunk(data, stats, is_predictions, targets, keep_host_coords):
         slots.append((var, name, c.dims))
         new_coords[name] = c  # placeholder, replaced by _apply_moved
       elif (isinstance(v, np.ndarray)
-            and str(name).startswith(metrics_base.CLIM_INDEX_PREFIX)):
+            and str(name).startswith((metrics_base.CLIM_INDEX_PREFIX,
+                                      metrics_base.CLIM_VALUE_PREFIX))):
         pending.append(v)
         slots.append((var, name, c.dims))
         new_coords[name] = c
@@ -174,6 +196,7 @@ class ChunkEvaluator:
         for name in b.host_coords}))
     self._operand_cache: dict = {}
     self._resource_cache = None
+    self._plan_resources()
     # Number of times the evaluation step was (re)traced — one trace per
     # distinct chunk layout. The pad-to-bucket policy keeps this bounded
     # over ragged sparse runs; tests and the sparse scale demo assert on
@@ -191,20 +214,74 @@ class ChunkEvaluator:
           self.metrics, predictions, targets)
       return self.aggregator.aggregate_statistics(statistics, operands)
 
+  def _plan_resources(self):
+    """Partitions statistic resources: device-resident vs host-gathered.
+
+    Resident resources (climatologies small enough for HBM) upload once
+    and are gathered on-device per chunk — zero per-chunk transfer. When
+    their total exceeds the budget (WBX_RESOURCE_BYTES env override,
+    default 45% of the device's HBM, 8 GB if unknown), the largest
+    gather-only arrays are demoted to HOST-GATHER: the statistic's
+    prepare_chunk aligns them on the host and ships the chunk-sized slice
+    as a device leaf instead (metrics_base.CLIM_VALUE_PREFIX). This is
+    what lets production-arity climatologies (~85 field-levels x 366
+    dayofyear x 4 hours ~= 200 GB at 0.25 degrees) evaluate at all:
+    residency is a cache policy, not a correctness requirement.
+    """
+    sizes: dict[str, int] = {}
+    gatherable: dict[str, int] = {}
+    for stat in self._clim_stats:
+      getter = getattr(stat, 'device_resource_arrays', None)
+      if getter is None:
+        continue
+      for rid, arr in getter().items():
+        sizes[rid] = int(getattr(arr, 'nbytes', np.asarray(arr).nbytes))
+      g = getattr(stat, 'host_gatherable_resource_arrays', None)
+      if g is not None:
+        for rid, da in g().items():
+          if rid in sizes:
+            gatherable[rid] = sizes[rid]
+    total = sum(sizes.values())
+    budget = _resource_budget_bytes()
+    hg: set = set()
+    if total > budget:
+      for rid, nbytes in sorted(gatherable.items(), key=lambda kv: -kv[1]):
+        hg.add(rid)
+        total -= nbytes
+        if total <= budget:
+          break
+      logging.info(
+          'resource plan: %d/%d climatology arrays host-gathered '
+          '(resident %.0f MB <= budget %.0f MB)',
+          len(hg), len(sizes), total / 2**20, budget / 2**20)
+      if total > budget:
+        logging.warning(
+            'resident statistic resources (%.0f MB) still exceed the '
+            'budget (%.0f MB) after host-gathering every eligible array',
+            total / 2**20, budget / 2**20)
+    self._host_gather_ids = frozenset(hg)
+    for stat in self._clim_stats:
+      setter = getattr(stat, 'set_host_gather_resources', None)
+      if setter is not None:
+        setter(self._host_gather_ids)
+
   def resources(self):
     """Long-lived statistic arrays (climatologies), uploaded ONCE.
 
     Passed into the jitted step as arguments and resolved by object
     identity while tracing (metrics_base.device_resources) — embedding
     them as trace-time constants puts >100 MB of climatology into every
-    compiled program at 0.25°.
+    compiled program at 0.25°. Arrays demoted to host-gather by
+    _plan_resources are excluded: they ride in per chunk as prepared
+    device leaves instead.
     """
     if self._resource_cache is None:
       host: dict = {}
       for stat in self._clim_stats:
         getter = getattr(stat, 'device_resource_arrays', None)
         if getter is not None:
-          host.update(getter())
+          host.update({k: v for k, v in getter().items()
+                       if k not in self._host_gather_ids})
       if not host:
         self._resource_cache = {}
       else:
